@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (see TESTDATA.md).
+  *
+  * Each scale-factor directory holds one parquet file per table:
+  * `region nation customer supplier part orders lineitem events documents
+  * embeddings`. All queries in [[SparkEntry.queries]] take the directory as
+  * their second argument, so the same plan runs at any scale factor.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is physically TIMESTAMP(NANOS) parquet, which Spark's
+      // vectorized reader rejects; read the raw int64 nanos and truncate to
+      // Spark's native microsecond timestamps. (DuckDB reads the same column
+      // as TIMESTAMP_NS — oracle SQL must CAST to micros before comparing.)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register every table as a temp view (for spark.sql-style access). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators over the testdata star schema.
+  *
+  * Covers SURVEY.md §2.2 (filters/predicates), §2.5 (dedup / last-write-wins
+  * upsert, update-join, anti-join), §2.6 (aggregations), §2.7 (joins) and
+  * §2.8 (top-k). Reference semantics cited per query; the physical strategy
+  * is Spark-native (hash aggregate, broadcast hash join for dimension
+  * tables, window functions for keyed dedup).
+  *
+  * Determinism contract with the DuckDB oracle: every query carries an
+  * explicit ORDER BY over its whole output, double-typed aggregates are
+  * computed in exact decimal arithmetic where sums are large (so both
+  * engines produce bit-identical doubles) and rounded, and every aggregate
+  * column is aliased identically in the Spark plan and the oracle SQL.
+  */
+object RelationalQueries {
+
+  /** Exact money arithmetic: both Spark and DuckDB sum DECIMAL exactly, so
+    * the result is reproducible regardless of partitioning / accumulation
+    * order — a float sum would drift between engines at sf>=0.01.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private def money(c: Column): Column = round(sum(dec(c)).cast("double"), 2)
+
+  /** TPC-H Q1-style pricing summary (SURVEY §2.6 A2/A3/A5: hash aggregate
+    * with conditional inputs; reference per-day tallies at
+    * resilient_etl.py:306-311, score stats at notebook cell 15).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        money($"l_quantity").as("sum_qty"),
+        money($"l_extendedprice").as("sum_base_price"),
+        round(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast("double"), 2).as("sum_disc_price"),
+        round((sum(dec($"l_quantity")).cast("double") / count(lit(1))), 4).as("avg_qty"),
+        round((sum(dec($"l_extendedprice")).cast("double") / count(lit(1))), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-schema join chain: revenue per region (SURVEY §2.7 J1 dimension
+    * lookups — broadcast the small dims so the only shuffle is the final
+    * aggregate; at 100 TB lineitem⋈orders stays a co-partitioned SMJ while
+    * nation/region/customer broadcast).
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        round(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec($"l_discount")))
+          .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name")
+  }
+
+  val regionRevenueSql: String =
+    """SELECT r_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Top-k per group via window rank (SURVEY §2.8; planned extension of the
+    * reference's `max_tweets` caps, src/resilient_scraper.py:1252).
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables(spark, dir, "part")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"rk", $"p_partkey", round($"p_retailprice", 2).as("price"))
+      .orderBy($"p_brand", $"rk")
+  }
+
+  val topPartsPerBrandSql: String =
+    """SELECT p_brand, rk, p_partkey, price FROM (
+      |  SELECT p_brand,
+      |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk,
+      |    p_partkey, round(p_retailprice, 2) AS price
+      |  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
+
+  /** Last-write-wins upsert emulation (SURVEY §2.5 D3: the reference's Mongo
+    * `UpdateOne({_id},{$set},upsert=True)` at resilient_scraper.py:944-956
+    * becomes window row_number=1 over the key, newest first). Deterministic
+    * tiebreak on event_id so re-runs are idempotent.
+    */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"event_type".as("last_event_type"), round($"value", 4).as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  val latestEventPerUserSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+      |  round(value, 4) AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Date-range predicate + per-day counts (SURVEY §2.2 P3 + §2.6 A2;
+    * reference $gte/$lt day windows at resilient_etl.py:306-311). The
+    * filter and the date projection both push to the parquet scan.
+    */
+  def dailyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy(to_date($"ts").as("event_date"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .orderBy($"event_date", $"event_type")
+  }
+
+  val dailyEventCountsSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Anti-join resume semantics (SURVEY §2.2 P7 / §2.7 J3: skip
+    * already-ingested keys, resilient_etl.py:304-318).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Update-join: enrich orders with customer attributes, null-tolerant
+    * (SURVEY §2.5 D4: the reference writes processed docs back by `_id`
+    * left-join, resilient_etl.py:347-358). Left outer join keeps unmatched
+    * orders with null customer fields.
+    */
+  def ordersWithCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey", "left_outer")
+      .select($"o_orderkey",
+        coalesce($"c_name", lit("UNKNOWN")).as("customer_name"),
+        coalesce($"c_mktsegment", lit("NONE")).as("mktsegment"),
+        round($"o_totalprice", 2).as("total_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val ordersWithCustomerSql: String =
+    """SELECT o_orderkey,
+      |  coalesce(c_name, 'UNKNOWN') AS customer_name,
+      |  coalesce(c_mktsegment, 'NONE') AS mktsegment,
+      |  round(o_totalprice, 2) AS total_price
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Single-pass conditional counts (SURVEY §2.6 A3: needs_cleaning /
+    * needs_sentiment tallies, fix_unprocessed_monthly_tweets.py:204-211).
+    */
+  def conditionalCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when($"value" > 50.0, 1L).otherwise(0L)).as("n_high_value"))
+  }
+
+  val conditionalCountsSql: String =
+    """SELECT count(*) AS total,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value
+      |FROM events""".stripMargin
+
+  /** Date-range filter with partition-prunable predicate (SURVEY §2.2 P3). */
+  def ordersInRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), money($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val ordersInRangeSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Share-of-total via window aggregate (SURVEY §2.6 A8: the README's
+    * "~45% positive" distribution claim — count/sum(count) OVER ()).
+    */
+  def eventTypeShares(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round($"n" / sum($"n").over(Window.partitionBy()), 4))
+      .orderBy($"event_type")
+  }
+
+  val eventTypeSharesSql: String =
+    """SELECT event_type, n, round(n / sum(n) OVER (), 4) AS share
+      |FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** Set union of heterogeneous slices (SURVEY §2.9 U1: daily→monthly file
+    * concat, utils.py:237 — unionByName tolerates schema drift).
+    */
+  def unionSlices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+    val a = e.filter($"event_type" === "click").select($"event_id", $"user_id", $"value")
+    val b = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", lit("p").as("tag"))
+    a.unionByName(b.drop("tag"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum(dec($"value")).cast("double"), 4).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  val unionSlicesSql: String =
+    """SELECT user_id, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+      |FROM (
+      |  SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pricing_summary" -> (pricingSummary _),
+    "q_region_revenue" -> (regionRevenue _),
+    "q_top_parts_per_brand" -> (topPartsPerBrand _),
+    "q_latest_event_per_user" -> (latestEventPerUser _),
+    "q_daily_event_counts" -> (dailyEventCounts _),
+    "q_customers_without_orders" -> (customersWithoutOrders _),
+    "q_orders_with_customer" -> (ordersWithCustomer _),
+    "q_conditional_counts" -> (conditionalCounts _),
+    "q_orders_in_range" -> (ordersInRange _),
+    "q_event_type_shares" -> (eventTypeShares _),
+    "q_union_slices" -> (unionSlices _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_region_revenue" -> regionRevenueSql,
+    "q_top_parts_per_brand" -> topPartsPerBrandSql,
+    "q_latest_event_per_user" -> latestEventPerUserSql,
+    "q_daily_event_counts" -> dailyEventCountsSql,
+    "q_customers_without_orders" -> customersWithoutOrdersSql,
+    "q_orders_with_customer" -> ordersWithCustomerSql,
+    "q_conditional_counts" -> conditionalCountsSql,
+    "q_orders_in_range" -> ordersInRangeSql,
+    "q_event_type_shares" -> eventTypeSharesSql,
+    "q_union_slices" -> unionSlicesSql)
+}
