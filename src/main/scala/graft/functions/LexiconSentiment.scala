@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic lexicon-based sentiment scorer — the test-stable stand-in
+  * for the reference's HuggingFace classifier (SURVEY.md §2.4 E4,
+  * utils.py:53-92). Same output contract: a (label, confidence_score)
+  * struct with labels in {positive, neutral, negative} and the
+  * empty/zero-signal fallback ("NEUTRAL", 0.0) mapped to neutral
+  * confidence 0.0 (utils.py:92).
+  *
+  * Production-model integration goes through [[graft.functions.Sentiment]]'s
+  * mapPartitions runner; this object is the pure-column scorer, fully
+  * codegen'd, no UDF.
+  */
+object LexiconSentiment {
+
+  /** A sentiment lexicon: ordered positive / negative word lists. */
+  final case class Lexicon(positive: Seq[String], negative: Seq[String])
+
+  /** For the synthetic `documents` table (engine-vocabulary word bags). */
+  val EngineWords: Lexicon =
+    Lexicon(Seq("fast", "good", "great"), Seq("slow", "bad", "error"))
+
+  /** Indonesian lexicon for the tweet-parity pipeline (MBG domain). */
+  val Indonesian: Lexicon = Lexicon(
+    Seq("bagus", "baik", "mantap", "enak", "sehat", "senang", "bergizi",
+      "gratis", "membantu", "terima kasih", "sukses", "lancar"),
+    Seq("buruk", "jelek", "gagal", "korupsi", "basi", "mahal", "kecewa",
+      "lambat", "keracunan", "bohong", "rugi", "telat"))
+
+  def positiveHits(text: Column, lex: Lexicon): Column =
+    TextFunctions.wordHits(lower(text), lex.positive)
+
+  def negativeHits(text: Column, lex: Lexicon): Column =
+    TextFunctions.wordHits(lower(text), lex.negative)
+
+  /** Label: positive / negative by majority hit count, neutral on ties or
+    * no signal.
+    */
+  def label(text: Column, lex: Lexicon): Column = {
+    val p = positiveHits(text, lex)
+    val n = negativeHits(text, lex)
+    when(p > n, "positive").when(n > p, "negative").otherwise("neutral")
+  }
+
+  /** Confidence: |p-n| / (p+n), 0.0 when no lexicon hits (the reference's
+    * NEUTRAL/0.0 fallback path).
+    */
+  def confidence(text: Column, lex: Lexicon): Column = {
+    val p = positiveHits(text, lex)
+    val n = negativeHits(text, lex)
+    coalesce(abs(p - n).cast("double") / nullif((p + n).cast("double"), lit(0.0)), lit(0.0))
+  }
+
+  /** The full (label, confidence_score) struct matching the reference's
+    * sentiment_analysis field (utils.py:187-190).
+    */
+  def score(text: Column, lex: Lexicon): Column =
+    struct(label(text, lex).as("label"), confidence(text, lex).as("confidence_score"))
+}

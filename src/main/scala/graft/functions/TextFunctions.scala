@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text scalar functions (SURVEY.md §2.3) as pure column expressions — no
+  * UDFs, so every one of them stays inside whole-stage codegen and can be
+  * pushed/pruned by Catalyst.
+  *
+  * F1/F2 reproduce the reference's two cleaning variants exactly:
+  *  - F1 `clean_tweet_text` (utils.py:28-50): URLs removed, @user →
+  *    [MENTION], #tag → [HASHTAG], whitespace collapsed, trimmed, lowercased.
+  *  - F2 scraper `clean_text` (src/resilient_scraper.py:868-889): URLs →
+  *    [LINK], @user → [MENTION], #tag → tag (keep the word), whitespace
+  *    collapsed, trimmed, case preserved.
+  */
+object TextFunctions {
+
+  val UrlRe = "http\\S+|www\\S+|https\\S+"
+  val MentionRe = "@\\w+"
+  val HashtagRe = "#\\w+"
+
+  /** F1: analysis-stage cleaning (utils.py:28-50). */
+  def cleanTweetText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlRe, ""),
+          MentionRe, "[MENTION]"),
+        HashtagRe, "[HASHTAG]"),
+      "\\s+", " ")))
+
+  /** F2: scrape-stage cleaning (src/resilient_scraper.py:868-889). */
+  def cleanTextScraper(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlRe, "[LINK]"),
+          MentionRe, "[MENTION]"),
+        "#(\\w+)", "$1"),
+      "\\s+", " "))
+
+  /** Whitespace token count — scale-safe (a count, not a materialized
+    * array).
+    */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    * punctuation marks — the usual GPT-2-style pre-split shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count word-boundary occurrences of any of `words`. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Tiny per-language stopword lists for the language-ID heuristic.
+    * Ordered — ties resolve to the earlier entry (deterministic).
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "我", "在"))
+
+  /** N-gram-heuristic language ID: argmax of stopword hits, first language
+    * in [[LangStopwords]] order wins ties; no hits at all → "und"
+    * (undetermined). Pure when-chain — codegen-friendly, broadcast-free.
+    */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    val counts = LangStopwords.map { case (lang, words) =>
+      lang -> wordHits(lowered, words)
+    }
+    val anyHit = counts.map(_._2).reduce(_ + _) > 0
+    // lang_i wins iff its count >= every later count and > every earlier one
+    // — equivalently, walking in priority order, the first with the max.
+    val maxCount = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = counts.foldLeft(lit(null).cast("string")) { case (acc, (lang, c)) =>
+      when(acc.isNotNull, acc).otherwise(when(c === maxCount, lit(lang)))
+    }
+    when(anyHit, chain).otherwise(lit("und"))
+  }
+
+  /** Punctuation character count (quality scoring input). */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality heuristics à la pretraining-corpus filters: token count, mean
+    * token length, punctuation ratio, stopword ratio.
+    */
+  def stopwordHits(text: Column): Column =
+    wordHits(lower(text), LangStopwords.flatMap(_._2).filterNot(_.exists(_ > 127)))
+
+  /** Rolling polynomial fingerprint over the document's characters
+    * (Karp–Rabin style): fold (acc*31 + codepoint) mod 1e9+7, seeded with
+    * the first codepoint. Expressed with higher-order array functions so it
+    * is a single codegen'd projection, distributable at any scale.
+    */
+  def fingerprint(text: Column): Column = {
+    // Spark's split can emit empty trailing strings (Java split semantics);
+    // drop them so the fold sees exactly one element per character.
+    val codes = transform(
+      filter(split(text, ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
+    val p = lit(1000000007L)
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+        element_at(codes, 1),
+        (acc, x) => (acc * 31L + x) % p))
+  }
+}

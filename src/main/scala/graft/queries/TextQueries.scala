@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
+
+/** Text-analysis operators over the `documents` table: the reference's
+  * cleaning stage (SURVEY §2.3 F1/F2) plus the large-scale training-data
+  * pipeline ops (language ID, quality scoring, token counting,
+  * fingerprinting, lexicon sentiment, dictionary location detection).
+  *
+  * All of these are pure projections + hash aggregates: embarrassingly
+  * parallel, no shuffle except the final small groupBy, and every scalar is
+  * a codegen'd column expression (no UDFs).
+  */
+object TextQueries {
+
+  import LexiconSentiment.EngineWords
+  import TextFunctions._
+
+  /** Deterministic noisy text: the raw documents carry no URLs/mentions/
+    * hashtags, so both engines prepend the same synthetic noise before
+    * cleaning — this actually exercises the regex cascade.
+    */
+  private val noisySqlExpr =
+    "'see http://ex.com/' || doc_id || ' @user' || doc_id || ' #tag' || doc_id || ' ' || text"
+
+  /** F1 + F2 cleaning variants side by side (utils.py:28-50 vs
+    * src/resilient_scraper.py:868-889).
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val noisy = concat(lit("see http://ex.com/"), $"doc_id", lit(" @user"), $"doc_id",
+      lit(" #tag"), $"doc_id", lit(" "), $"text")
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        substring(cleanTweetText(noisy), 1, 80).as("clean_f1"),
+        substring(cleanTextScraper(noisy), 1, 80).as("clean_f2"))
+      .orderBy($"doc_id")
+  }
+
+  val cleanTextSql: String =
+    s"""SELECT doc_id,
+       |  substr(lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    $noisySqlExpr,
+       |    'http\\S+|www\\S+|https\\S+', '', 'g'), '@\\w+', '[MENTION]', 'g'),
+       |    '#\\w+', '[HASHTAG]', 'g'), '\\s+', ' ', 'g'))), 1, 80) AS clean_f1,
+       |  substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    $noisySqlExpr,
+       |    'http\\S+|www\\S+|https\\S+', '[LINK]', 'g'), '@\\w+', '[MENTION]', 'g'),
+       |    '#(\\w+)', '\\1', 'g'), '\\s+', ' ', 'g')), 1, 80) AS clean_f2
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token statistics per source (whitespace + BPE-ish pre-tokenizer). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"source", tokenCount($"text").as("nt"), bpeishTokenCount($"text").as("nb"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nt").cast("long").as("sum_tokens"),
+        round(sum($"nb").cast("double") / count(lit(1)), 4).as("avg_bpeish_tokens"),
+        max($"nt").cast("long").as("max_tokens"))
+      .orderBy($"source")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+      |  round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE) / count(*), 4) AS avg_bpeish_tokens,
+      |  CAST(max(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Language-ID confusion matrix: labeled lang vs stopword-heuristic
+    * prediction.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"lang", langId($"text").as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  // Oracle generated from the same LangStopwords Seq so the two stay in sync.
+  val langIdConfusionSql: String = {
+    val counts = LangStopwords.map { case (lang, words) =>
+      lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+    }
+    val total = counts.map(_._2).mkString(" + ")
+    val maxOf = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val chain = counts.map { case (lang, c) =>
+      s"WHEN $c = $maxOf THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+       |  SELECT lang, CASE WHEN ($total) = 0 THEN 'und' $chain END AS predicted
+       |  FROM documents)
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Per-document quality heuristics (pretraining-corpus filter shape). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = tokenCount($"text")
+    val alpha = length(regexp_replace($"text", "\\s", ""))
+    Tables(spark, dir, "documents")
+      .select($"doc_id",
+        nt.cast("long").as("n_tokens"),
+        round(punctCount($"text").cast("double") / nullif(length($"text").cast("double"), lit(0.0)), 4)
+          .as("punct_ratio"),
+        round(stopwordHits($"text").cast("double") / nullif(nt.cast("double"), lit(0.0)), 4)
+          .as("stopword_ratio"),
+        round(alpha.cast("double") / nullif(nt.cast("double"), lit(0.0)), 4)
+          .as("avg_token_len"),
+        when(nt < 20, "short").when(punctCount($"text") > nt, "noisy").otherwise("ok")
+          .as("quality_label"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoresSql: String = {
+    val nt = "len(regexp_extract_all(text, '\\S+'))"
+    val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    val stop = "len(regexp_extract_all(lower(text), " +
+      s"'\\b(${LangStopwords.flatMap(_._2).filterNot(_.exists(_ > 127)).mkString("|")})\\b'))"
+    s"""SELECT doc_id,
+       |  CAST($nt AS BIGINT) AS n_tokens,
+       |  round(CAST($punct AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0), 4) AS punct_ratio,
+       |  round(CAST($stop AS DOUBLE) / nullif(CAST($nt AS DOUBLE), 0.0), 4) AS stopword_ratio,
+       |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / nullif(CAST($nt AS DOUBLE), 0.0), 4) AS avg_token_len,
+       |  CASE WHEN $nt < 20 THEN 'short' WHEN $punct > $nt THEN 'noisy' ELSE 'ok' END AS quality_label
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Lexicon sentiment distribution with shares (SURVEY §2.6 A4+A8 over
+    * §2.4 E4's deterministic stand-in).
+    */
+  def sentimentDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(LexiconSentiment.label($"text", EngineWords).as("sentiment_label"),
+        LexiconSentiment.confidence($"text", EngineWords).as("conf"))
+      .groupBy($"sentiment_label")
+      .agg(count(lit(1)).as("n"), round(avg($"conf"), 4).as("avg_confidence"))
+      .withColumn("share", round($"n" / sum($"n")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy($"sentiment_label")
+  }
+
+  val sentimentDistributionSql: String = {
+    val p = s"len(regexp_extract_all(lower(text), '\\b(${EngineWords.positive.mkString("|")})\\b'))"
+    val n = s"len(regexp_extract_all(lower(text), '\\b(${EngineWords.negative.mkString("|")})\\b'))"
+    s"""SELECT sentiment_label, n, avg_confidence, round(n / sum(n) OVER (), 4) AS share FROM (
+       |  SELECT sentiment_label, count(*) AS n, round(avg(conf), 4) AS avg_confidence FROM (
+       |    SELECT CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative' ELSE 'neutral' END AS sentiment_label,
+       |      coalesce(CAST(abs($p - $n) AS DOUBLE) / nullif(CAST(($p + $n) AS DOUBLE), 0.0), 0.0) AS conf
+       |    FROM documents)
+       |  GROUP BY sentiment_label)
+       |ORDER BY sentiment_label""".stripMargin
+  }
+
+  /** Rolling-hash document fingerprints (Karp–Rabin fold). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", fingerprint(lower($"text")).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+      |    [CAST(unicode(c) AS BIGINT) for c in string_split(lower(text), '')],
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Dictionary location detection (E1 cascade) over the engine-topic
+    * dictionary, rolled up to a distribution.
+    */
+  def topicLocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val det = DictionaryLocator.detect($"text", DictionaryLocator.EngineTopics)
+    Tables(spark, dir, "documents")
+      .select(coalesce(det.getField("province"), lit("unknown")).as("province"),
+        coalesce(det.getField("city"), lit("unknown")).as("city"),
+        coalesce(det.getField("detected_from"), lit("none")).as("detected_from"))
+      .groupBy($"province", $"city", $"detected_from")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"province", $"city", $"detected_from")
+  }
+
+  val topicLocationSql: String = {
+    val whens = DictionaryLocator.EngineTopics.cities.map { case (p, c) =>
+      s"WHEN regexp_matches(lower(text), '\\b$c\\b') THEN struct_pack(province := '$p', city := '$c', detected_from := 'city_match')"
+    } ++ DictionaryLocator.EngineTopics.provinces.map { p =>
+      s"WHEN regexp_matches(lower(text), '\\b$p\\b') THEN struct_pack(province := '$p', city := CAST(NULL AS VARCHAR), detected_from := 'province_match')"
+    }
+    s"""SELECT coalesce(det.province, 'unknown') AS province,
+       |  coalesce(det.city, 'unknown') AS city,
+       |  coalesce(det.detected_from, 'none') AS detected_from,
+       |  count(*) AS n
+       |FROM (SELECT CASE ${whens.mkString(" ")} END AS det FROM documents)
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_text" -> (cleanText _),
+    "q_token_stats" -> (tokenStats _),
+    "q_langid_confusion" -> (langIdConfusion _),
+    "q_quality_scores" -> (qualityScores _),
+    "q_sentiment_distribution" -> (sentimentDistribution _),
+    "q_fingerprints" -> (fingerprints _),
+    "q_topic_location" -> (topicLocation _))
+
+  val oracles: Map[String, String] = Map(
+    "q_clean_text" -> cleanTextSql,
+    "q_token_stats" -> tokenStatsSql,
+    "q_langid_confusion" -> langIdConfusionSql,
+    "q_quality_scores" -> qualityScoresSql,
+    "q_sentiment_distribution" -> sentimentDistributionSql,
+    "q_fingerprints" -> fingerprintsSql,
+    "q_topic_location" -> topicLocationSql)
+}
