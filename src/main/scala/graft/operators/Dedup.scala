@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation (SURVEY.md §2.5
+  * D1/D2 generalized to the training-data-pipeline north star).
+  *
+  * Scale design: every operator here is shuffle-minimal —
+  *  - exact dedup is one hash aggregate on the key;
+  *  - MinHash signatures/SimHash fingerprints are computed in a single
+  *    codegen'd projection per row (higher-order array functions, no
+  *    explode, no UDF), so the only shuffle is the LSH band-bucket
+  *    self-join, which touches candidate pairs instead of the O(n²) cross
+  *    product;
+  *  - verification joins carry only (id, shingles) pairs, never full rows.
+  */
+object Dedup {
+
+  /** D1/D2 exact dedup: deterministic keep-lowest-tiebreak representative
+    * per key (the reference's hash-set membership drop,
+    * src/resilient_scraper.py:352-358, made distributed + idempotent).
+    */
+  def exact(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct n-token shingles ("w1 w2 w3" strings). */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
+  }
+
+  /** Jaccard similarity of two array columns (distinct-element semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    coalesce(inter / nullif(uni, lit(0.0)), lit(0.0))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Modulus for the universal-hash permutation family: prime > 2^32 keeps
+    * residues below 2^32, and with multipliers < 2^30 the product stays
+    * well inside signed-64 range (no silent overflow in codegen'd
+    * arithmetic).
+    */
+  private val MinHashP = 4294967311L
+
+  /** Deterministic permutation parameters (seeded — identical plan every
+    * run, a requirement for the driver's reproducibility checks).
+    */
+  private def perms(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(k)(1L + rnd.nextInt((1 << 30) - 1).toLong)
+    val bs = Array.fill(k)(rnd.nextInt(1 << 30).toLong)
+    (as, bs)
+  }
+
+  /** MinHash signature (k longs) of a shingle-array column, computed in one
+    * aggregate pass: sig[i] = min over shingles of (a_i * h(s) + b_i) mod p.
+    */
+  def minHashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val (as, bs) = perms(k, seed)
+    val pa = lit(as)
+    val pb = lit(bs)
+    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinHashP)))
+    aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, x) => zip_with(
+        zip_with(pa, pb, (a, b) => pmod(a * x + b, lit(MinHashP))),
+        acc,
+        (h, m) => least(h, m)))
+  }
+
+  /** LSH band hashes: signature split into `bands` bands of `k/bands` rows,
+    * each band hashed to one long. Docs sharing any band hash are candidate
+    * near-duplicates.
+    */
+  def lshBandHashes(signature: Column, k: Int = 64, bands: Int = 16): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(signature, b * r + 1, lit(r))))
+  }
+
+  /** End-to-end MinHash LSH near-duplicate pairs: signature → band buckets →
+    * bucket self-join (the only shuffle, keyed on (band, hash)) → exact
+    * Jaccard verification on the candidates. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b, deduplicated across bands.
+    */
+  def minHashNearDuplicates(
+      df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
+    val base = df.select(id.as("__id"), wordShingles(text, shingleLen).as("__sh"))
+      .withColumn("__sig", minHashSignature(col("__sh"), k, seed))
+      .withColumn("__band", explode(lshBandHashes(col("__sig"), k, bands)))
+    val a = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
+    val b = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
+    a.join(b, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash fingerprint of a token-array column: per-token xxhash64,
+    * per-bit +1/−1 vote, sign → bit. One aggregate pass, fully codegen'd.
+    */
+  def simHash(tokenArr: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      transform(tokenArr, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, kk) => a + when((call_function("shiftrightunsigned", h, kk.cast("int"))
+          .bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitIdx, (v, kk) =>
+        when(v > 0, call_function("shiftleft", lit(1L), kk.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
