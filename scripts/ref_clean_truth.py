@@ -1,0 +1,35 @@
+# Golden input->output pairs from the reference's two cleaning functions
+# (utils.py clean_tweet_text; src/resilient_scraper.py clean_text).
+import re, ast
+
+def extract(path, name):
+    src = open(path).read()
+    tree = ast.parse(src)
+    for n in ast.walk(tree):
+        if isinstance(n, ast.FunctionDef) and n.name == name:
+            ns = {"re": re}
+            code = ast.get_source_segment(src, n)
+            # scraper clean_text is a method; strip 'self' if present
+            code = code.replace("def %s(self," % name, "def %s(" % name)
+            exec(compile(ast.parse(code), path, 'exec'), ns)
+            return ns[name]
+    raise KeyError(name)
+
+f1 = extract('/root/reference/utils.py', 'clean_tweet_text')
+f2 = extract('/root/reference/src/resilient_scraper.py', 'clean_text')
+
+cases = [
+    "Check https://x.com/a/status/1 and http://t.co/xyz now",
+    "Halo @user1 dan @user_2! #MBG #makan_gratis",
+    "  spaces\t\tand\nnewlines  ",
+    "UPPER Case MiXeD",
+    "www.example.com plain",
+    "#tag1#tag2 @a@b",
+    "",
+    "no noise at all",
+    "akhir url https://t.co/abc",
+]
+for t in cases:
+    print(repr(t))
+    print("  F1:", repr(f1(t)))
+    print("  F2:", repr(f2(t)))

@@ -4,17 +4,33 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dictionary-based location detection (SURVEY.md §2.4 E1,
-  * utils.py:336-437): find a (province, city) in free text by a
-  * first-match-wins cascade over an *ordered* dictionary —
+  * utils.py:336-437): find a (province, city) in free text, reproducing the
+  * reference's iteration semantics exactly (verified against the executed
+  * reference — scripts/ref_locator_truth.py):
   *
-  *   (a) exact city name, word-boundary;
-  *   (b) any token of a multi-word city name (>2 chars), word-boundary;
-  *   (c) abbreviation map;
-  *   (d) exact province name, word-boundary.
+  *   0. lowercase, then replace separators `- / \ | _ , ; .` with spaces
+  *      (utils.py:358-362) before any word-boundary matching;
+  *   1. provinces are scanned in dictionary order (province-major): within a
+  *      province, the FIRST city with an exact word-boundary match wins and
+  *      stops everything (utils.py:368-372); if no exact match, the LAST
+  *      city with a >2-char-token match survives (the reference's token
+  *      branch breaks only the inner token loop, so later cities overwrite
+  *      earlier token hits — utils.py:374-381); the first province with any
+  *      city hit short-circuits the rest (utils.py:401-402);
+  *   2. if no city anywhere: first province whose name (word-boundary) or
+  *      any of its 9 hand-rolled variations (space-stripped, `dki `/`di `/
+  *      `provinsi ` dropped, nusa-tenggara/kalimantan/sulawesi/maluku
+  *      contractions — utils.py:414-424) matches.
   *
-  * Dictionary order is semantically load-bearing (the reference iterates
-  * the JSON's insertion order and breaks on first hit — SURVEY §7.4 risk 5),
-  * so entries are a Seq, never a sorted map.
+  * The reference's abbreviation branch (utils.py:384-397) is *unreachable*:
+  * its guard `province in full_name` compares a capitalized province
+  * against a lowercased expansion and is never true, so `jaksel`/`sby`
+  * detect nothing — reproduced here by omitting the stage. The
+  * `abbreviations` field stays on [[LocationDict]] for callers that want
+  * the repaired behavior via a custom stage.
+  *
+  * Dictionary order is semantically load-bearing (SURVEY §7.4 risk 5), so
+  * entries are a Seq, never a sorted map.
   *
   * Implementation is a folded when-chain of `rlike` predicates over a
   * broadcast-free literal dictionary: unlike the reference's per-row Python
@@ -79,28 +95,64 @@ object DictionaryLocator {
       (if (city == null) lit(null).cast("string") else lit(city)).as("city"),
       lit(via).as("detected_from"))
 
+  private val NullHit =
+    lit(null).cast("struct<province:string,city:string,detected_from:string>")
+
+  /** First-match when-chain over (condition, value) stages. */
+  private def chain(stages: Seq[(Column, Column)]): Column =
+    stages.foldRight(NullHit) { case ((cond, value), acc) =>
+      when(cond, value).otherwise(acc)
+    }
+
+  /** The reference's 9 province-name variations (utils.py:414-424), plus
+    * the word-boundary name itself first. Deduplicated (most variations
+    * no-op on short names) but order-preserving.
+    */
+  def provincePatterns(province: String): Seq[String] = {
+    val pl = province.toLowerCase
+    (pl +: Seq(
+      pl.replace(" ", ""),
+      pl.replace("dki ", ""),
+      pl.replace("di ", ""),
+      pl.replace("provinsi ", ""),
+      pl.replace("nusa tenggara", "nt").replace("barat", "b"),
+      pl.replace("nusa tenggara", "nt").replace("timur", "t"),
+      pl.replace("kalimantan", "kalt"),
+      pl.replace("sulawesi", "sul"),
+      pl.replace("maluku", "mal")).filter(_.nonEmpty)).distinct
+  }
+
   /** The cascade as one nullable struct(province, city, detected_from).
     * Null when nothing matches (caller decides the fallback shape).
     */
   def detect(text: Column, dict: LocationDict): Column = {
-    val lowered = lower(text)
-    val stages: Seq[(Column, Column)] =
-      // (a) exact city, dictionary order
-      dict.cities.map { case (p, c) =>
-        (lowered.rlike(boundary(c)), hit(p, c, "city_match")) } ++
-      // (b) any >2-char token of a multi-word city name
-      dict.cities.filter(_._2.contains(' ')).flatMap { case (p, c) =>
-        c.split("\\s+").filter(_.length > 2).map { tok =>
-          (lowered.rlike(boundary(tok)), hit(p, c, "city_token_match")) } } ++
-      // (c) abbreviations
-      dict.abbreviations.map { case (abbr, (p, c)) =>
-        (lowered.rlike(boundary(abbr)), hit(p, c, "abbreviation_match")) } ++
-      // (d) province names
-      dict.provinces.map { p =>
-        (lowered.rlike(boundary(p)), hit(p, null, "province_match")) }
-    stages.foldRight(lit(null).cast(
-      "struct<province:string,city:string,detected_from:string>")) {
-      case ((cond, value), acc) => when(cond, value).otherwise(acc)
+    // utils.py:358-362 — separators become spaces so `bandung-bogor`
+    // word-boundary-matches both cities.
+    val matchable = translate(lower(text), "-/\\|_,;.", "        ")
+
+    // City stage, province-major: first-exact else last-token per province.
+    val perProvince: Seq[Column] = dict.entries.map { case (p, cities) =>
+      val exactChain = chain(cities.map { c =>
+        (matchable.rlike(boundary(c)), hit(p, c, "city_match"))
+      })
+      // Single-word city tokens are the exact regex again — if exact failed
+      // they fail too, so only multi-word cities contribute token stages.
+      // Reverse order ⇒ the chain's first match is the reference's last.
+      val tokenChain = chain(cities.reverse.collect {
+        case c if c.split("\\s+").count(_.length > 2) > 0 && c.contains(' ') =>
+          val toks = c.split("\\s+").filter(_.length > 2)
+          (toks.map(t => matchable.rlike(boundary(t))).reduce(_ || _),
+            hit(p, c, "city_token_match"))
+      })
+      coalesce(exactChain, tokenChain)
     }
+
+    // Province stage: first province whose name or any variation matches.
+    val provinceChain = chain(dict.provinces.map { p =>
+      (provincePatterns(p).map(v => matchable.rlike(boundary(v))).reduce(_ || _),
+        hit(p, null, "province_match"))
+    })
+
+    coalesce(perProvince :+ provinceChain: _*)
   }
 }

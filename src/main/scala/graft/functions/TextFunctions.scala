@@ -51,9 +51,23 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Count word-boundary occurrences of any of `words`. */
+  /** One regex matching any of `words`: ASCII words behind `\b` boundaries,
+    * non-ASCII (CJK) words by bare substring alternation — Java/RE2 `\b` is
+    * ASCII-word-class based, so `\b的\b` can never match between CJK
+    * characters (both neighbours are non-word). Shared by the Spark columns
+    * and the generated DuckDB oracle SQL so the two always agree.
+    */
+  def hitPattern(words: Seq[String]): String = {
+    val (cjk, ascii) = words.partition(_.exists(_ > 127))
+    Seq(
+      if (ascii.nonEmpty) Some("\\b(" + ascii.mkString("|") + ")\\b") else None,
+      if (cjk.nonEmpty) Some("(" + cjk.mkString("|") + ")") else None
+    ).flatten.mkString("|")
+  }
+
+  /** Count occurrences of any of `words` (see [[hitPattern]]). */
   def wordHits(text: Column, words: Seq[String]): Column =
-    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b"))
+    regexp_count(text, lit(hitPattern(words)))
 
   /** Tiny per-language stopword lists for the language-ID heuristic.
     * Ordered — ties resolve to the earlier entry (deterministic).

@@ -31,12 +31,18 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Distinct n-token shingles ("w1 w2 w3" strings). */
+  /** Distinct n-token shingles ("w1 w2 w3" strings). Documents shorter than
+    * n tokens yield an empty array — without the guard, `sequence(1, 0)`
+    * descends (default step -1) and `element_at` walks out of range, which
+    * throws under ANSI mode.
+    */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*)))
+    when(size(ts) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two array columns (distinct-element semantics). */

@@ -136,7 +136,8 @@ object RelationalQueries {
     """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
       |  round(value, 4) AS last_value
       |FROM events
-      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
 
   /** Date-range predicate + per-day counts (SURVEY §2.2 P3 + §2.6 A2;

@@ -85,10 +85,11 @@ object TextQueries {
       .orderBy($"lang", $"predicted")
   }
 
-  // Oracle generated from the same LangStopwords Seq so the two stay in sync.
+  // Oracle generated from the same LangStopwords Seq (and the same
+  // hitPattern regex builder) so the two stay in sync.
   val langIdConfusionSql: String = {
     val counts = LangStopwords.map { case (lang, words) =>
-      lang -> s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+      lang -> s"len(regexp_extract_all(lower(text), '${hitPattern(words)}'))"
     }
     val total = counts.map(_._2).mkString(" + ")
     val maxOf = s"greatest(${counts.map(_._2).mkString(", ")})"
@@ -192,10 +193,15 @@ object TextQueries {
   }
 
   val topicLocationSql: String = {
+    // Same separator→space preprocessing as DictionaryLocator.detect
+    // (utils.py:358-362). EngineTopics has only single-word cities, so the
+    // reference's province-major first-exact-else-last-token cascade
+    // degenerates to this flat city-then-province CASE in dictionary order.
+    val t = "translate(lower(text), '-/\\|_,;.', '        ')"
     val whens = DictionaryLocator.EngineTopics.cities.map { case (p, c) =>
-      s"WHEN regexp_matches(lower(text), '\\b$c\\b') THEN struct_pack(province := '$p', city := '$c', detected_from := 'city_match')"
+      s"WHEN regexp_matches($t, '\\b$c\\b') THEN struct_pack(province := '$p', city := '$c', detected_from := 'city_match')"
     } ++ DictionaryLocator.EngineTopics.provinces.map { p =>
-      s"WHEN regexp_matches(lower(text), '\\b$p\\b') THEN struct_pack(province := '$p', city := CAST(NULL AS VARCHAR), detected_from := 'province_match')"
+      s"WHEN regexp_matches($t, '\\b$p\\b') THEN struct_pack(province := '$p', city := CAST(NULL AS VARCHAR), detected_from := 'province_match')"
     }
     s"""SELECT coalesce(det.province, 'unknown') AS province,
        |  coalesce(det.city, 'unknown') AS city,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("wordShingles handles short and empty documents (ANSI mode)") {
+    import spark.implicits._
+    // < n tokens used to drive sequence(1, 0) descending and crash with
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode.
+    val got = Seq("", "one", "one two", "one two three", "a b c d")
+      .toDF("t").select(Dedup.wordShingles(col("t"), 3)).as[Seq[String]].collect().toSeq
+    assert(got(0) == Nil)
+    assert(got(1) == Nil)
+    assert(got(2) == Nil)
+    assert(got(3) == Seq("one two three"))
+    assert(got(4) == Seq("a b c", "b c d"))
+  }
+
+  test("shingles are distinct") {
+    import spark.implicits._
+    val got = Seq("x y x y x y x y")
+      .toDF("t").select(Dedup.wordShingles(col("t"), 2)).as[Seq[String]].head()
+    assert(got.sorted == Seq("x y", "y x"))
+  }
+
+  test("jaccard on distinct-element semantics, safe on empties") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),       // 1.0
+      (Seq("a", "b"), Seq("b", "c")),       // 1/3
+      (Seq.empty[String], Seq("a")),        // 0.0
+      (Seq.empty[String], Seq.empty[String])) // 0/0 -> 0.0
+      .toDF("a", "b")
+    val got = df.select(round(Dedup.jaccard(col("a"), col("b")), 4)).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.3333, 0.0, 0.0))
+  }
+
+  test("exact dedup keeps one deterministic representative per key") {
+    import spark.implicits._
+    val df = Seq((1L, "A"), (2L, "a "), (3L, "b"), (4L, "A"))
+      .toDF("id", "t")
+    val got = Dedup.exact(df, lower(trim(col("t"))), col("id"))
+      .select(col("id")).as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L)) // lowest id per normalized-text key
+  }
+
+  test("minHashNearDuplicates finds the planted near-dup and survives short docs") {
+    import spark.implicits._
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"tok$i").mkString(" ") + " extra"  // ~0.95 jaccard
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, long1), (2L, long2), (3L, other),
+      (4L, ""), (5L, "two tokens"), (6L, "one"))  // the regression rows
+      .toDF("id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, col("id"), col("text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = (1 to 50).map(i => s"w$i").mkString(" ") + " x y z"
+    val c = (200 to 250).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+      .select(col("id"), Dedup.minHashSignature(Dedup.wordShingles(col("t"), 3)).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2)
+    def agree(x: Seq[Long], y: Seq[Long]): Double =
+      x.zip(y).count(p => p._1 == p._2).toDouble / x.size
+    assert(agree(sigs(0), sigs(1)) > 0.7)  // near-dups agree on most rows
+    assert(agree(sigs(0), sigs(2)) < 0.2)  // unrelated docs rarely collide
+  }
+
+  test("simHash: near-identical token bags have small hamming distance") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"w$i").mkString(" ")
+    val b = (1 to 58).map(i => s"w$i").mkString(" ")
+    val c = (300 to 360).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+      .select(col("id"), Dedup.simHash(Dedup.tokens(col("t"))).as("h"))
+    val hs = df.as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+    assert(ham(hs(0), hs(1)) <= 12)
+    // empty token array: zero votes on every bit -> fingerprint 0, no crash
+    val e = Seq("").toDF("t").select(Dedup.simHash(Dedup.tokens(col("t")))).as[Long].head()
+    assert(e == 0L)
+  }
+}

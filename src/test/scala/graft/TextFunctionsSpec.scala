@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{LexiconSentiment, TextFunctions}
+
+/** Golden-pair parity with the reference's cleaning functions (outputs
+  * recorded by executing the reference — scripts/ref_clean_truth.py) plus
+  * unit coverage of the text-analysis scalar functions.
+  */
+class TextFunctionsSpec extends SparkSpec {
+  import TextFunctions._
+
+  private def runBoth(texts: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    texts.toDF("t")
+      .select(cleanTweetText(col("t")), cleanTextScraper(col("t")))
+      .as[(String, String)].collect().toSeq
+  }
+
+  // (input, reference clean_tweet_text, reference scraper clean_text)
+  private val golden = Seq(
+    ("Check https://x.com/a/status/1 and http://t.co/xyz now",
+      "check and now", "Check [LINK] and [LINK] now"),
+    ("Halo @user1 dan @user_2! #MBG #makan_gratis",
+      "halo [mention] dan [mention]! [hashtag] [hashtag]",
+      "Halo [MENTION] dan [MENTION]! MBG makan_gratis"),
+    ("  spaces\t\tand\nnewlines  ", "spaces and newlines", "spaces and newlines"),
+    ("UPPER Case MiXeD", "upper case mixed", "UPPER Case MiXeD"),
+    ("www.example.com plain", "plain", "[LINK] plain"),
+    ("#tag1#tag2 @a@b", "[hashtag][hashtag] [mention][mention]",
+      "tag1tag2 [MENTION][MENTION]"),
+    ("", "", ""),
+    ("no noise at all", "no noise at all", "no noise at all"),
+    ("akhir url https://t.co/abc", "akhir url", "akhir url [LINK]"))
+
+  test("F1/F2 cleaning matches the executed reference byte-for-byte") {
+    val got = runBoth(golden.map(_._1))
+    golden.zip(got).foreach { case ((in, f1, f2), (g1, g2)) =>
+      assert(g1 == f1, s"F1 mismatch for ${in.take(40)}")
+      assert(g2 == f2, s"F2 mismatch for ${in.take(40)}")
+    }
+  }
+
+  test("langId detects CJK text via substring matching (no \\b)") {
+    import spark.implicits._
+    val rows = Seq(
+      "the cat is on the mat and the dog",  // en
+      "der hund ist nicht das problem",     // de
+      "我在这里 这是我的书 我们在了",          // zh — \b-based matching would yield 'und'
+      "xyzzy qwerty")                       // no stopword hits at all
+      .toDF("t").select(langId(col("t"))).as[String].collect().toSeq
+    assert(rows == Seq("en", "de", "zh", "und"))
+  }
+
+  test("langId ties resolve to LangStopwords order") {
+    import spark.implicits._
+    // 'es' list has "es"; 'de' list has "ist"... craft a tie between en and fr
+    val r = Seq("the le").toDF("t").select(langId(col("t"))).as[String].head()
+    assert(r == "en") // en precedes fr in the priority order
+  }
+
+  test("token counts and fingerprint basics") {
+    import spark.implicits._
+    val df = Seq(("a bb  ccc", 3L), ("", 0L), ("x", 1L)).toDF("t", "n")
+    val got = df.select(tokenCount(col("t")).cast("long"), col("n")).as[(Long, Long)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+    // fingerprint: deterministic, 0 for empty, distinct for distinct text
+    val fps = Seq("", "abc", "abd").toDF("t")
+      .select(fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(fps.head == 0L)
+    assert(fps(1) != fps(2))
+    // Karp–Rabin fold, base 31 mod 1e9+7, seeded with first codepoint:
+    // "abc" -> (('a'*31 + 'b') * 31 + 'c') mod p
+    val expected = (('a'.toLong * 31 + 'b'.toLong) * 31 + 'c'.toLong) % 1000000007L
+    assert(fps(1) == expected)
+  }
+
+  test("lexicon sentiment labels and confidence") {
+    import spark.implicits._
+    val lex = LexiconSentiment.EngineWords
+    val rows = Seq(
+      "fast good great stuff",  // 3 pos, 0 neg
+      "slow bad error",         // negative
+      "fast slow",              // tie -> neutral, conf 0
+      "nothing relevant")       // no signal -> neutral, conf 0.0
+      .toDF("t")
+      .select(LexiconSentiment.label(col("t"), lex),
+        LexiconSentiment.confidence(col("t"), lex))
+      .as[(String, Double)].collect().toSeq
+    assert(rows(0) == ("positive", 1.0))
+    assert(rows(1) == ("negative", 1.0))
+    assert(rows(2) == ("neutral", 0.0))
+    assert(rows(3) == ("neutral", 0.0))
+  }
+}
