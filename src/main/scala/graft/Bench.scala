@@ -1,6 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line with per-query wall seconds.
+  *
+  * Materialization: a bare `.count()` lets Catalyst column-prune pure
+  * projections down to a row count (the regex/fold work never runs), which
+  * flattered the text queries in earlier rounds. Instead we aggregate
+  * xxhash64 over a struct of ALL output columns — every expression in the
+  * query must actually be evaluated for every row, while the result stays a
+  * single driver-side long (no collect of real data).
+  */
 object Bench {
+  private def materialize(df: DataFrame): Long =
+    df.agg(sum(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head.getLong(0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,7 +27,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

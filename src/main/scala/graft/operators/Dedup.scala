@@ -32,16 +32,32 @@ object Dedup {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Distinct n-token shingles ("w1 w2 w3" strings). Documents shorter than
-    * n tokens yield an empty array — without the guard, `sequence(1, 0)`
-    * descends (default step -1) and `element_at` walks out of range, which
-    * throws under ANSI mode.
+    * n tokens yield an empty array (the `when` guard also keeps `slice`
+    * from seeing a negative length, which throws under ANSI mode).
+    *
+    * Implementation note: shingle k-grams are built by zipping n shifted
+    * `slice`s of the token array, NOT by `element_at` lookups inside a
+    * `transform` lambda — a lambda re-evaluates any outer expression it
+    * captures once per element, so the element_at formulation re-ran the
+    * whole regex tokenization O(tokens²) times per row (20s for 5k docs at
+    * sf0.1; this shape is ~100x cheaper).
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ts = tokens(text)
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[wordShingles]] over an already-computed token array. Callers on a
+    * hot path should materialize the token array as its own projection
+    * first (`withColumn("__toks", tokens(text))`) so the tokenization runs
+    * once per row — this expression references its input ~n+2 times, and
+    * CollapseProject will not inline a non-trivial alias that many times.
+    */
+  def shinglesOfTokens(ts: Column, n: Int = 3): Column = {
+    val m = size(ts) - (n - 1) // shingle count
+    val shifted = (0 until n).map(k => slice(ts, lit(k + 1), m))
     when(size(ts) >= n,
       array_distinct(
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+        transform(arrays_zip(shifted: _*),
+          s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -107,9 +123,20 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
-    val base = df.select(id.as("__id"), wordShingles(text, shingleLen).as("__sh"))
+    // Empty-shingle docs (shorter than shingleLen tokens) all hash to the
+    // identity signature [Long.MaxValue]*k, i.e. the SAME band buckets — on a
+    // real corpus (many short docs) that one bucket makes the self-join
+    // quadratic. They can never be near-dups anyway (jaccard(∅,·) = 0), so
+    // drop them before the band explode. The guard is expressed on the
+    // TOKEN count, not on size(shingles): a filter on the shingle array
+    // would be predicate-pushed below the projection and re-inline the
+    // whole shingle expression into the scan filter (it more than tripled
+    // this operator's runtime before the rewrite).
+    val base = df.select(id.as("__id"), tokens(text).as("__toks"))
+      .filter(size(col("__toks")) >= shingleLen)
+      .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
       .withColumn("__sig", minHashSignature(col("__sh"), k, seed))
-      .withColumn("__band", explode(lshBandHashes(col("__sig"), k, bands)))
+      .withColumn("__band", explode_outer(lshBandHashes(col("__sig"), k, bands)))
     val a = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
     val b = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
     a.join(b, Seq("__band"))
@@ -118,6 +145,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** EXACT near-duplicate pairs via an inverted-index (shared-shingle)
+    * self-join — the deterministic counterpart of [[minHashNearDuplicates]],
+    * suitable for an external SQL oracle. Correctness: any pair with
+    * jaccard >= threshold > 0 shares at least one shingle, so the
+    * shingle-keyed join loses nothing; and because shingle arrays are
+    * distinct, the per-pair join match count c IS |A∩B|, giving
+    * jaccard = c / (|A| + |B| − c) with no array intersection at all.
+    *
+    * Scale shape: one explode + one shuffle keyed on the shingle + one
+    * hash aggregate on (id_a, id_b). Candidate volume is bounded by shingle
+    * co-occurrence (not O(n²)); a production run would add a
+    * document-frequency cap on hot shingles (stop-shingle pruning), which
+    * trades recall for skew-resistance — omitted here because the oracle
+    * must see the exact pair set.
+    */
+  def nearDuplicatePairsExact(
+      df: DataFrame, id: Column, text: Column,
+      threshold: Double = 0.5, shingleLen: Int = 3): DataFrame = {
+    // explode_outer, not explode: for a plain explode the optimizer's
+    // InferFiltersFromGenerate rule adds a size(__sh) > 0 filter and then
+    // pushes it below the projections, re-inlining the entire shingle
+    // expression into the scan filter (~3x this operator's cost). The
+    // outer variant infers nothing; the empty-shingle rows it keeps carry
+    // a null __s, which the equi-join below drops anyway.
+    val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
+      .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
+      .select(col("__id"), col("__sh"), size(col("__sh")).as("__n"))
+    val ex = sh.select(col("__id"), col("__n"), explode_outer(col("__sh")).as("__s"))
+    val a = ex.select(col("__id").as("id_a"), col("__n").as("__na"), col("__s"))
+    val b = ex.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__s"))
+    a.join(b, Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("jaccard",
+        round(col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash

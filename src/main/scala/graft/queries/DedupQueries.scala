@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication operators over the `documents` table, oracle-gated
+  * (SURVEY.md §2.5 D1/D2 generalized to the corpus-curation north star).
+  *
+  * The LSH MinHash path ([[Dedup.minHashNearDuplicates]]) is the 100 TB
+  * scale path and is covered by ScalaTest; the queries here use the exact
+  * variants so an external ANSI-SQL oracle can reproduce them
+  * bit-for-bit.
+  */
+object DedupQueries {
+
+  /** D1/D2 exact dedup as keyed last-write-wins representative selection:
+    * one row per normalized-text key, lowest doc_id wins (the reference's
+    * hash-set drop at src/resilient_scraper.py:352-358, made distributed
+    * and idempotent). One shuffle on the key.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exact(Tables(spark, dir, "documents"), lower(trim($"text")), $"doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |QUALIFY row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.5, exact
+    * inverted-index algorithm (see [[Dedup.nearDuplicatePairsExact]]).
+    */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.nearDuplicatePairsExact(
+      Tables(spark, dir, "documents"), $"doc_id", $"text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // Same shingle definition as Dedup.wordShingles(n=3): whitespace tokens,
+  // consecutive triples joined by single spaces, distinct; docs under 3
+  // tokens yield no shingles and are excluded. Same count-based identity
+  // jaccard = c / (na + nb - c).
+  val nearDupPairsSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n FROM (
+      |    SELECT doc_id,
+      |      list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+      |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+      |    WHERE len(toks) >= 3)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+      |  FROM (SELECT doc_id, n, unnest(shingles) AS s FROM sh) a
+      |  JOIN (SELECT doc_id, n, unnest(shingles) AS s FROM sh) b USING (s)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+      |FROM cand
+      |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash fingerprint + Hamming-ball grouping: every document's 64-bit
+    * SimHash, plus how many other documents sit within Hamming distance 3
+    * (the classic near-dup radius). Exact pairwise over fingerprints —
+    * 8 bytes/doc — rolled up to a per-source histogram so the output stays
+    * small. At 100 TB the pairwise step would be replaced by the
+    * Charikar-style sorted-rotation buckets; the fingerprint itself (the
+    * expensive part) is a single codegen'd projection either way.
+    */
+  def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select($"doc_id", Dedup.simHash(Dedup.tokens(lower($"text"))).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  // q_simhash has no oracle entry (xxhash64 is not reproducible in ANSI
+  // SQL) — the driver records a rows-only check; DedupSpec covers values.
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exact_dedup" -> (exactDedup _),
+    "q_near_dup_pairs" -> (nearDupPairs _),
+    "q_simhash" -> (simHashFingerprints _))
+
+  val oracles: Map[String, String] = Map(
+    "q_exact_dedup" -> exactDedupSql,
+    "q_near_dup_pairs" -> nearDupPairsSql)
+}

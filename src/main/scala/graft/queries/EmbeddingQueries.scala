@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Embeddings
+
+/** Similarity-search queries over the `embeddings` table (vec_id,
+  * embedding FLOAT[64], label).
+  *
+  * The probe set is deterministic (vec_id % 50 == 0 — 10 probes at sf0.01,
+  * scaling with the table) so the driver's hash compare is stable across
+  * runs and scale factors.
+  */
+object EmbeddingQueries {
+
+  private val ProbeMod = 50
+  private val K = 5
+
+  /** Exact cosine top-5 neighbors per probe — brute-force baseline
+    * ([[Embeddings.knnBruteForce]]): one corpus scan, probe set broadcast.
+    */
+  def embeddingKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+    Embeddings.knnBruteForce(
+      e, $"vec_id", $"embedding",
+      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      k = K)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  // Double-cast element-wise products summed by list_sum, mirroring the
+  // Spark side's double fold — DuckDB's native list_dot_product accumulates
+  // in float32 and drifts ~1e-8, which the shared round(_, 4) cannot hide
+  // near rounding boundaries.
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])"
+
+  val embeddingKnnSql: String = {
+    val dotPC = dotSql("p.pe", "e.embedding")
+    val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
+    val normC = s"sqrt(${dotSql("e.embedding", "e.embedding")})"
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+       |  WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+       |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
+       |  FROM embeddings e CROSS JOIN probes p
+       |  WHERE e.vec_id <> p.probe_id)
+       |SELECT probe_id, rk, neighbor_id, cosine FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
+  }
+
+  /** LSH-bucketed approximate top-5 ([[Embeddings.annTopK]]) — the 100 TB
+    * scale path. Deterministic (seeded hyperplanes) but approximate, so it
+    * is registered rows-only; EmbeddingsSpec proves exact-top-k recovery on
+    * planted clusters.
+    */
+  def embeddingAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+    Embeddings.annTopK(
+      e, $"vec_id", $"embedding",
+      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      k = K, dim = 64, h = 16, bands = 4)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  /** Per-label centroid cohesion: average cosine of each vector to its
+    * label's mean vector — a clustering-quality aggregate exercising
+    * element-wise array aggregation (the `embeddings` analogue of A5 score
+    * stats). Two hash aggregates, no joins wider than the 10-row centroid
+    * broadcast.
+    */
+  def labelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+    val dim = 64
+    // centroid[i] = avg over label of embedding[i]: aggregate buffer as a
+    // fixed-width array via per-index sums (posexplode-free: one agg of 64
+    // sums expressed as an array fold would shuffle arrays; per-index sum
+    // columns keep it a plain hash agg).
+    val sums = (0 until dim).map(i =>
+      avg(element_at($"embedding", i + 1).cast("double")).as(s"c$i"))
+    val centroids = e.groupBy($"label")
+      .agg(sums.head, sums.tail: _*)
+      .select($"label", array((0 until dim).map(i => col(s"c$i")): _*).as("centroid"))
+    e.join(broadcast(centroids), Seq("label"))
+      .select($"label", Embeddings.cosine($"embedding", $"centroid").as("cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n"), round(avg($"cos"), 4).as("avg_cohesion"))
+      .orderBy($"label")
+  }
+
+  val labelCohesionSql: String = {
+    val dotVC = dotSql("e.embedding", "c.centroid")
+    val normV = s"sqrt(${dotSql("e.embedding", "e.embedding")})"
+    val normC = s"sqrt(${dotSql("c.centroid", "c.centroid")})"
+    s"""WITH c AS (
+       |  SELECT label, list(s ORDER BY idx) AS centroid FROM (
+       |    SELECT label, idx, avg(v) AS s FROM (
+       |      SELECT label,
+       |        CAST(unnest(embedding) AS DOUBLE) AS v,
+       |        generate_subscripts(embedding, 1) AS idx
+       |      FROM embeddings)
+       |    GROUP BY label, idx)
+       |  GROUP BY label)
+       |SELECT e.label, count(*) AS n,
+       |  round(avg(coalesce($dotVC / nullif($normV * $normC, 0.0), 0.0)), 4) AS avg_cohesion
+       |FROM embeddings e JOIN c ON e.label = c.label
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_knn" -> (embeddingKnn _),
+    "q_embedding_ann" -> (embeddingAnn _),
+    "q_label_cohesion" -> (labelCohesion _))
+
+  val oracles: Map[String, String] = Map(
+    "q_embedding_knn" -> embeddingKnnSql,
+    "q_label_cohesion" -> labelCohesionSql)
+}

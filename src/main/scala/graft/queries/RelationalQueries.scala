@@ -62,9 +62,11 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Star-schema join chain: revenue per region (SURVEY §2.7 J1 dimension
-    * lookups — broadcast the small dims so the only shuffle is the final
-    * aggregate; at 100 TB lineitem⋈orders stays a co-partitioned SMJ while
-    * nation/region/customer broadcast).
+    * lookups — broadcast the genuinely bounded dims (nation=25, region=5
+    * rows at every scale factor) so the only shuffles are lineitem⋈orders
+    * and the final aggregate. `customer` grows with scale factor, so it
+    * carries NO broadcast hint: AQE picks broadcast at small SF and a
+    * shuffle join at 100 TB, where a forced broadcast would OOM.
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -74,7 +76,7 @@ object RelationalQueries {
     val n = Tables(spark, dir, "nation")
     val r = Tables(spark, dir, "region")
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name")
@@ -178,13 +180,14 @@ object RelationalQueries {
   /** Update-join: enrich orders with customer attributes, null-tolerant
     * (SURVEY §2.5 D4: the reference writes processed docs back by `_id`
     * left-join, resilient_etl.py:347-358). Left outer join keeps unmatched
-    * orders with null customer fields.
+    * orders with null customer fields. No broadcast hint on `customer` —
+    * it is fact-sized (scales with SF); AQE chooses the join strategy.
     */
   def ordersWithCustomer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables(spark, dir, "orders")
     val c = Tables(spark, dir, "customer")
-    o.join(broadcast(c), $"o_custkey" === $"c_custkey", "left_outer")
+    o.join(c, $"o_custkey" === $"c_custkey", "left_outer")
       .select($"o_orderkey",
         coalesce($"c_name", lit("UNKNOWN")).as("customer_name"),
         coalesce($"c_mktsegment", lit("NONE")).as("mktsegment"),

@@ -62,6 +62,49 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH drops empty-shingle docs before the band explode (hot-bucket fix)") {
+    import spark.implicits._
+    // 200 short docs used to share the identity signature -> one quadratic
+    // LSH bucket (200*199/2 candidate pairs). After the fix they never reach
+    // the self-join at all.
+    val shorts = (1 to 200).map(i => (i.toLong, s"short $i"))
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = long1 + " extra"
+    val df = (shorts ++ Seq((900L, long1), (901L, long2))).toDF("id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, col("id"), col("text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)))
+  }
+
+  test("exact near-dup pairs match brute-force jaccard") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      1L -> base.mkString(" "),
+      2L -> (base :+ "x").mkString(" "),              // near-dup of 1
+      3L -> base.take(15).mkString(" "),              // ~0.46 vs 1 — below 0.5
+      4L -> (100 to 130).map(i => s"w$i").mkString(" "),
+      5L -> (100 to 130).map(i => s"w$i").mkString(" "), // exact dup of 4
+      6L -> "too short")
+    val df = docs.toDF("id", "text")
+    val got = Dedup.nearDuplicatePairsExact(df, col("id"), col("text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same shingle definition
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (ia, ib, jr)).toSet
+    assert(got == expect)
+    assert(got.contains((4L, 5L, 1.0)))
+  }
+
   test("minhash signature similarity tracks jaccard") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
