@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DictionaryLocator, LexiconSentiment}
+import graft.operators.{LakeMerge, TweetOps}
+import graft.pipeline.{BackfillJob, IngestJob}
+import graft.sources.TweetJsonSource
+
+class TweetPipelineSpec extends SparkSpec {
+
+  private val fixedNow = to_timestamp(lit("2025-06-01 10:00:00"))
+  private val job = IngestJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+
+  private def tmpDir(name: String): String = {
+    val d = s"target/tmp/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def writeRaw(path: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(path), String.join("\n", lines: _*).getBytes("UTF-8"))
+
+  private val batch1 = Seq(
+    """{"_id":"1","text":"Makan bergizi gratis di Bandung bagus dan sehat","author_name":"Andi","author_handle":"andi","created_at":"2025-05-01T08:00:00Z","location":null,"tweet_url":"https://x.com/andi/status/1","metrics":{"reply_count":1,"retweet_count":2,"like_count":3}}""",
+    """{"_id":"2","text":"program MBG gagal total banyak keracunan http://t.co/x #MBG","author_name":"Budi","author_handle":"budi","created_at":"2025-05-01T09:30:00Z","location":"Surabaya","tweet_url":"https://x.com/budi/status/2","metrics":{"reply_count":0,"retweet_count":0,"like_count":1}}""",
+    """{"_id":"3","text":"menu @dinas hari ini biasa saja","author_name":"Cici","author_handle":"cici","created_at":"2025-05-02T11:00:00Z","location":null,"tweet_url":"https://x.com/cici/status/3","metrics":{"reply_count":5,"retweet_count":1,"like_count":9}}""")
+
+  // same _id=2 with a later scraped_at re-scrape (text edited) + one new doc
+  private val batch2 = Seq(
+    """{"_id":"2","text":"program MBG di Surabaya lancar dan bagus","author_name":"Budi","author_handle":"budi","created_at":"2025-05-01T09:30:00Z","location":"Surabaya","tweet_url":"https://x.com/budi/status/2","metrics":{"reply_count":0,"retweet_count":4,"like_count":2}}""",
+    """{"_id":"4","text":"antri makan gratis di jogja","author_name":"Dewi","author_handle":"dewi","created_at":"2025-05-02T12:00:00Z","location":null,"tweet_url":"https://x.com/dewi/status/4","metrics":{"reply_count":2,"retweet_count":0,"like_count":0}}""")
+
+  test("nest -> clean -> label produces the canonical doc with stamps") {
+    val dir = tmpDir("ingest-basic")
+    writeRaw(s"$dir/raw.json", batch1)
+    val out = job.transform(TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow)
+      .orderBy("_id").collect()
+    assert(out.length == 3)
+    val r1 = out(0)
+    val content = r1.getStruct(r1.fieldIndex("content"))
+    assert(content.getString(1).contains("bandung")) // clean_text lowercased
+    val loc = r1.getStruct(r1.fieldIndex("location"))
+    assert(loc.getString(0) == "Jawa Barat" && loc.getString(1) == "Bandung")
+    assert(loc.getString(2) == "text_analysis")
+    val sent = r1.getStruct(r1.fieldIndex("sentiment_analysis"))
+    assert(sent.getString(0) == "positive")
+    val status = r1.getStruct(r1.fieldIndex("processing_status"))
+    assert(status.getBoolean(0) && status.getBoolean(1)) // analyzed + cleaned
+    assert(status.getString(2) == "2025-06-01T10:00:00")
+    // doc 2 had a UI location string -> reference still re-detects because
+    // the ROOT location is absent on fresh docs; negative lexicon hits win
+    val r2 = out(1)
+    val s2 = r2.getStruct(r2.fieldIndex("sentiment_analysis"))
+    assert(s2.getString(0) == "negative")
+  }
+
+  test("ingest is idempotent: running the same batch twice yields an identical lake") {
+    val dir = tmpDir("ingest-idem")
+    writeRaw(s"$dir/raw.json", batch1)
+    val lake = s"$dir/lake"
+    job.run(spark, s"$dir/raw.json", lake, fixedNow)
+    val first = LakeMerge.readLake(spark, lake).orderBy("_id").toJSON.collect().toSeq
+    job.run(spark, s"$dir/raw.json", lake, fixedNow)
+    val second = LakeMerge.readLake(spark, lake).orderBy("_id").toJSON.collect().toSeq
+    assert(first == second)
+  }
+
+  test("merge is last-write-wins by _id with incoming priority") {
+    val dir = tmpDir("ingest-lww")
+    writeRaw(s"$dir/raw1.json", batch1)
+    writeRaw(s"$dir/raw2.json", batch2)
+    val lake = s"$dir/lake"
+    job.run(spark, s"$dir/raw1.json", lake, fixedNow)
+    job.run(spark, s"$dir/raw2.json", lake, to_timestamp(lit("2025-06-02 10:00:00")))
+    val docs = LakeMerge.readLake(spark, lake)
+    assert(docs.count() == 4)
+    val d2 = docs.filter(col("_id") === "2").select(col("content.text")).head.getString(0)
+    assert(d2.contains("lancar")) // batch2 version won
+    // partition layout: event_date folders by created_at day
+    assert(docs.select(col(LakeMerge.PartitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet == Set("2025-05-01", "2025-05-02"))
+  }
+
+  test("backfill invariant: unprocessed count reaches zero") {
+    val dir = tmpDir("backfill")
+    writeRaw(s"$dir/raw.json", batch1)
+    val lake = s"$dir/lake"
+    // land RAW nested docs (no E3/E4) — all three are P4-unprocessed
+    val nested = TweetOps.nest(
+      TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow)
+    LakeMerge.mergeWrite(spark, nested, lake)
+    assert(TweetOps.unprocessed(LakeMerge.readLake(spark, lake)).count() == 3)
+    val remaining = BackfillJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+      .run(spark, lake, fixedNow)
+    assert(remaining == 0L)
+    // repaired docs carry full stamps
+    val lakeDf = LakeMerge.readLake(spark, lake)
+    assert(lakeDf.filter(col("processing_status.cleaning_completed")).count() == 3)
+  }
+
+  test("landed-JSON reader coalesces $date extended JSON and plain ISO timestamps") {
+    val dir = tmpDir("landed")
+    val lines = Seq(
+      """{"_id":"a","content":{"text":"t","clean_text":"t"},"metadata":{"author_name":"","author_handle":"","created_at":{"$date":"2025-05-01T08:00:00Z"},"scraped_at":"2025-05-03T00:00:00Z","location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""",
+      """{"_id":"b","content":{"text":"t2","clean_text":"t2"},"metadata":{"author_name":"","author_handle":"","created_at":"2025-05-02T09:00:00Z","scraped_at":{"$date":"2025-05-03T01:00:00Z"},"location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""")
+    Files.write(Paths.get(s"$dir/landed.json"), String.join("\n", lines: _*).getBytes("UTF-8"))
+    val got = TweetJsonSource.readLanded(spark, s"$dir/landed.json")
+      .select(col("_id"),
+        col("metadata.created_at").cast("string"),
+        col("metadata.scraped_at").cast("string"))
+      .orderBy("_id").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got(0) == ("a", "2025-05-01 08:00:00", "2025-05-03 00:00:00"))
+    assert(got(1) == ("b", "2025-05-02 09:00:00", "2025-05-03 01:00:00"))
+  }
+
+  test("flatten produces the 12-column analysis view") {
+    val dir = tmpDir("flatten")
+    writeRaw(s"$dir/raw.json", batch1)
+    val flat = TweetOps.flatten(
+      job.transform(TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow))
+    assert(flat.columns.toSeq == Seq("_id", "text", "clean_text", "author_handle",
+      "created_at", "tweet_url", "reply_count", "retweet_count", "like_count",
+      "sentiment_label", "sentiment_confidence", "sentiment_analyzed"))
+    assert(flat.count() == 3)
+    assert(flat.filter(col("sentiment_analyzed")).count() == 3)
+  }
+}
