@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * empty/zero-signal fallback ("NEUTRAL", 0.0) mapped to neutral
   * confidence 0.0 (utils.py:92).
   *
-  * Production-model integration goes through [[graft.functions.Sentiment]]'s
-  * mapPartitions runner; this object is the pure-column scorer, fully
-  * codegen'd, no UDF.
+  * Production-model integration goes through
+  * [[graft.operators.SentimentRunner]]'s batched mapPartitions runner (its
+  * LexiconClassifier agrees with this object bit-for-bit); this object is
+  * the pure-column scorer, fully codegen'd, no UDF.
   */
 object LexiconSentiment {
 

@@ -98,6 +98,34 @@ object TextFunctions {
     when(anyHit, chain).otherwise(lit("und"))
   }
 
+  /** F4: tweet id from a status URL — the path element after `/status/`
+    * (reference splits on '/' and indexes past 'status',
+    * src/resilient_scraper.py:404-423).
+    */
+  def tweetIdFromUrl(href: Column): Column =
+    regexp_extract(href, "/status/([^/?]+)", 1)
+
+  /** F4: author handle — the path element before `/status/`. */
+  def handleFromUrl(href: Column): Column =
+    regexp_extract(href, "/([^/]+)/status/", 1)
+
+  /** P6: keep only real status links (exclude photo/video hrefs), the
+    * scraper's link filter (src/resilient_scraper.py:410).
+    */
+  def isStatusUrl(href: Column): Column =
+    href.contains("/status/") &&
+      !lower(href).contains("photo") && !lower(href).contains("video")
+
+  /** F5: first digit run in a metric button text -> int, 0 when absent
+    * (re.findall(r'\d+')[0] with a 0 default,
+    * src/resilient_scraper.py:460-479).
+    */
+  def countFromText(text: Column): Column =
+    coalesce(nullif(regexp_extract(text, "\\d+", 0), lit("")).cast("int"), lit(0))
+
+  /** F6: the classifier input cap (text[:512], utils.py:84-86). */
+  def truncate512(text: Column): Column = substring(text, 1, 512)
+
   /** Punctuation character count (quality scoring input). */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))

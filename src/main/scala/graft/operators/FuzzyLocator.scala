@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.DictionaryLocator.LocationDict
+
+/** E2: fuzzy location detection (`detect_location_fuzzy`, utils.py:440-492
+  * — defined but reserved for post-processing in the reference; the
+  * pipeline never calls it, utils.py:509-511).
+  *
+  * The reference scores fuzzywuzzy partial_ratio of every dictionary name
+  * against the whole text, per row — O(rows x 456) Python string scans.
+  * The Spark-native shape is a token-explode + broadcast dimension join:
+  *
+  *   tokens(text) explode -> broadcast join against the (name, province,
+  *   city, kind, priority) dimension with a levenshtein similarity
+  *   predicate -> best match per doc via one window.
+  *
+  * Cities are preferred over provinces (the reference tries cities first),
+  * then higher similarity, then dictionary order — deterministic. Exact
+  * matches score 1.0, so this subsumes the word-boundary pass for
+  * single-token names. Similarity is normalized levenshtein
+  * (1 - dist/len(longer)) — the dependency-free stand-in for
+  * partial_ratio; both are 1.0 on exact and degrade with edit distance.
+  *
+  * Scale: the dimension is ~460 rows (broadcast); the explode shuffles
+  * nothing (narrow); the join emits at most tokens x dict candidate rows
+  * filtered by the threshold; the window groups by doc id only.
+  */
+object FuzzyLocator {
+
+  /** The flattened match dimension: single-token dictionary names (fuzzy
+    * token matching is token-vs-token; multi-word names contribute their
+    * tokens, each mapping back to the full entry).
+    */
+  def dimension(spark: SparkSession, dict: LocationDict): DataFrame = {
+    import spark.implicits._
+    val cityRows = dict.cities.zipWithIndex.flatMap { case ((p, c), i) =>
+      c.toLowerCase.split("\\s+").filter(_.length > 2)
+        .map(tok => (tok, p, c, 0, i)) // kind 0 = city
+    }
+    val provRows = dict.provinces.zipWithIndex.flatMap { case (p, i) =>
+      p.toLowerCase.split("\\s+").filter(_.length > 2)
+        .map(tok => (tok, p, null: String, 1, i)) // kind 1 = province
+    }
+    (cityRows ++ provRows).toDF("name_tok", "province", "city", "kind", "priority")
+  }
+
+  /** Best fuzzy (province, city, similarity) per row of `df`.
+    * Returns id, province, city, similarity — rows without any match above
+    * `threshold` are absent (caller left-joins if needed).
+    */
+  def detect(
+      df: DataFrame, id: Column, text: Column,
+      dict: LocationDict, threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    val dim = dimension(spark, dict)
+    val toks = df
+      .select(id.as("__id"), Dedup.tokens(lower(text)).as("__toks"))
+      .select(col("__id"), explode_outer(array_distinct(col("__toks"))).as("__tok"))
+      .filter(length(col("__tok")) > 2)
+    val sim = lit(1.0) -
+      levenshtein(col("__tok"), col("name_tok")).cast("double") /
+        greatest(length(col("__tok")), length(col("name_tok"))).cast("double")
+    val scored = toks
+      .join(broadcast(dim),
+        // cheap length pre-filter: a similarity >= t bounds the length gap
+        abs(length(col("__tok")) - length(col("name_tok"))) <=
+          ceil(lit(1.0 - threshold) * greatest(length(col("__tok")), length(col("name_tok")))))
+      .withColumn("similarity", sim)
+      .filter(col("similarity") >= threshold)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("kind"), col("similarity").desc, col("priority"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as("id"), col("province"), col("city"),
+        round(col("similarity"), 4).as("similarity"))
+  }
+}

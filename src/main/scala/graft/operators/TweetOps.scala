@@ -129,6 +129,40 @@ object TweetOps {
         col("sentiment_analysis.label").isNull ||
         col("location").isNull || col("location.detected_from").isNull)
 
+  /** E5: `update_tweet_locations` (utils.py:495-546) — batch location
+    * repair with the shape-3 wrapper. Differences from E3:
+    *  - detection input is content.text alone (the reference computes an
+    *    `all_text` with author fields but never uses it, and the canonical
+    *    doc has no root author_name, so `.get('author_name','')` is always
+    *    '' and the author append never fires);
+    *  - detected_from is 'text' when anything was found, else 'none'
+    *    (utils.py:520);
+    *  - when a location already exists the reference wraps it as
+    *    {original, detected}; under the normalized single-struct schema
+    *    (SURVEY §1.3) that becomes the detected fields plus
+    *    original_location = the prior location's best string form
+    *    (its original_location, else city, else province).
+    */
+  def updateTweetLocations(
+      df: DataFrame,
+      dict: DictionaryLocator.LocationDict): DataFrame = {
+    val det = DictionaryLocator.detect(col("content.text"), dict)
+    val detInfo = struct(
+      det.getField("province").as("province"),
+      det.getField("city").as("city"),
+      when(det.getField("province").isNotNull || det.getField("city").isNotNull, "text")
+        .otherwise("none").as("detected_from"),
+      nullString.as("original_location"))
+    val orig = coalesce(col("location"), col("metadata.location"))
+    val wrapped = detInfo.withField("original_location",
+      coalesce(orig.getField("original_location"),
+        orig.getField("city"), orig.getField("province")))
+    df
+      .withColumn("metadata", col("metadata").withField("location",
+        when(orig.isNull, detInfo).otherwise(wrapped)))
+      .withColumn("location", coalesce(col("location"), detInfo))
+  }
+
   /** P1: the 12-column flat analysis view (`flatten_tweet_data`,
     * utils.py:204-222; notebook cell 5).
     */

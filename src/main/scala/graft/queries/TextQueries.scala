@@ -211,7 +211,92 @@ object TextQueries {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** F4/F5/F6 + P6 (the scraper's parse-level extraction ops,
+    * src/resilient_scraper.py:404-479) over deterministic synthesized
+    * hrefs/button texts: status-URL filtering (photo/video links dropped),
+    * tweet-id and handle extraction, digit-run metric extraction with its
+    * 0 default, and the 512-char classifier clip.
+    */
+  def extractions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val href = when($"doc_id" % 10 === 0,
+        concat(lit("https://x.com/u"), $"doc_id", lit("/status/"), $"doc_id" + 100000, lit("/photo/1")))
+      .when($"doc_id" % 10 === 5,
+        concat(lit("https://x.com/u"), $"doc_id", lit("/video/2")))
+      .otherwise(
+        concat(lit("https://x.com/u"), $"doc_id", lit("/status/"), $"doc_id" + 100000))
+    val btn = when($"doc_id" % 7 === 0, lit("reply"))
+      .otherwise(concat(lit("replies "), $"doc_id" % 53))
+    Tables(spark, dir, "documents")
+      .select($"doc_id", href.as("href"), btn.as("btn"), $"text")
+      .filter(isStatusUrl($"href"))
+      .select($"doc_id",
+        tweetIdFromUrl($"href").as("tweet_id"),
+        handleFromUrl($"href").as("author_handle"),
+        countFromText($"btn").as("reply_count"),
+        length(truncate512($"text")).as("clip_len"))
+      .orderBy($"doc_id")
+  }
+
+  val extractionsSql: String =
+    """WITH synth AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 10 = 0 THEN 'https://x.com/u' || doc_id || '/status/' || (doc_id + 100000) || '/photo/1'
+      |         WHEN doc_id % 10 = 5 THEN 'https://x.com/u' || doc_id || '/video/2'
+      |         ELSE 'https://x.com/u' || doc_id || '/status/' || (doc_id + 100000) END AS href,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'reply' ELSE 'replies ' || (doc_id % 53) END AS btn
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_extract(href, '/status/([^/?]+)', 1) AS tweet_id,
+      |  regexp_extract(href, '/([^/]+)/status/', 1) AS author_handle,
+      |  CAST(coalesce(nullif(regexp_extract(btn, '\d+', 0), ''), '0') AS INT) AS reply_count,
+      |  CAST(length(substr(text, 1, 512)) AS INT) AS clip_len
+      |FROM synth
+      |WHERE href LIKE '%/status/%'
+      |  AND lower(href) NOT LIKE '%photo%' AND lower(href) NOT LIKE '%video%'
+      |ORDER BY doc_id""".stripMargin
+
+  /** E2 fuzzy location detection ([[graft.operators.FuzzyLocator]]):
+    * token-explode + broadcast levenshtein join + best-match window, over
+    * the engine-topic dictionary.
+    */
+  def fuzzyLocation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.FuzzyLocator.detect(
+      Tables(spark, dir, "documents"), $"doc_id", $"text",
+      DictionaryLocator.EngineTopics, threshold = 0.7)
+      .orderBy($"id")
+  }
+
+  val fuzzyLocationSql: String = {
+    val dimRows = (DictionaryLocator.EngineTopics.cities.zipWithIndex.flatMap {
+      case ((p, c), i) => c.toLowerCase.split("\\s+").filter(_.length > 2)
+        .map(tok => s"('$tok', '$p', '$c', 0, $i)")
+    } ++ DictionaryLocator.EngineTopics.provinces.zipWithIndex.flatMap {
+      case (p, i) => p.toLowerCase.split("\\s+").filter(_.length > 2)
+        .map(tok => s"('$tok', '$p', CAST(NULL AS VARCHAR), 1, $i)")
+    }).mkString(",\n      |    ")
+    s"""WITH dim(name_tok, province, city, kind, priority) AS (VALUES
+       |    $dimRows),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+       |    FROM documents)
+       |  WHERE length(t) > 2),
+       |scored AS (
+       |  SELECT doc_id, province, city, kind, priority,
+       |    1.0 - CAST(levenshtein(t, name_tok) AS DOUBLE) /
+       |      greatest(length(t), length(name_tok)) AS sim
+       |  FROM toks CROSS JOIN dim)
+       |SELECT doc_id AS id, province, city, round(sim, 4) AS similarity
+       |FROM (SELECT * FROM scored WHERE sim >= 0.7)
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY kind, sim DESC, priority) = 1
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_extractions" -> (extractions _),
+    "q_fuzzy_location" -> (fuzzyLocation _),
     "q_clean_text" -> (cleanText _),
     "q_token_stats" -> (tokenStats _),
     "q_langid_confusion" -> (langIdConfusion _),
@@ -221,6 +306,8 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_extractions" -> extractionsSql,
+    "q_fuzzy_location" -> fuzzyLocationSql,
     "q_clean_text" -> cleanTextSql,
     "q_token_stats" -> tokenStatsSql,
     "q_langid_confusion" -> langIdConfusionSql,

@@ -76,4 +76,49 @@ class DictionaryLocatorSpec extends SparkSpec {
       .select(det.isNull).as[Boolean].collect().toSeq
     assert(g == Seq(true, true))
   }
+
+  test("LocationDictSource preserves file order and parses the province->cities shape") {
+    import graft.sources.LocationDictSource
+    val json =
+      """{
+        |  "Zeta Province": ["City B", "City A"],
+        |  "Alpha Province": ["City C"],
+        |  "Mid Province": []
+        |}""".stripMargin
+    val dict = LocationDictSource.fromJsonString(json)
+    // NOT alphabetical: document order is the cascade's priority order
+    assert(dict.provinces == Seq("Zeta Province", "Alpha Province", "Mid Province"))
+    assert(dict.entries.head._2 == Seq("City B", "City A"))
+    assert(dict.cities == Seq(
+      ("Zeta Province", "City B"), ("Zeta Province", "City A"),
+      ("Alpha Province", "City C")))
+  }
+
+  test("detect() analyzes and runs over a full-size (~456-city) dictionary") {
+    // ADVICE r2: the per-province when-chains double expression depth vs
+    // the flat chain; prove Spark still analyzes/executes a full-size
+    // dictionary (the production config has 38 provinces x 456 cities).
+    import spark.implicits._
+    import graft.sources.LocationDictSource
+    val refPath = "/root/reference/config/indonesia_locations.json"
+    val dict =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(refPath)))
+        LocationDictSource.fromFile(refPath)
+      else // synthetic fallback of the same size/shape
+        DictionaryLocator.LocationDict(
+          (1 to 38).map(p => s"prov$p" -> (1 to 12).map(c => s"city${p}x$c")))
+    assert(dict.cities.size >= 400)
+    val det = DictionaryLocator.detect(col("t"), dict)
+    val got = Seq(
+      "pengumuman di banda aceh hari ini",
+      "warga medan antri",
+      "tidak ada lokasi disini").toDF("t")
+      .select(det.getField("province"), det.getField("city"))
+      .as[(String, String)].collect().toSeq
+    if (got.head._1 != null) { // real dictionary loaded
+      assert(got(0) == (("Aceh", "Banda Aceh")))
+      assert(got(1) == (("Sumatera Utara", "Medan")))
+    }
+    assert(got(2) == ((null, null)))
+  }
 }

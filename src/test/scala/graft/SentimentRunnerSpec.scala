@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.LexiconSentiment
+import graft.operators.{LexiconClassifier, SentimentRunner}
+
+class SentimentRunnerSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "makanan bagus dan sehat sekali",
+    "program gagal total korupsi dimana mana",
+    "biasa saja tidak ada yang spesial",
+    "bagus tapi mahal dan telat",
+    "",
+    "mantap lancar sukses bergizi",
+    "keracunan massal basi jelek buruk",
+    "x " * 300 + "bagus") ++ (1 to 13).map(i => s"doc $i netral")
+
+  test("runner output is independent of the batch split") {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+    val cls = LexiconClassifier(LexiconSentiment.Indonesian)
+    def run(bs: Int) = SentimentRunner.label(df, "txt", cls, bs)
+      .select($"id", $"sentiment_label", round($"sentiment_confidence", 6))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val byOne = run(1)
+    assert(run(7) == byOne)
+    assert(run(50) == byOne)
+  }
+
+  test("mapPartitions runner agrees with the columnar lexicon scorer") {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "txt")
+    val viaRunner = SentimentRunner.label(df, "txt", LexiconClassifier(LexiconSentiment.Indonesian))
+      .select($"id", $"sentiment_label", round($"sentiment_confidence", 6))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val viaColumns = df
+      .select($"id",
+        LexiconSentiment.label(substring($"txt", 1, 512), LexiconSentiment.Indonesian),
+        round(LexiconSentiment.confidence(substring($"txt", 1, 512), LexiconSentiment.Indonesian), 6))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(viaRunner == viaColumns)
+  }
+
+  test("null and empty text fall back to neutral 0.0 (reference NEUTRAL fallback)") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, ""), (3L, "   ")).toDF("id", "txt")
+    val got = SentimentRunner.label(df, "txt", LexiconClassifier(LexiconSentiment.Indonesian))
+      .select($"id", $"sentiment_label", $"sentiment_confidence")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "neutral", 0.0), (2L, "neutral", 0.0), (3L, "neutral", 0.0)))
+  }
+}

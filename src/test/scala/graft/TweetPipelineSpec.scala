@@ -101,6 +101,33 @@ class TweetPipelineSpec extends SparkSpec {
     assert(lakeDf.filter(col("processing_status.cleaning_completed")).count() == 3)
   }
 
+  test("E5 update_tweet_locations: fresh detection vs shape-3 wrapper") {
+    val dir = tmpDir("e5")
+    writeRaw(s"$dir/raw.json", batch1)
+    val nested = TweetOps.nest(
+      TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow)
+    val updated = TweetOps.updateTweetLocations(nested, DictionaryLocator.Indonesian)
+      .orderBy("_id").collect()
+    // doc 1: no prior location anywhere -> metadata.location = fresh detection
+    val m1 = updated(0).getStruct(updated(0).fieldIndex("metadata"))
+    val l1 = m1.getStruct(4)
+    assert(l1.getString(0) == "Jawa Barat" && l1.getString(1) == "Bandung")
+    assert(l1.getString(2) == "text" && l1.getString(3) == null)
+    // doc 2: prior UI-string location ("Surabaya") -> shape-3 wrapper keeps
+    // it in original_location; its text mentions no place, so the detected
+    // fields stay null with detected_from 'none'
+    val m2 = updated(1).getStruct(updated(1).fieldIndex("metadata"))
+    val l2 = m2.getStruct(4)
+    assert(l2.getString(3) == "Surabaya")    // original preserved
+    assert(l2.getString(0) == null && l2.getString(2) == "none")
+    // doc 3: nothing detectable -> detected_from = 'none'
+    val m3 = updated(2).getStruct(updated(2).fieldIndex("metadata"))
+    val l3 = m3.getStruct(4)
+    assert(l3.getString(0) == null && l3.getString(2) == "none")
+    // root location gets the detection struct on all three (was null)
+    updated.foreach { r => assert(!r.isNullAt(r.fieldIndex("location"))) }
+  }
+
   test("landed-JSON reader coalesces $date extended JSON and plain ISO timestamps") {
     val dir = tmpDir("landed")
     val lines = Seq(
