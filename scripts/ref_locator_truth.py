@@ -1,13 +1,25 @@
 # Ground-truth harness: executes the reference's detect_location_from_text
 # (extracted by name from utils.py source, since utils.py's module imports
 # need pymongo) with the compact test dictionary injected.
-import re, ast
+#
+# The extracted source is PINNED by sha256: the goldens in
+# DictionaryLocatorSpec were recorded against exactly this function body.
+# If the reference checkout changes, the hash check below fails loudly
+# instead of silently exec()ing mutated untrusted code.
+import re, ast, hashlib, sys
+
+PINNED_SHA256 = "9477287a6bc22e47c73f23c7bc3b3239f9f5ba86301e690a86d1c53423d5b860"
 
 src = open('/root/reference/utils.py').read()
 tree = ast.parse(src)
 fn = next(n for n in tree.body if isinstance(n, ast.FunctionDef)
           and n.name == 'detect_location_from_text')
 code = ast.get_source_segment(src, fn)
+digest = hashlib.sha256(code.encode()).hexdigest()
+if digest != PINNED_SHA256:
+    sys.exit(f"REFUSING to exec: detect_location_from_text changed since the "
+             f"goldens were recorded (sha256 {digest} != {PINNED_SHA256}). "
+             f"Re-audit the function, re-record the goldens, then re-pin.")
 
 COMPACT = {
     "DKI Jakarta": ["Jakarta Pusat", "Jakarta Utara", "Jakarta Barat",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EmbeddingQueries, PipelineQueries, RelationalQueries, TextQueries}
+import graft.queries.{DedupQueries, EmbeddingQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ EmbeddingQueries.queries ++ PipelineQueries.queries
+      DedupQueries.queries ++ EmbeddingQueries.queries ++
+      PipelineQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ EmbeddingQueries.oracles ++ PipelineQueries.oracles
+      DedupQueries.oracles ++ EmbeddingQueries.oracles ++
+      PipelineQueries.oracles ++ MultimodalQueries.oracles
 }

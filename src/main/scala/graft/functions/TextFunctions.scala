@@ -51,17 +51,38 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** One regex matching any of `words`: ASCII words behind `\b` boundaries,
-    * non-ASCII (CJK) words by bare substring alternation — Java/RE2 `\b` is
-    * ASCII-word-class based, so `\b的\b` can never match between CJK
-    * characters (both neighbours are non-word). Shared by the Spark columns
-    * and the generated DuckDB oracle SQL so the two always agree.
+  /** True iff `c` is in the ASCII regex word class `[A-Za-z0-9_]` — the
+    * class Java's and RE2's `\b` boundary is defined against.
+    */
+  private def isAsciiWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Backslash-escape ASCII punctuation so dictionary words can never
+    * corrupt the pattern. Non-ASCII chars pass through unescaped (escaping
+    * them is itself an error in some engines); they are never
+    * metacharacters.
+    */
+  private def escapeWord(w: String): String =
+    w.flatMap { c =>
+      if (c < 128 && !isAsciiWordChar(c)) "\\" + c else c.toString
+    }
+
+  /** One regex matching any of `words`: words made purely of `\b`-safe
+    * ASCII word chars sit behind `\b` boundaries; everything else (CJK,
+    * accented Latin, punctuated words) matches as a bare escaped
+    * alternation — `\b` is ASCII-word-class based, so `\b的\b` or `\bété\b`
+    * can never anchor correctly next to non-word-class characters. Words
+    * are regex-escaped, so metacharacters in a dictionary cannot corrupt
+    * the pattern. Shared by the Spark columns and the generated DuckDB
+    * oracle SQL (both Java regex and RE2 accept this dialect) so the two
+    * always agree.
     */
   def hitPattern(words: Seq[String]): String = {
-    val (cjk, ascii) = words.partition(_.exists(_ > 127))
+    val (wordy, other) = words.partition(_.forall(isAsciiWordChar))
     Seq(
-      if (ascii.nonEmpty) Some("\\b(" + ascii.mkString("|") + ")\\b") else None,
-      if (cjk.nonEmpty) Some("(" + cjk.mkString("|") + ")") else None
+      if (wordy.nonEmpty) Some("\\b(" + wordy.mkString("|") + ")\\b") else None,
+      if (other.nonEmpty) Some("(" + other.map(escapeWord).mkString("|") + ")") else None
     ).flatten.mkString("|")
   }
 

@@ -93,4 +93,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(2) == ("neutral", 0.0))
     assert(rows(3) == ("neutral", 0.0))
   }
+
+  test("hitPattern escapes metacharacters and boundaries accented words correctly") {
+    import spark.implicits._
+    // regex metacharacters in a dictionary word must match literally
+    val metaWords = Seq("c++", "a.b", "x(y)")
+    val got = Seq("i know c++ and a.b but not axb or xy")
+      .toDF("t").select(TextFunctions.wordHits(col("t"), metaWords))
+      .as[Int].head()
+    // 'c++' literal hit + 'a.b' literal hit; 'axb' must NOT count ('.')
+    // and 'x(y)' is absent
+    assert(got == 2)
+    // accented Latin words are outside Java's ASCII \b word class: they
+    // must match as substrings (old >127 split already did this; the new
+    // partition keys on the \w class instead)
+    val acc = Seq("l'été est arrivé").toDF("t")
+      .select(TextFunctions.wordHits(col("t"), Seq("été"))).as[Int].head()
+    assert(acc == 1)
+    // pure-ASCII words keep word boundaries: no substring inflation
+    val bounded = Seq("the theme anthem").toDF("t")
+      .select(TextFunctions.wordHits(col("t"), Seq("the"))).as[Int].head()
+    assert(bounded == 1)
+    // apostrophe words fall into the escaped-substring branch, still match
+    val apo = Seq("you can't say that").toDF("t")
+      .select(TextFunctions.wordHits(col("t"), Seq("can't"))).as[Int].head()
+    assert(apo == 1)
+  }
 }
