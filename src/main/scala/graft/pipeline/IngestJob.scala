@@ -25,15 +25,38 @@ import graft.sources.TweetJsonSource
   */
 final case class IngestJob(
     dict: DictionaryLocator.LocationDict,
-    lexicon: LexiconSentiment.Lexicon) {
+    lexicon: LexiconSentiment.Lexicon,
+    /** O4: per-batch document cap (the reference's `max_tweets`,
+      * config/config.json + src/resilient_scraper.py:1252) — None = no cap.
+      */
+    maxDocs: Option[Int] = None) {
 
   /** Land one raw scrape batch into the lake. Returns the processed docs. */
   def run(spark: SparkSession, rawPath: String, lakePath: String,
-      now: Column = current_timestamp()): DataFrame = {
-    val raw = TweetJsonSource.readRawScrape(spark, rawPath)
-    val processed = transform(raw, now)
+      now: Column = current_timestamp()): DataFrame =
+    runWithStats(spark, rawPath, lakePath, now)._1
+
+  /** A7: [[run]] plus running totals — the reference's
+    * total_scraped/query_scraped accumulators
+    * (src/resilient_scraper.py:1072,1271-1283) via `Dataset.observe`, the
+    * Spark-native accumulator: metrics ride the existing action, no extra
+    * pass and no codegen break.
+    */
+  def runWithStats(spark: SparkSession, rawPath: String, lakePath: String,
+      now: Column = current_timestamp()): (DataFrame, Map[String, Long]) = {
+    val raw0 = TweetJsonSource.readRawScrape(spark, rawPath)
+    val raw = maxDocs.fold(raw0)(raw0.limit) // O2-O4 cap
+    val obs = org.apache.spark.sql.Observation(s"graft.ingest.${System.nanoTime()}")
+    val processed = transform(raw, now).observe(
+      obs,
+      count(lit(1)).as("total_docs"),
+      // DISTINCT aggregates are disallowed in observed metrics; the HLL
+      // sketch is exact at day-cardinality scales and stream-friendly.
+      approx_count_distinct(to_date(col("metadata.created_at"))).as("n_days"),
+      sum(when(col("location.province").isNotNull, 1L).otherwise(0L)).as("n_located"))
     LakeMerge.mergeWrite(spark, processed, lakePath)
-    processed
+    val stats = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    (processed, stats)
   }
 
   /** The pure transform chain (no IO) — also the unit-test surface. */

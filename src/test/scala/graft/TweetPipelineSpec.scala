@@ -143,6 +143,35 @@ class TweetPipelineSpec extends SparkSpec {
     assert(got(1) == ("b", "2025-05-02 09:00:00", "2025-05-03 01:00:00"))
   }
 
+  test("monthly rollup writes once and skips when already rolled up") {
+    import graft.pipeline.MonthlyRollup
+    val dir = tmpDir("rollup")
+    writeRaw(s"$dir/raw.json", batch1)
+    val lake = s"$dir/lake"
+    job.run(spark, s"$dir/raw.json", lake, fixedNow)
+    val out = s"$dir/monthly/2025-05"
+    assert(MonthlyRollup.runIfNeeded(spark, lake, "2025-05", out))
+    assert(spark.read.parquet(out).count() == 3) // whole month concatenated
+    // second invocation is a no-op (resume semantics)
+    assert(!MonthlyRollup.runIfNeeded(spark, lake, "2025-05", out))
+    // a different (empty) month still writes, with zero rows
+    assert(MonthlyRollup.runIfNeeded(spark, lake, "2025-07", s"$dir/monthly/2025-07"))
+    assert(spark.read.parquet(s"$dir/monthly/2025-07").count() == 0)
+  }
+
+  test("running totals via observe and the max-docs cap") {
+    val dir = tmpDir("stats")
+    writeRaw(s"$dir/raw.json", batch1)
+    val (_, stats) = job.runWithStats(spark, s"$dir/raw.json", s"$dir/lake", fixedNow)
+    assert(stats("total_docs") == 3L)
+    assert(stats("n_days") == 2L)     // 2025-05-01 and 2025-05-02
+    assert(stats("n_located") == 1L)  // only doc 1 mentions a place in TEXT
+    val capped = IngestJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian,
+      maxDocs = Some(2))
+    val (_, s2) = capped.runWithStats(spark, s"$dir/raw.json", s"$dir/lake2", fixedNow)
+    assert(s2("total_docs") == 2L)
+  }
+
   test("flatten produces the 12-column analysis view") {
     val dir = tmpDir("flatten")
     writeRaw(s"$dir/raw.json", batch1)
