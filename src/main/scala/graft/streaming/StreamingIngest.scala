@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.functions.{DictionaryLocator, LexiconSentiment}
+import graft.model.TweetSchema
+import graft.operators.LakeMerge
+import graft.pipeline.IngestJob
+
+/** §2.10 — the reference's hand-rolled micro-batch scrape loop
+  * (src/resilient_scraper.py:1252-1338: scroll -> extract <=50 -> transform
+  * -> upsert, repeat) as Structured Streaming.
+  *
+  * Design:
+  *  - the landing directory is the stream source (each scrape batch lands
+  *    as a JSON file); `maxFilesPerTrigger` bounds micro-batch size the way
+  *    the reference's per-scroll cap does (O2);
+  *  - the per-batch transform is the SAME stateless E3/E4 chain the batch
+  *    jobs use — one code path, two execution modes;
+  *  - the sink is `foreachBatch` -> [[LakeMerge.mergeWrite]]: the merge is
+  *    idempotent by key, so replayed batches after a failure land
+  *    exactly-once-effectively (the reference gets this from Mongo upserts,
+  *    SURVEY §2.10 "late/duplicate handling");
+  *  - watermarked windowed aggregation + stateful running totals cover the
+  *    monitoring side (per-day counts, total_scraped counters).
+  */
+object StreamingIngest {
+
+  /** Start the micro-batch ingest stream over a landing directory.
+    * `Trigger.AvailableNow` drains what exists and stops (the batch-resume
+    * mode); pass a processing-time trigger for continuous tailing.
+    */
+  def start(
+      spark: SparkSession, landingDir: String, lakePath: String,
+      checkpointDir: String,
+      dict: DictionaryLocator.LocationDict,
+      lexicon: LexiconSentiment.Lexicon,
+      now: Column = current_timestamp(),
+      maxFilesPerTrigger: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val job = IngestJob(dict, lexicon)
+    val raw = spark.readStream
+      .schema(TweetSchema.rawScrape)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) LakeMerge.mergeWrite(spark, job.transform(batch, now), lakePath)
+      }
+      .start()
+  }
+
+  /** Watermarked per-day sentiment distribution over a processed-doc
+    * stream: event-time tumbling day windows on metadata.created_at, late
+    * data beyond `lateness` dropped from state (SURVEY §2.10 tumbling
+    * windows; the batch A2/A4 aggregate, incrementalized).
+    */
+  def dailySentimentCounts(processed: DataFrame, lateness: String = "1 day"): DataFrame =
+    processed
+      .select(
+        col("metadata.created_at").as("created_at"),
+        col("sentiment_analysis.label").as("sentiment_label"))
+      .withWatermark("created_at", lateness)
+      .groupBy(window(col("created_at"), "1 day"), col("sentiment_label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("event_date"),
+        col("sentiment_label"), col("n"))
+
+  /** Streaming exact dedup by `_id` with watermark-bounded state — the
+    * reference's cross-batch `processed_tweet_ids` set (D1,
+    * src/resilient_scraper.py:55) without the unbounded-memory failure
+    * mode: state for ids older than the watermark is dropped, and the
+    * downstream keyed merge makes residual duplicates harmless.
+    */
+  def dedupStream(processed: DataFrame, lateness: String = "1 day"): DataFrame =
+    processed
+      .withColumn("__event_time", col("metadata.created_at"))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicates("_id", "__event_time")
+      .drop("__event_time")
+
+  /** A7 streaming: running totals per key across micro-batches via
+    * `mapGroupsWithState` — the reference's total_scraped / query_scraped
+    * accumulators (src/resilient_scraper.py:1271-1283) as managed state.
+    * Emits the updated cumulative count for every key touched by a batch.
+    */
+  def runningTotals(keys: Dataset[String]): Dataset[(String, Long)] = {
+    import keys.sparkSession.implicits._
+    keys
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (key, total)
+      }
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.{DictionaryLocator, LexiconSentiment}
+import graft.operators.LakeMerge
+import graft.pipeline.IngestJob
+import graft.sources.TweetJsonSource
+import graft.streaming.StreamingIngest
+
+class StreamingIngestSpec extends SparkSpec {
+
+  private val fixedNow = to_timestamp(lit("2025-06-01 10:00:00"))
+
+  private def tmpDir(name: String): String = {
+    val d = s"target/tmp/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def raw(id: String, text: String, createdAt: String): String =
+    s"""{"_id":"$id","text":"$text","author_name":"A","author_handle":"a","created_at":"$createdAt","location":null,"tweet_url":"https://x.com/a/status/$id","metrics":{"reply_count":0,"retweet_count":0,"like_count":0}}"""
+
+  test("micro-batch file-stream ingest lands batches into the lake via idempotent merge") {
+    val dir = tmpDir("stream-ingest")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    Files.write(Paths.get(s"$landing/b1.json"), Seq(
+      raw("1", "makan gratis di Bandung bagus", "2025-05-01T08:00:00Z"),
+      raw("2", "program gagal", "2025-05-01T09:00:00Z")).mkString("\n").getBytes("UTF-8"))
+
+    val q1 = StreamingIngest.start(spark, landing, s"$dir/lake", s"$dir/ck",
+      DictionaryLocator.Indonesian, LexiconSentiment.Indonesian, fixedNow)
+    q1.awaitTermination()
+    assert(LakeMerge.readLake(spark, s"$dir/lake").count() == 2)
+
+    // second file: one duplicate id (updated) + one new doc; a NEW
+    // AvailableNow query resumes from the checkpoint and only reads b2
+    Files.write(Paths.get(s"$landing/b2.json"), Seq(
+      raw("2", "program sekarang lancar bagus", "2025-05-01T09:00:00Z"),
+      raw("3", "antri panjang", "2025-05-02T07:00:00Z")).mkString("\n").getBytes("UTF-8"))
+    val q2 = StreamingIngest.start(spark, landing, s"$dir/lake", s"$dir/ck",
+      DictionaryLocator.Indonesian, LexiconSentiment.Indonesian, fixedNow)
+    q2.awaitTermination()
+
+    val lake = LakeMerge.readLake(spark, s"$dir/lake")
+    assert(lake.count() == 3)
+    val d2 = lake.filter(col("_id") === "2")
+      .select(col("sentiment_analysis.label")).head.getString(0)
+    assert(d2 == "positive") // the replacement doc won the merge
+    // processed stamps present on streamed docs too
+    assert(lake.filter(col("processing_status.cleaning_completed")).count() == 3)
+  }
+
+  test("watermarked daily sentiment counts over a processed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)] // id, text, created_at
+    val job = IngestJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+    val processed = job.transform(
+      mem.toDF().toDF("_id", "text", "created_at")
+        .withColumn("author_name", lit(""))
+        .withColumn("author_handle", lit(""))
+        .withColumn("location", lit(null).cast("string"))
+        .withColumn("tweet_url", lit(""))
+        .withColumn("metrics", struct(lit(0).as("reply_count"),
+          lit(0).as("retweet_count"), lit(0).as("like_count"))),
+      fixedNow)
+    val counts = StreamingIngest.dailySentimentCounts(processed)
+    val q = counts.writeStream.format("memory").queryName("daily_counts")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(
+      ("1", "bagus sehat", "2025-05-01T08:00:00Z"),
+      ("2", "gagal basi", "2025-05-01T09:00:00Z"),
+      ("3", "bagus", "2025-05-02T08:00:00Z"))
+    q.processAllAvailable()
+    mem.addData(("4", "bagus juga", "2025-05-01T10:00:00Z"))
+    q.processAllAvailable()
+    val got = spark.sql(
+      """SELECT event_date, sentiment_label, max(n) AS n FROM daily_counts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(got.contains(("2025-05-01", "positive", 2L))) // updated across batches
+    assert(got.contains(("2025-05-01", "negative", 1L)))
+    assert(got.contains(("2025-05-02", "positive", 1L)))
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val totals = StreamingIngest.runningTotals(mem.toDS())
+    val q = totals.toDF("key", "total").writeStream.format("memory")
+      .queryName("running_totals").outputMode(OutputMode.Update()).start()
+    mem.addData("mbg", "mbg", "gratis")
+    q.processAllAvailable()
+    mem.addData("mbg", "gratis", "gratis")
+    q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT key, max(total) FROM running_totals GROUP BY key ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    assert(got == Seq(("gratis", 3L), ("mbg", 3L)))
+  }
+
+  test("streaming dedup drops in-stream duplicate ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val job = IngestJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+    val processed = job.transform(
+      mem.toDF().toDF("_id", "text", "created_at")
+        .withColumn("author_name", lit(""))
+        .withColumn("author_handle", lit(""))
+        .withColumn("location", lit(null).cast("string"))
+        .withColumn("tweet_url", lit(""))
+        .withColumn("metrics", struct(lit(0).as("reply_count"),
+          lit(0).as("retweet_count"), lit(0).as("like_count"))),
+      fixedNow)
+    val deduped = StreamingIngest.dedupStream(processed)
+      .select(col("_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ("1", "a", "2025-05-01T08:00:00Z"),
+      ("1", "a", "2025-05-01T08:00:00Z"),
+      ("2", "b", "2025-05-01T09:00:00Z"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT _id FROM dedup_out ORDER BY _id")
+      .collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(got == Seq("1", "2"))
+  }
+}
