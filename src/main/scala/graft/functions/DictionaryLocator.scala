@@ -122,6 +122,73 @@ object DictionaryLocator {
       pl.replace("maluku", "mal")).filter(_.nonEmpty)).distinct
   }
 
+  /** The cascade as a broadcast n-gram join — the 100 TB path for the full
+    * 456-city dictionary, where [[detect]]'s when-chain costs ~500 regex
+    * tests per row. Here the text is tokenized once, its 1..3-gram token
+    * sequences joined (broadcast) against a dimension of dictionary match
+    * strings, and the reference's first-match-wins cascade becomes a
+    * single sort key per candidate:
+    *
+    *   (stage: cities-anywhere=0 / province-names=1,
+    *    province index,
+    *    kind: exact=0 / token=1,
+    *    city index for exacts, NEGATED city index for tokens —
+    *    the reference keeps the FIRST exact but the LAST token hit)
+    *
+    * row_number over that key reproduces the cascade exactly on
+    * separator-normalized text. Caveat vs [[detect]]: `\b` also matches at
+    * punctuation OUTSIDE the reference's separator set (e.g. "jakarta!"),
+    * where token equality does not — the when-chain stays the
+    * parity-exact variant; this is the plan for scale.
+    *
+    * Returns (id, province, city, detected_from) — one row per input row
+    * that matched anything.
+    */
+  def detectViaJoin(
+      df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+      dict: LocationDict): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val cityRows = dict.entries.zipWithIndex.flatMap { case ((p, cities), ip) =>
+      cities.zipWithIndex.flatMap { case (c, ic) =>
+        val exact = (c.toLowerCase, 0, ip, 0, ic, p, c, "city_match")
+        val tokenRows =
+          if (!c.contains(' ')) Nil
+          else c.toLowerCase.split("\\s+").filter(_.length > 2).toSeq
+            .map(t => (t, 0, ip, 1, -ic, p, c, "city_token_match"))
+        exact +: tokenRows
+      }
+    }
+    val provRows = dict.provinces.zipWithIndex.flatMap { case (p, ip) =>
+      provincePatterns(p).map(v => (v, 1, ip, 0, 0, p, null: String, "province_match"))
+    }
+    val dim = (cityRows ++ provRows).toDF(
+      "__m", "__stage", "__ip", "__kind", "__ick", "province", "city", "detected_from")
+
+    // widest dictionary match string decides how many n-gram passes the
+    // text needs (2 for the production Indonesian dictionary)
+    val maxN = (cityRows.map(_._1) ++ provRows.map(_._1))
+      .map(_.split(" ").length).max
+    val normalized = translate(lower(text), "-/\\|_,;.", "        ")
+    val gramCols = (1 to maxN).map {
+      case 1 => col("__toks")
+      case n => graft.operators.Dedup.shinglesOfTokens(col("__toks"), n)
+    }
+    val grams = df
+      .select(id.as("id"), graft.operators.Dedup.tokens(normalized).as("__toks"))
+      .select(col("id"), array_distinct(concat(gramCols: _*)).as("__gr"))
+      .select(col("id"), explode_outer(col("__gr")).as("__m"))
+
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__stage"), col("__ip"), col("__kind"), col("__ick"))
+    grams.join(broadcast(dim), Seq("__m"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("province"), col("city"), col("detected_from"))
+  }
+
   /** The cascade as one nullable struct(province, city, detected_from).
     * Null when nothing matches (caller decides the fallback shape).
     */

@@ -312,7 +312,59 @@ object TextQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The E1 cascade via the broadcast n-gram join
+    * ([[DictionaryLocator.detectViaJoin]]) — the scale path for the full
+    * production dictionary, rolled up like q_topic_location. Its oracle
+    * mirrors the TOKEN-equality semantics (the join path's contract),
+    * not the regex chain.
+    */
+  def topicLocationJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val det = DictionaryLocator.detectViaJoin(
+      docs, $"doc_id", $"text", DictionaryLocator.EngineTopics)
+      .withColumnRenamed("id", "doc_id")
+    docs.select($"doc_id").join(det, Seq("doc_id"), "left")
+      .groupBy(
+        coalesce($"province", lit("unknown")).as("province"),
+        coalesce($"city", lit("unknown")).as("city"),
+        coalesce($"detected_from", lit("none")).as("detected_from"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"province", $"city", $"detected_from")
+  }
+
+  val topicLocationJoinSql: String = {
+    val dict = DictionaryLocator.EngineTopics
+    val dimRows = (dict.entries.zipWithIndex.flatMap { case ((p, cities), ip) =>
+      cities.zipWithIndex.map { case (c, ic) =>
+        s"('${c.toLowerCase}', 0, $ip, 0, $ic, '$p', '$c', 'city_match')"
+      } // EngineTopics cities are single-word: no token rows
+    } ++ dict.provinces.zipWithIndex.map { case (p, ip) =>
+      s"('${p.toLowerCase}', 1, $ip, 0, 0, '$p', CAST(NULL AS VARCHAR), 'province_match')"
+    }).mkString(",\n      |    ")
+    val t = "translate(lower(text), '-/\\|_,;.', '        ')"
+    s"""WITH dim(m, stage, ip, kind, ick, province, city, detected_from) AS (VALUES
+       |    $dimRows),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, m FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all($t, '\\S+')) AS m FROM documents)),
+       |best AS (
+       |  SELECT doc_id, province, city, detected_from FROM (
+       |    SELECT t.doc_id, d.province, d.city, d.detected_from,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY d.stage, d.ip, d.kind, d.ick) AS rn
+       |    FROM toks t JOIN dim d ON t.m = d.m)
+       |  WHERE rn = 1)
+       |SELECT coalesce(b.province, 'unknown') AS province,
+       |  coalesce(b.city, 'unknown') AS city,
+       |  coalesce(b.detected_from, 'none') AS detected_from,
+       |  count(*) AS n
+       |FROM documents doc LEFT JOIN best b ON doc.doc_id = b.doc_id
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_location_join" -> (topicLocationJoin _),
     "q_extractions" -> (extractions _),
     "q_fuzzy_location" -> (fuzzyLocation _),
     "q_clean_text" -> (cleanText _),
@@ -324,6 +376,7 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_topic_location_join" -> topicLocationJoinSql,
     "q_extractions" -> extractionsSql,
     "q_fuzzy_location" -> fuzzyLocationSql,
     "q_clean_text" -> cleanTextSql,

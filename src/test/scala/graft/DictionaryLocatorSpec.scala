@@ -77,6 +77,45 @@ class DictionaryLocatorSpec extends SparkSpec {
     assert(g == Seq(true, true))
   }
 
+  test("detectViaJoin (broadcast n-gram scale path) matches the when-chain cascade") {
+    import spark.implicits._
+    // the 28 recorded truth cases are all separator-normalizable, so the
+    // join path must agree with the regex chain on every one
+    val df = truth.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val viaJoin = DictionaryLocator
+      .detectViaJoin(df, col("id"), col("t"), DictionaryLocator.Indonesian)
+      .select(col("id"), col("province"), col("city"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    truth.zipWithIndex.foreach { case ((in, exp), i) =>
+      val got = viaJoin.get(i.toLong).map(g => (g._1, g._2)).getOrElse((null, null))
+      assert(got == exp, s"join-path mismatch for '$in': got $got, chain/reference gives $exp")
+    }
+  }
+
+  test("detectViaJoin agrees with detect() on the full 456-city dictionary") {
+    import spark.implicits._
+    import graft.sources.LocationDictSource
+    val refPath = "/root/reference/config/indonesia_locations.json"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refPath)))
+    val dict = LocationDictSource.fromFile(refPath)
+    val texts = Seq(
+      "pengumuman di banda aceh hari ini", "warga medan antri", "padang panjang ramai",
+      "jalan-jalan ke tanjung balai", "makan di jakarta selatan enak",
+      "bukittinggi dan payakumbuh", "provinsi sumatera barat maju",
+      "tidak ada lokasi", "kota bakti damai", "lubuk pakam macet")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val chain = DictionaryLocator.detect(col("t"), dict)
+    val expected = df.select(col("id"), chain.getField("province"), chain.getField("city"))
+      .as[(Long, String, String)].collect()
+      .filter(r => r._2 != null || r._3 != null).map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = DictionaryLocator.detectViaJoin(df, col("id"), col("t"), dict)
+      .select(col("id"), col("province"), col("city"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty) // the planted cities actually hit
+  }
+
   test("LocationDictSource preserves file order and parses the province->cities shape") {
     import graft.sources.LocationDictSource
     val json =
