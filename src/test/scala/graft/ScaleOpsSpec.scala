@@ -30,6 +30,14 @@ class ScaleOpsSpec extends SparkSpec {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i % 97, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i % 89, s"b$i")).toDF("k", "vb")
+    // a previous JVM's managed-table directories survive in the warehouse
+    // while the in-memory catalog starts empty — clear both sides
+    Seq("bucketed_a", "bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     ScaleOps.writeBucketed(a, "bucketed_a", "k", buckets = 8)
     ScaleOps.writeBucketed(b, "bucketed_b", "k", buckets = 8)
     // disable broadcast so the join must pick SMJ; bucketing then removes
