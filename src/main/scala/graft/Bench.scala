@@ -25,6 +25,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: touch every table and exercise the shuffle/window/broadcast
+    // machinery once, so session-initialization costs don't land on
+    // whichever query the map happens to order first — per-query numbers
+    // then reflect the query, not its position. (Each query still pays its
+    // own codegen, as it would in production.)
+    try {
+      graft.Tables.all.foreach(t => graft.Tables(spark, sfDir, t).count())
+      val r = graft.Tables(spark, sfDir, "region")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("r_regionkey")
+        .orderBy("r_name")
+      r.join(broadcast(r.select(col("r_regionkey").as("k"), col("r_name").as("n2"))),
+          col("r_regionkey") === col("k"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("r_name")).agg(sum(col("rn"))).collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))

@@ -282,7 +282,30 @@ object RelationalQueries {
       |  SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase')
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Distinct cardinalities per group (SURVEY §7.1 north-star:
+    * approx_count_distinct authors). The oracled query uses EXACT distinct
+    * counts — deterministic across engines; the HLL sketch variant (what a
+    * 100 TB run would use: mergeable, one pass, bounded memory) is
+    * accuracy-tested against this exact result in ScalaTest.
+    */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
+  val distinctUsersSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_users" -> (distinctUsers _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_region_revenue" -> (regionRevenue _),
     "q_top_parts_per_brand" -> (topPartsPerBrand _),
@@ -296,6 +319,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_distinct_users" -> distinctUsersSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_region_revenue" -> regionRevenueSql,
     "q_top_parts_per_brand" -> topPartsPerBrandSql,
