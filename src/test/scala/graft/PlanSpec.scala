@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.{DedupQueries, RelationalQueries, TextQueries}
+
+/** Plan-shape regression tests: the 100 TB properties the queries rely on
+  * (filter pushdown, column pruning, dimension broadcast, no cartesian
+  * blowups) asserted against the actual executed plans at sf0.001 — if a
+  * refactor silently breaks one of these, correctness stays green but the
+  * plan regresses; this suite makes that loud.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("date-range predicate pushes down to the parquet scan") {
+    val p = plan(RelationalQueries.ordersInRange(spark, sf))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(o_orderdate") ,
+      s"expected o_orderdate pushdown in:\n$p")
+  }
+
+  test("projection queries prune the scan to referenced columns only") {
+    val p = plan(TextQueries.fingerprints(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source") && !read.contains("n_chars"),
+      s"scan reads unreferenced columns: $read")
+  }
+
+  test("region revenue broadcasts bounded dims but not the fact join") {
+    val p = plan(RelationalQueries.regionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dimension joins should broadcast")
+    // no broadcast HINT on customer: at tiny SF AQE may still choose
+    // broadcast, but the lineitem⋈orders join must never be a nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("near-dup pair join is an equi-join on the shingle, never a cross product") {
+    val p = plan(DedupQueries.nearDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cross product in:\n$p")
+    // the shingle expression must NOT be inlined into the scan filter
+    val scanFilters = p.linesIterator.filter(_.contains("PushedFilters"))
+    assert(scanFilters.forall(!_.contains("arrays_zip")))
+  }
+
+  test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
+    val df = TextQueries.qualityScores(spark, sf)
+    df.collect() // AQE only shows codegen spans in the FINAL executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // the asterisk marks WholeStageCodegen spans
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+}

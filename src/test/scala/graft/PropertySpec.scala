@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Property tests over the cleaning and dedup invariants (SURVEY §5):
+  * whatever the input text, cleaning output carries no URLs/mentions and is
+  * lowercase; exact dedup is idempotent and keeps one row per key; jaccard
+  * is symmetric and bounded. ScalaCheck generators sampled under fixed
+  * seeds (the scalatest-scalacheck bridge isn't on the classpath; seeded
+  * sampling keeps runs deterministic anyway).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 20)(check: A => Unit): Unit = {
+    val ss = samples(g, n)
+    assert(ss.nonEmpty)
+    ss.foreach(check)
+  }
+
+  private val word = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.const("http://x.co/abc"),
+    Gen.const("@user"),
+    Gen.const("#tag"),
+    Gen.const("Jakarta"),
+    Gen.const("\tweird\nspace "))
+  private val textGen: Gen[String] =
+    Gen.listOfN(12, word).map(_.mkString(" "))
+
+  test("cleaning invariants hold for arbitrary noisy text") {
+    import spark.implicits._
+    val texts = samples(textGen, 60)
+    val cleaned = texts.toDF("t")
+      .select(TextFunctions.cleanTweetText(col("t"))).as[String].collect()
+    assert(cleaned.length == texts.length)
+    cleaned.foreach { c =>
+      assert(!c.contains("http") && !c.contains("www"))
+      assert(!c.exists(_.isUpper))
+      assert(!c.matches(".*@\\w+.*"))
+      assert(!c.contains("  ") && c == c.trim) // whitespace collapsed
+    }
+  }
+
+  test("exact dedup keeps exactly one row per key and is idempotent") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 10L), Gen.alphaStr.map(_.take(5)))), 10) {
+      rows =>
+        val df = rows.toDF("k", "v")
+        val once = Dedup.exact(df, col("k"), col("v"))
+        val twice = Dedup.exact(once, col("k"), col("v"))
+        val keys = once.select("k").as[Long].collect().toSeq
+        assert(keys.distinct.size == keys.size)               // unique keys
+        assert(keys.toSet == rows.map(_._1).toSet)            // no key lost
+        assert(twice.collect().toSet == once.collect().toSet) // idempotent
+    }
+  }
+
+  test("jaccard is symmetric, bounded, and 1.0 on self") {
+    import spark.implicits._
+    val arr = Gen.listOf(Gen.alphaStr.map(_.take(4))).map(_.take(6))
+    val pairs = samples(Gen.zip(arr, arr), 40)
+    val got = pairs.toDF("a", "b").select(
+      Dedup.jaccard(col("a"), col("b")).as("ab"),
+      Dedup.jaccard(col("b"), col("a")).as("ba"),
+      Dedup.jaccard(col("a"), col("a")).as("aa"),
+      size(array_distinct(col("a"))).as("na"))
+      .collect()
+    assert(got.length == pairs.length)
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))                // symmetric
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(if (r.getInt(3) == 0) r.getDouble(2) == 0.0 else r.getDouble(2) == 1.0)
+    }
+  }
+}
