@@ -58,30 +58,31 @@ object TextFunctions {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_'
 
-  /** Backslash-escape ASCII punctuation so dictionary words can never
-    * corrupt the pattern. Non-ASCII chars pass through unescaped (escaping
-    * them is itself an error in some engines); they are never
-    * metacharacters.
+  /** Backslash-escape regex metacharacters so dictionary words can never
+    * corrupt the pattern. Only true metacharacters are escaped (both Java
+    * regex and RE2 accept these escapes); spaces, CJK, and accented chars
+    * pass through.
     */
   private def escapeWord(w: String): String =
     w.flatMap { c =>
-      if (c < 128 && !isAsciiWordChar(c)) "\\" + c else c.toString
+      if (".^$|?*+()[]{}\\".indexOf(c) >= 0) "\\" + c else c.toString
     }
 
-  /** One regex matching any of `words`: words made purely of `\b`-safe
-    * ASCII word chars sit behind `\b` boundaries; everything else (CJK,
-    * accented Latin, punctuated words) matches as a bare escaped
-    * alternation — `\b` is ASCII-word-class based, so `\b的\b` or `\bété\b`
-    * can never anchor correctly next to non-word-class characters. Words
-    * are regex-escaped, so metacharacters in a dictionary cannot corrupt
-    * the pattern. Shared by the Spark columns and the generated DuckDB
-    * oracle SQL (both Java regex and RE2 accept this dialect) so the two
-    * always agree.
+  /** One regex matching any of `words`. A word sits behind `\b` boundaries
+    * iff its FIRST and LAST characters are in the ASCII `\b` word class —
+    * anchoring only depends on the edges, so multi-word phrases
+    * ("terima kasih") and apostrophe words ("can't") keep their
+    * boundaries, while CJK / accented-Latin words (`\b的\b`, `\bété\b`
+    * can never anchor next to non-word-class chars) match as a bare
+    * alternation. All words are metacharacter-escaped. Shared by the
+    * Spark columns and the generated DuckDB oracle SQL (both Java regex
+    * and RE2 accept this dialect) so the two always agree.
     */
   def hitPattern(words: Seq[String]): String = {
-    val (wordy, other) = words.partition(_.forall(isAsciiWordChar))
+    val (wordy, other) = words.partition(w =>
+      w.nonEmpty && isAsciiWordChar(w.head) && isAsciiWordChar(w.last))
     Seq(
-      if (wordy.nonEmpty) Some("\\b(" + wordy.mkString("|") + ")\\b") else None,
+      if (wordy.nonEmpty) Some("\\b(" + wordy.map(escapeWord).mkString("|") + ")\\b") else None,
       if (other.nonEmpty) Some("(" + other.map(escapeWord).mkString("|") + ")") else None
     ).flatten.mkString("|")
   }
@@ -100,15 +101,14 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
     "zh" -> Seq("的", "是", "了", "我", "在"))
 
-  /** N-gram-heuristic language ID: argmax of stopword hits, first language
-    * in [[LangStopwords]] order wins ties; no hits at all → "und"
-    * (undetermined). Pure when-chain — codegen-friendly, broadcast-free.
+  /** The language-ID argmax over per-language hit-count columns: first
+    * language in priority order with the max count wins; zero hits
+    * everywhere → "und". Shared by [[langId]] (counts inlined — one
+    * Column, convenient) and by hot-path callers that materialize the
+    * counts in their own projection first (each count is referenced 3-4x
+    * here, so inlining re-evaluates the regexes that many times).
     */
-  def langId(text: Column): Column = {
-    val lowered = lower(text)
-    val counts = LangStopwords.map { case (lang, words) =>
-      lang -> wordHits(lowered, words)
-    }
+  def langIdFromCounts(counts: Seq[(String, Column)]): Column = {
     val anyHit = counts.map(_._2).reduce(_ + _) > 0
     // lang_i wins iff its count >= every later count and > every earlier one
     // — equivalently, walking in priority order, the first with the max.
@@ -117,6 +117,17 @@ object TextFunctions {
       when(acc.isNotNull, acc).otherwise(when(c === maxCount, lit(lang)))
     }
     when(anyHit, chain).otherwise(lit("und"))
+  }
+
+  /** N-gram-heuristic language ID: argmax of stopword hits, first language
+    * in [[LangStopwords]] order wins ties; no hits at all → "und"
+    * (undetermined). Pure when-chain — codegen-friendly, broadcast-free.
+    */
+  def langId(text: Column): Column = {
+    val lowered = lower(text)
+    langIdFromCounts(LangStopwords.map { case (lang, words) =>
+      lang -> wordHits(lowered, words)
+    })
   }
 
   /** F4: tweet id from a status URL — the path element after `/status/`

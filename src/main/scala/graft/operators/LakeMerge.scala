@@ -44,8 +44,17 @@ object LakeMerge {
         // not data — collecting it to the driver mirrors the reference's
         // per-day routing loop and enables partition pruning on the read.
         val dates = inc.select(col(PartitionCol)).distinct().collect().map(_.getDate(0))
+        // null event_date (null created_at upstream of nest's fallback)
+        // routes to the default partition — isin(null) would evaluate to
+        // null and silently EXCLUDE existing null-partition rows from the
+        // merge, losing them on the overwrite
+        val (nullDates, realDates) = dates.partition(_ == null)
+        val datePred = {
+          val in = col(PartitionCol).isin(realDates.toSeq: _*)
+          if (nullDates.nonEmpty) in || col(PartitionCol).isNull else in
+        }
         val existing = spark.read.parquet(path)
-          .filter(col(PartitionCol).isin(dates.toSeq: _*))
+          .filter(datePred)
           // Truncate lineage: Spark refuses to overwrite a path that an
           // active plan still reads from; the checkpoint materializes the
           // (pruned, small) affected slice before the write.
@@ -54,8 +63,12 @@ object LakeMerge {
           .unionByName(inc.withColumn("__pri", lit(1)))
       }
 
+    // final tiebreak: a content hash — two docs sharing (_id, priority,
+    // scraped_at) would otherwise be picked by task-scheduling order,
+    // breaking the "same batch, same winner" idempotency contract
     val w = Window.partitionBy(col("_id"))
-      .orderBy(col("__pri").desc, col("metadata.scraped_at").desc_nulls_last)
+      .orderBy(col("__pri").desc, col("metadata.scraped_at").desc_nulls_last,
+        xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
     val winners = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

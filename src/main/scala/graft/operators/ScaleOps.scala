@@ -28,6 +28,12 @@ object ScaleOps {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       n: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched REPLICATED small row n
+    // times — only joins that preserve at most the big side are sound
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+      .contains(normalized),
+      s"saltedJoin supports inner/left/semi/anti joins only, got '$joinType'")
     val salted = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(n.toLong)))
     val replicated = small.withColumn("__salt", explode(sequence(lit(0L), lit(n.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

@@ -52,8 +52,16 @@ final case class LexiconClassifier(lexicon: LexiconSentiment.Lexicon)
   override def classifyBatch(texts: Seq[String]): Seq[(String, Double)] =
     texts.map { t =>
       // reference classify_sentiment: None/empty -> NEUTRAL 0.0; truncate
-      // to 512 chars before the model (utils.py:84-86)
-      val s = Option(t).getOrElse("").take(512).toLowerCase
+      // to 512 chars before the model (utils.py:84-86). Truncation counts
+      // CODE POINTS and lowercasing uses Locale.ROOT — String.take counts
+      // UTF-16 units and default-locale toLowerCase is JVM-dependent
+      // (Turkish dotless i), either of which would break the documented
+      // bit-parity with Spark's substring()/lower().
+      val s0 = Option(t).getOrElse("")
+      val end =
+        if (s0.codePointCount(0, s0.length) <= 512) s0.length
+        else s0.offsetByCodePoints(0, 512)
+      val s = s0.substring(0, end).toLowerCase(java.util.Locale.ROOT)
       if (s.isEmpty) ("neutral", 0.0)
       else {
         val p = hits(posRe, s)

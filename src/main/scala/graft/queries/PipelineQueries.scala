@@ -55,12 +55,24 @@ object PipelineQueries {
       .orderBy($"province", $"sentiment_label")
   }
 
-  val tweetPipelineSql: String = {
-    import graft.functions.TextFunctions.hitPattern
-    // F1 cleaning chain (utils.py:28-50) over the raw text.
-    val clean = """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  // Shared oracle fragments — ONE definition each so the two oracles can
+  // never drift apart:
+  // F1 cleaning chain (utils.py:28-50) over the raw text.
+  private val cleanSqlFragment =
+    """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    text, 'http\S+|www\S+|https\S+', '', 'g'), '@\w+', '[MENTION]', 'g'),
       |    '#\w+', '[HASHTAG]', 'g'), '\s+', ' ', 'g')))""".stripMargin
+
+  // E4 hit counts over substr(clean_text, 1, 512) with the engine lexicon.
+  private def hitCountSql(words: Seq[String]): String = {
+    import graft.functions.TextFunctions.hitPattern
+    s"len(regexp_extract_all(substr(clean, 1, 512), '${hitPattern(words)}'))"
+  }
+  private def posSql = hitCountSql(LexiconSentiment.EngineWords.positive)
+  private def negSql = hitCountSql(LexiconSentiment.EngineWords.negative)
+
+  val tweetPipelineSql: String = {
+    val clean = cleanSqlFragment
     // E3 location detection input: content.text + ' ' + author_name('').
     val t = "translate(lower(text || ' '), '-/\\|_,;.', '        ')"
     val provWhens = (DictionaryLocator.EngineTopics.cities.map { case (p, c) =>
@@ -68,10 +80,8 @@ object PipelineQueries {
     } ++ DictionaryLocator.EngineTopics.provinces.map { p =>
       s"WHEN regexp_matches($t, '\\b$p\\b') THEN '$p'"
     }).mkString(" ")
-    // E4 over substr(clean_text, 1, 512) with the engine lexicon.
-    val lex = LexiconSentiment.EngineWords
-    val p = s"len(regexp_extract_all(substr(clean, 1, 512), '${hitPattern(lex.positive)}'))"
-    val n = s"len(regexp_extract_all(substr(clean, 1, 512), '${hitPattern(lex.negative)}'))"
+    val p = posSql
+    val n = negSql
     // n_unprocessed: clean_text / label are never null for the synthesized
     // docs and E3 always stamps detected_from='text_analysis', so the P4
     // predicate reduces to the two nullable checks (always 0 — asserting
@@ -107,13 +117,9 @@ object PipelineQueries {
   }
 
   val tweetFlatSql: String = {
-    import graft.functions.TextFunctions.hitPattern
-    val clean = """lower(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    text, 'http\S+|www\S+|https\S+', '', 'g'), '@\w+', '[MENTION]', 'g'),
-      |    '#\w+', '[HASHTAG]', 'g'), '\s+', ' ', 'g')))""".stripMargin
-    val lex = LexiconSentiment.EngineWords
-    val p = s"len(regexp_extract_all(substr(clean, 1, 512), '${hitPattern(lex.positive)}'))"
-    val n = s"len(regexp_extract_all(substr(clean, 1, 512), '${hitPattern(lex.negative)}'))"
+    val clean = cleanSqlFragment
+    val p = posSql
+    val n = negSql
     s"""WITH cleaned AS (
        |  SELECT doc_id, $clean AS clean FROM documents)
        |SELECT CAST(doc_id AS VARCHAR) AS _id,

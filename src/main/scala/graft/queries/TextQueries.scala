@@ -87,17 +87,11 @@ object TextQueries {
     val counts = LangStopwords.map { case (lang, words) =>
       wordHits($"__lt", words).as(s"__c_$lang")
     }
-    val cols = LangStopwords.map { case (lang, _) => col(s"__c_$lang") }
-    val anyHit = cols.reduce(_ + _) > 0
-    val maxCount = cols.reduce((a, b) => greatest(a, b))
-    val chain = LangStopwords.zip(cols).foldLeft(lit(null).cast("string")) {
-      case (acc, ((lang, _), c)) =>
-        when(acc.isNotNull, acc).otherwise(when(c === maxCount, lit(lang)))
-    }
+    val bound = LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
     Tables(spark, dir, "documents")
       .select($"lang", lower($"text").as("__lt"))
       .select(Seq($"lang") ++ counts: _*)
-      .select($"lang", when(anyHit, chain).otherwise(lit("und")).as("predicted"))
+      .select($"lang", langIdFromCounts(bound).as("predicted"))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")

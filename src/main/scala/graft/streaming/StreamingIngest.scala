@@ -70,17 +70,19 @@ object StreamingIngest {
       .select(col("window.start").cast("date").as("event_date"),
         col("sentiment_label"), col("n"))
 
-  /** Streaming exact dedup by `_id` with watermark-bounded state — the
-    * reference's cross-batch `processed_tweet_ids` set (D1,
-    * src/resilient_scraper.py:55) without the unbounded-memory failure
-    * mode: state for ids older than the watermark is dropped, and the
-    * downstream keyed merge makes residual duplicates harmless.
+  /** Streaming exact dedup by `_id` (id ALONE — two scrapes of the same
+    * tweet dedup even when their parsed event times differ) with
+    * watermark-bounded state — the reference's cross-batch
+    * `processed_tweet_ids` set (D1, src/resilient_scraper.py:55) without
+    * the unbounded-memory failure mode: state for ids older than the
+    * watermark is dropped, and the downstream keyed merge makes residual
+    * duplicates harmless.
     */
   def dedupStream(processed: DataFrame, lateness: String = "1 day"): DataFrame =
     processed
       .withColumn("__event_time", col("metadata.created_at"))
       .withWatermark("__event_time", lateness)
-      .dropDuplicates("_id", "__event_time")
+      .dropDuplicatesWithinWatermark("_id")
       .drop("__event_time")
 
   /** A7 streaming: running totals per key across micro-batches via

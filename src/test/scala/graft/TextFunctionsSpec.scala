@@ -114,9 +114,15 @@ class TextFunctionsSpec extends SparkSpec {
     val bounded = Seq("the theme anthem").toDF("t")
       .select(TextFunctions.wordHits(col("t"), Seq("the"))).as[Int].head()
     assert(bounded == 1)
-    // apostrophe words fall into the escaped-substring branch, still match
-    val apo = Seq("you can't say that").toDF("t")
+    // apostrophe words keep boundaries (edges are word chars)
+    val apo = Seq("you can't say that but can'tx isn't it").toDF("t")
       .select(TextFunctions.wordHits(col("t"), Seq("can't"))).as[Int].head()
-    assert(apo == 1)
+    assert(apo == 1) // can'tx must NOT count
+    // multi-word phrases keep their \b anchors: 'berterima kasih' must NOT
+    // count as 'terima kasih' (regression: the phrase briefly lost its
+    // boundaries when partitioning keyed on all-word-chars)
+    val phrase = Seq("saya berterima kasih atas terima kasih anda").toDF("t")
+      .select(TextFunctions.wordHits(col("t"), Seq("terima kasih"))).as[Int].head()
+    assert(phrase == 1)
   }
 }
