@@ -56,6 +56,31 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("cosine near-duplicate pairs match brute force on planted near-dups") {
+    import spark.implicits._
+    // clusters with 0.05-sigma noise around unit-scale centers: members of
+    // one cluster are tight near-dups, cross-cluster cosines are far lower
+    val vecs = planted(nClusters = 4, perCluster = 5, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val expect = (for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs if ia < ib
+      c = BigDecimal(cos(ea, eb)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if c >= 0.95
+    } yield (ia, ib)).toSet
+    assert(expect.nonEmpty) // the planted clusters actually contain pairs
+    val got = Embeddings.cosineNearDuplicates(df, $"vec_id", $"embedding", threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    // and every found pair is within one planted cluster
+    got.foreach { case (a, b) => assert(a / 5 == b / 5) }
+  }
+
   test("ANN scores strictly fewer pairs than brute force (bucketing prunes)") {
     import spark.implicits._
     val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
