@@ -133,11 +133,59 @@ object PipelineQueries {
        |FROM cleaned ORDER BY _id""".stripMargin
   }
 
+  /** The dashboard-feeding roll-up (SURVEY §7.2 flagship slice): daily
+    * sentiment distribution per province — event-date x province x label
+    * counts with within-day shares, over the full composed pipeline.
+    */
+  def dailyProvinceSentiment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val job = IngestJob(DictionaryLocator.EngineTopics, LexiconSentiment.EngineWords)
+    val processed = job.transform(syntheticRaw(spark, dir), to_timestamp(lit(FixedNow)))
+    processed
+      .groupBy(
+        to_date($"metadata.created_at").as("event_date"),
+        coalesce($"location.province", lit("unknown")).as("province"),
+        $"sentiment_analysis.label".as("sentiment_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_share", round($"n" / sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_date")), 4))
+      .orderBy($"event_date", $"province", $"sentiment_label")
+  }
+
+  val dailyProvinceSentimentSql: String = {
+    val clean = cleanSqlFragment
+    val t = "translate(lower(text || ' '), '-/\\|_,;.', '        ')"
+    val provWhens = (DictionaryLocator.EngineTopics.cities.map { case (p, c) =>
+      s"WHEN regexp_matches($t, '\\b$c\\b') THEN '$p'"
+    } ++ DictionaryLocator.EngineTopics.provinces.map { p =>
+      s"WHEN regexp_matches($t, '\\b$p\\b') THEN '$p'"
+    }).mkString(" ")
+    val p = posSql
+    val n = negSql
+    s"""WITH cleaned AS (
+       |  SELECT doc_id, text, $clean AS clean FROM documents),
+       |enriched AS (
+       |  SELECT date_add(DATE'2025-05-01', CAST(doc_id % 28 AS INT)) AS event_date,
+       |    coalesce(CASE $provWhens END, 'unknown') AS province,
+       |    CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
+       |         ELSE 'neutral' END AS sentiment_label
+       |  FROM cleaned),
+       |counts AS (
+       |  SELECT event_date, province, sentiment_label, count(*) AS n
+       |  FROM enriched GROUP BY 1, 2, 3)
+       |SELECT event_date, province, sentiment_label, n,
+       |  round(n / sum(n) OVER (PARTITION BY event_date), 4) AS day_share
+       |FROM counts
+       |ORDER BY event_date, province, sentiment_label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tweet_pipeline" -> (tweetPipeline _),
-    "q_tweet_flat" -> (tweetFlat _))
+    "q_tweet_flat" -> (tweetFlat _),
+    "q_daily_province_sentiment" -> (dailyProvinceSentiment _))
 
   val oracles: Map[String, String] = Map(
     "q_tweet_pipeline" -> tweetPipelineSql,
-    "q_tweet_flat" -> tweetFlatSql)
+    "q_tweet_flat" -> tweetFlatSql,
+    "q_daily_province_sentiment" -> dailyProvinceSentimentSql)
 }
