@@ -34,6 +34,14 @@ object TweetOps {
         nullString.as("detected_from"),
         s.as("original_location")))
 
+  /** P5: the scraper's minimum-length gate — drop records whose trimmed
+    * text is under `minChars` (ads/empty fragments,
+    * src/resilient_scraper.py:399,533). Applied to RAW records before the
+    * nest projection, where the reference applies it.
+    */
+  def minLengthFilter(raw: DataFrame, minChars: Int = 5): DataFrame =
+    raw.filter(length(trim(coalesce(col("text"), lit("")))) >= minChars)
+
   /** P2: raw scrape record -> canonical nested doc
     * (process_and_save_tweets, src/resilient_scraper.py:909-936): F2-clean
     * + lowercase into content.clean_text, ISO parse with now() fallback

@@ -59,9 +59,12 @@ final case class IngestJob(
     (processed, stats)
   }
 
-  /** The pure transform chain (no IO) — also the unit-test surface. */
+  /** The pure transform chain (no IO) — also the unit-test surface.
+    * The P5 minimum-length gate runs first, where the reference's scraper
+    * applies it (src/resilient_scraper.py:399).
+    */
   def transform(raw: DataFrame, now: Column = current_timestamp()): DataFrame = {
-    val nested = TweetOps.nest(raw, now)
+    val nested = TweetOps.nest(TweetOps.minLengthFilter(raw), now)
     val cleaned = TweetOps.applyDataCleaning(nested, dict, now)
     TweetOps.applySentimentLabeling(cleaned, lexicon, now)
   }

@@ -128,10 +128,11 @@ class StreamingIngestSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     // same _id with DIFFERENT event times (a re-scrape whose timestamp
     // parse fell back differently) must still dedup — id-only semantics
+    // (texts >= 5 chars so the P5 length gate keeps them)
     mem.addData(
-      ("1", "a", "2025-05-01T08:00:00Z"),
-      ("1", "a", "2025-05-01T08:30:00Z"),
-      ("2", "b", "2025-05-01T09:00:00Z"))
+      ("1", "dokumen satu", "2025-05-01T08:00:00Z"),
+      ("1", "dokumen satu", "2025-05-01T08:30:00Z"),
+      ("2", "dokumen dua", "2025-05-01T09:00:00Z"))
     q.processAllAvailable()
     val got = spark.sql("SELECT _id FROM dedup_out ORDER BY _id")
       .collect().map(_.getString(0)).toSeq

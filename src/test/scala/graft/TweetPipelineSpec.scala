@@ -23,6 +23,9 @@ class TweetPipelineSpec extends SparkSpec {
   private def writeRaw(path: String, lines: Seq[String]): Unit =
     Files.write(Paths.get(path), String.join("\n", lines: _*).getBytes("UTF-8"))
 
+  private def raw200(id: String, text: String, createdAt: String): String =
+    s"""{"_id":"$id","text":"$text","author_name":"N","author_handle":"n","created_at":"$createdAt","location":null,"tweet_url":"https://x.com/n/status/$id","metrics":{"reply_count":0,"retweet_count":0,"like_count":0}}"""
+
   private val batch1 = Seq(
     """{"_id":"1","text":"Makan bergizi gratis di Bandung bagus dan sehat","author_name":"Andi","author_handle":"andi","created_at":"2025-05-01T08:00:00Z","location":null,"tweet_url":"https://x.com/andi/status/1","metrics":{"reply_count":1,"retweet_count":2,"like_count":3}}""",
     """{"_id":"2","text":"program MBG gagal total banyak keracunan http://t.co/x #MBG","author_name":"Budi","author_handle":"budi","created_at":"2025-05-01T09:30:00Z","location":"Surabaya","tweet_url":"https://x.com/budi/status/2","metrics":{"reply_count":0,"retweet_count":0,"like_count":1}}""",
@@ -170,6 +173,52 @@ class TweetPipelineSpec extends SparkSpec {
       maxDocs = Some(2))
     val (_, s2) = capped.runWithStats(spark, s"$dir/raw.json", s"$dir/lake2", fixedNow)
     assert(s2("total_docs") == 2L)
+  }
+
+  test("P5 min-length gate drops ad/empty fragments before the nest") {
+    val dir = tmpDir("minlen")
+    writeRaw(s"$dir/raw.json", batch1 ++ Seq(
+      raw200("97", "ad", "2025-05-01T01:00:00Z"),
+      raw200("98", "    ", "2025-05-01T01:00:00Z"),
+      raw200("99", "okay!", "2025-05-01T01:00:00Z"))) // exactly 5 chars kept
+    val out = job.transform(
+      TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow)
+      .select(col("_id")).collect().map(_.getString(0)).toSet
+    assert(out == Set("1", "2", "3", "99"))
+  }
+
+  test("S4/S2 round trip: JSON sink output re-reads into the canonical shape") {
+    val dir = tmpDir("roundtrip")
+    writeRaw(s"$dir/raw.json", batch1)
+    val processed = job.transform(
+      TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow)
+    TweetJsonSource.writeJson(processed, s"$dir/export")
+    val back = TweetJsonSource.readLanded(spark, s"$dir/export/*.json", fallback = fixedNow)
+    assert(back.count() == 3)
+    val a = processed.orderBy("_id").toJSON.collect().toSeq
+    val b = back.orderBy("_id").toJSON.collect().toSeq
+    assert(a == b)
+  }
+
+  test("ReprocessJob recomputes derived columns idempotently for a date range") {
+    import graft.pipeline.ReprocessJob
+    val dir = tmpDir("reprocess")
+    writeRaw(s"$dir/raw.json", batch1)
+    val lake = s"$dir/lake"
+    job.run(spark, s"$dir/raw.json", lake, fixedNow)
+    val later = to_timestamp(lit("2025-06-05 09:00:00"))
+    ReprocessJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+      .run(spark, lake, "2025-05-01", "2025-05-02", later)
+    val lakeDf = LakeMerge.readLake(spark, lake)
+    assert(lakeDf.count() == 3) // no rows gained or lost
+    // derived stamps advanced to the reprocess time; labels unchanged
+    val stamps = lakeDf.select(col("processing_status.cleaning_timestamp"))
+      .collect().map(_.getString(0)).toSet
+    assert(stamps == Set("2025-06-05T09:00:00"))
+    assert(TweetOps.unprocessed(lakeDf).count() == 0)
+    val labels = lakeDf.orderBy("_id")
+      .select(col("sentiment_analysis.label")).collect().map(_.getString(0)).toSeq
+    assert(labels == Seq("positive", "negative", "neutral"))
   }
 
   test("flatten produces the 12-column analysis view") {
