@@ -221,6 +221,25 @@ class TweetPipelineSpec extends SparkSpec {
     assert(labels == Seq("positive", "negative", "neutral"))
   }
 
+  test("lake reads prune to the filtered event_date partitions") {
+    val dir = tmpDir("prune")
+    writeRaw(s"$dir/raw.json", batch1) // lands 2025-05-01 and 2025-05-02
+    val lake = s"$dir/lake"
+    job.run(spark, s"$dir/raw.json", lake, fixedNow)
+    val pruned = LakeMerge.readLake(spark, lake)
+      .filter(col(LakeMerge.PartitionCol) === "2025-05-01")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filters must reach the scan; only the matching partition
+    // directory is read (the "collection per day" routing as pruning)
+    assert(scan.contains("PartitionFilters") && scan.contains("event_date"),
+      s"no partition filter in:\n$scan")
+    assert(pruned.count() == 2)
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.forall(_.contains("event_date=2025-05-01")))
+  }
+
   test("flatten produces the 12-column analysis view") {
     val dir = tmpDir("flatten")
     writeRaw(s"$dir/raw.json", batch1)
