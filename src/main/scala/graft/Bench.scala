@@ -11,10 +11,22 @@ import org.apache.spark.sql.functions._
   * xxhash64 over a struct of ALL output columns — every expression in the
   * query must actually be evaluated for every row, while the result stays a
   * single driver-side long (no collect of real data).
+  *
+  * The fold is `bit_xor`, not `sum`: xxhash64 yields uniformly distributed
+  * 64-bit values, so a running Long sum overflows almost surely under
+  * Spark 4's default ANSI mode (this aborted 29/32 queries in round 3).
+  * XOR is order-independent, closed over Long, and still forces every
+  * output expression to evaluate per row.
+  *
+  * Failures are never silently converted into timings: a query that throws
+  * is reported as -1 in `queries` and listed in the `errors` array of the
+  * JSON line, so a crashing query is visible without reading stack traces.
   */
 object Bench {
-  private def materialize(df: DataFrame): Long =
-    df.agg(sum(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head.getLong(0)
+  private def materialize(df: DataFrame): Long = {
+    val row = df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head
+    if (row.isNullAt(0)) 0L else row.getLong(0) // empty result → null fold
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,16 +52,24 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .groupBy(col("r_name")).agg(sum(col("rn"))).collect()
     } catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            errors += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
