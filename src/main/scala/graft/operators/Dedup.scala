@@ -189,13 +189,21 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash fingerprint of a token-array column: per-token xxhash64,
+  /** 64-bit SimHash fingerprint of a token-array column: per-token hash,
     * per-bit +1/−1 vote, sign → bit. One aggregate pass, fully codegen'd.
+    *
+    * `tokenHash` defaults to xxhash64 (full 64-bit spread — the production
+    * choice). Pass [[graft.functions.TextFunctions.fingerprint]] for the
+    * portable Karp–Rabin variant: its values stay below 2^30, so bits
+    * 30-63 can never vote positive and the fingerprint carries 30 bits of
+    * entropy — but every step is reproducible in ANSI SQL, which lets an
+    * external engine verify the vote/assemble machinery bit-for-bit
+    * (q_simhash's oracle does exactly that).
     */
-  def simHash(tokenArr: Column): Column = {
+  def simHash(tokenArr: Column, tokenHash: Column => Column = xxhash64(_)): Column = {
     val bitIdx = sequence(lit(0), lit(63))
     val votes = aggregate(
-      transform(tokenArr, t => xxhash64(t)),
+      transform(tokenArr, t => tokenHash(t)),
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, bitIdx,
         (a, kk) => a + when((call_function("shiftrightunsigned", h, kk.cast("int"))

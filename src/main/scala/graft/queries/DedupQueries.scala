@@ -65,23 +65,40 @@ object DedupQueries {
       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash fingerprint + Hamming-ball grouping: every document's 64-bit
-    * SimHash, plus how many other documents sit within Hamming distance 3
-    * (the classic near-dup radius). Exact pairwise over fingerprints —
-    * 8 bytes/doc — rolled up to a per-source histogram so the output stays
-    * small. At 100 TB the pairwise step would be replaced by the
-    * Charikar-style sorted-rotation buckets; the fingerprint itself (the
-    * expensive part) is a single codegen'd projection either way.
+  /** Per-document SimHash fingerprints, oracle-gated end to end: the token
+    * hash is the Karp–Rabin character fold already proven cross-engine by
+    * q_fingerprints, so DuckDB reproduces every step — per-token hash,
+    * per-bit vote, sign, assembly — bit-for-bit (see [[Dedup.simHash]] for
+    * the 30-bit-entropy trade; the xxhash64 production default is covered
+    * by DedupSpec's exactness tests). The fingerprint is a single
+    * codegen'd projection either way; at 100 TB the downstream near-dup
+    * grouping would use Charikar-style sorted-rotation buckets over these
+    * 8-byte values.
     */
   def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir, "documents")
-      .select($"doc_id", Dedup.simHash(Dedup.tokens(lower($"text"))).as("simhash"))
+      .select($"doc_id",
+        Dedup.simHash(Dedup.tokens(lower($"text")),
+          graft.functions.TextFunctions.fingerprint).as("simhash"))
       .orderBy($"doc_id")
   }
 
-  // q_simhash has no oracle entry (xxhash64 is not reproducible in ANSI
-  // SQL) — the driver records a rows-only check; DedupSpec covers values.
+  // Mirrors simHash(tokenHash = fingerprint): per-token KR fold (< 2^30, so
+  // only bits 0-29 can vote positive; higher bits are provably 0), per-bit
+  // +1/-1 vote via list_sum, sign -> bit, disjoint-bit sum = OR.
+  val simHashSql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE list_sum(
+      |    [CASE WHEN list_sum([CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
+      |          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(0, 30)]) END AS BIGINT) AS simhash
+      |FROM (
+      |  SELECT doc_id,
+      |    [list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split(t, '')],
+      |                 (acc, x) -> (acc * 31 + x) % 1000000007) for t in regexp_extract_all(lower(text), '\S+')] AS hs
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
@@ -89,5 +106,6 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" -> exactDedupSql,
-    "q_near_dup_pairs" -> nearDupPairsSql)
+    "q_near_dup_pairs" -> nearDupPairsSql,
+    "q_simhash" -> simHashSql)
 }
