@@ -157,14 +157,23 @@ object Dedup {
     *
     * Scale shape: one explode + one shuffle keyed on the shingle + one
     * hash aggregate on (id_a, id_b). Candidate volume is bounded by shingle
-    * co-occurrence (not O(n²)); a production run would add a
-    * document-frequency cap on hot shingles (stop-shingle pruning), which
-    * trades recall for skew-resistance — omitted here because the oracle
-    * must see the exact pair set.
+    * co-occurrence (not O(n²)) — except at hot "stop shingles": a phrase
+    * shared by d documents contributes d·(d−1)/2 candidate rows on that one
+    * join key, so a single boilerplate phrase across a corpus goes
+    * quadratic. `maxShingleDf` is the production guard: shingles whose
+    * document frequency exceeds the cap are dropped before the self-join
+    * (computed with one extra aggregate + join on the same key, so no new
+    * shuffle shape). The trade is one-sided: a dropped shingle can only
+    * REMOVE join matches, so with the cap on, reported jaccard is a lower
+    * bound of the true value and pairs can be missed (recall loss on pairs
+    * whose overlap is mostly stop-shingles) but never spuriously added.
+    * Default None keeps the exact pair set — the SQL oracle verifies that
+    * path; DedupSpec's planted-hot-shingle test pins the capped one.
     */
   def nearDuplicatePairsExact(
       df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.5, shingleLen: Int = 3): DataFrame = {
+      threshold: Double = 0.5, shingleLen: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     // explode_outer, not explode: for a plain explode the optimizer's
     // InferFiltersFromGenerate rule adds a size(__sh) > 0 filter and then
     // pushes it below the projections, re-inlining the entire shingle
@@ -174,7 +183,20 @@ object Dedup {
     val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
       .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
       .select(col("__id"), col("__sh"), size(col("__sh")).as("__n"))
-    val ex = sh.select(col("__id"), col("__n"), explode_outer(col("__sh")).as("__s"))
+    val exAll = sh.select(col("__id"), col("__n"), explode_outer(col("__sh")).as("__s"))
+    // Stop-shingle pruning: keep only shingles whose document frequency is
+    // within the cap. Shingle arrays are distinct per doc, so count(*) per
+    // shingle IS its document frequency. The inner equi-join also drops the
+    // null rows explode_outer kept for empty-shingle docs.
+    val ex = maxShingleDf match {
+      case None => exAll
+      case Some(cap) =>
+        val kept = exAll.groupBy(col("__s"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(col("__s"))
+        exAll.join(kept, Seq("__s"))
+    }
     val a = ex.select(col("__id").as("id_a"), col("__n").as("__na"), col("__s"))
     val b = ex.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__s"))
     a.join(b, Seq("__s"))

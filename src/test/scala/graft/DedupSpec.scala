@@ -105,6 +105,57 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((4L, 5L, 1.0)))
   }
 
+  test("maxShingleDf drops hot shingles: bounded candidates, recall kept, jaccard lower-bounded") {
+    import spark.implicits._
+    // 400 docs share exactly one "stop shingle" (the 3-token phrase; every
+    // other shingle is doc-unique) — uncapped, that single join key yields
+    // 400*399/2 candidate rows.
+    val hotDocs = (1 to 400).map(i => (i.toLong, s"terima kasih banyak u${i}a u${i}b u${i}c"))
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rare = Seq(900L -> (base + " enda"), 901L -> (base + " endb"))
+    // a near-dup pair whose overlap INCLUDES the hot shingle
+    val mixed = Seq(
+      950L -> "terima kasih banyak w1 w2 w3 w4 w5 enda2",
+      951L -> "terima kasih banyak w1 w2 w3 w4 w5 endb2")
+    val docs = (hotDocs ++ rare ++ mixed).toDF("id", "text")
+
+    def run(cap: Option[Int]) =
+      Dedup.nearDuplicatePairsExact(docs, col("id"), col("text"),
+          threshold = 0.5, maxShingleDf = cap)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val uncapped = run(None)
+    val capped = run(Some(10))
+
+    // recall on the planted pairs is 100% with the cap on; no hot-group
+    // pair appears either way (their single shared shingle is far below 0.5)
+    assert(uncapped.keySet == Set((900L, 901L), (950L, 951L)))
+    assert(capped.keySet == Set((900L, 901L), (950L, 951L)))
+    // rare-overlap pair: untouched by the cap, exact jaccard both ways
+    assert(capped((900L, 901L)) == uncapped((900L, 901L)))
+    // mixed pair: the dropped hot shingle leaves c=5 of 6 shared shingles —
+    // the capped jaccard is a strict lower bound of the true 0.75
+    assert(uncapped((950L, 951L)) == 0.75)
+    assert(capped((950L, 951L)) == 0.5556)
+
+    // candidate volume: count the self-join rows the operator would feed the
+    // aggregate, with and without the cap (same shingle definition)
+    val ex = docs
+      .select(col("id"), explode(Dedup.wordShingles(col("text"))).as("s"))
+    val keptEx = ex.join(
+      ex.groupBy(col("s")).agg(count(lit(1)).as("df")).filter(col("df") <= 10).select(col("s")),
+      Seq("s"))
+    def candidates(e: org.apache.spark.sql.DataFrame): Long = {
+      val a = e.select(col("id").as("ia"), col("s"))
+      val b = e.select(col("id").as("ib"), col("s"))
+      a.join(b, Seq("s")).filter(col("ia") < col("ib")).count()
+    }
+    val candUncapped = candidates(ex)
+    val candCapped = candidates(keptEx)
+    assert(candUncapped >= 400L * 399 / 2) // the hot shingle went quadratic
+    assert(candCapped < 100)               // the cap collapses it to the planted pairs
+  }
+
   test("minhash signature similarity tracks jaccard") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")
