@@ -79,4 +79,72 @@ object FuzzyLocator {
       .select(col("__id").as("id"), col("province"), col("city"),
         round(col("similarity"), 4).as("similarity"))
   }
+
+  /** Windowed partial-ratio similarity in [0,1]: align the shorter of
+    * (a, b) against every len(shorter)-sized window of the longer, score
+    * each window by normalized levenshtein, keep the best. This reproduces
+    * the reference's fuzz.partial_ratio SHAPE (substring alignment — a
+    * token join cannot see "bandung" inside "menujubandungsekarang") but
+    * scores windows by edit distance where difflib's ratio counts matching
+    * blocks without substitutions; FuzzyLocatorSpec quantifies the
+    * resulting disagreement against executed-reference goldens
+    * (scripts/ref_fuzzy_truth.py, sha-pinned).
+    *
+    * Cost is O(len(longer) · len(shorter)²) per pair — the parity-grade
+    * path, priced like the reference's own per-row Python scans. The token
+    * join in [[detect]] stays the scale path.
+    */
+  def partialRatioSim(a: Column, b: Column): Column = {
+    val s = when(length(a) <= length(b), a).otherwise(b)
+    val l = when(length(a) <= length(b), b).otherwise(a)
+    val m = length(s)
+    // Windows of length m-1, m, m+1, each scored dist/max(m, |w|): a
+    // deletion (or insertion) typo inside the aligned span would force a
+    // garbage edge char into a fixed m-window (difflib's block alignment
+    // has no such artifact — this recovers those cases).
+    val cands = Seq(m - lit(1), m, m + lit(1)).map { wl0 =>
+      val wl = greatest(wl0, lit(1))
+      array_min(transform(
+        sequence(lit(1), greatest(length(l) - wl + lit(1), lit(1))),
+        i => levenshtein(s, l.substr(i, wl)).cast("double") /
+          greatest(m, wl).cast("double")))
+    }
+    when(m === 0, lit(0.0)).otherwise(lit(1.0) - least(cands: _*))
+  }
+
+  /** E2 with the reference's selection semantics over [[partialRatioSim]]:
+    * every dictionary name (full name, not tokens) is scored against the
+    * whole text; any city at or above the threshold wins over any
+    * province (the reference skips the province pass once a city matched,
+    * utils.py:466-485); ties resolve to the higher score, then dictionary
+    * order — the reference's strict `>` keeps the first name at a tied
+    * score. Scores are int percents like fuzzywuzzy's.
+    *
+    * The dimension is ~470 literal rows broadcast to every task; the join
+    * is intentionally condition-free (every doc scores every name, exactly
+    * like the reference loop) — constant per-row work, linear overall.
+    */
+  def detectPartialRatio(
+      df: DataFrame, id: Column, text: Column,
+      dict: LocationDict, threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cityRows = dict.cities.zipWithIndex.map { case ((p, c), i) =>
+      (c.toLowerCase, p, c, 0, i)
+    }
+    val provRows = dict.provinces.zipWithIndex.map { case (p, i) =>
+      (p.toLowerCase, p, null: String, 1, i)
+    }
+    val dim = (cityRows ++ provRows).toDF("name_lower", "province", "city", "kind", "priority")
+    val scored = df.select(id.as("__id"), lower(text).as("__text"))
+      .join(broadcast(dim))
+      .withColumn("score", round(partialRatioSim(col("name_lower"), col("__text")) * 100))
+      .filter(col("score") >= threshold * 100)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("kind"), col("score").desc, col("priority"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as("id"), col("province"), col("city"), col("score"))
+  }
 }
