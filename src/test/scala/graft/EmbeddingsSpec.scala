@@ -81,6 +81,41 @@ class EmbeddingsSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(a / 5 == b / 5) }
   }
 
+  test("ANN recall@5 on the real sf0.01 embeddings table (geometry gate)") {
+    import spark.implicits._
+    // The synthetic table is a WORST case for hyperplane LSH: embeddings
+    // are near-random (max pairwise cosine ~0.6), so top-5 "neighbors" sit
+    // at wide angles and share few sign bits. Real embedding corpora have
+    // far tighter neighbors (the planted-cluster test above shows recall
+    // 1.0 there). This gate pins the measured floor for two geometries so
+    // the (h, bands) knob can't silently regress:
+    //   h=16 bands=4  (the q_embedding_ann default): ~22% of all-pairs
+    //                 scored, measured mean recall 0.56
+    //   h=32 bands=8  (high-recall): ~40% scored, measured recall 0.80
+    val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val probes = df.filter($"vec_id" % 50 === 0)
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val exactBy = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(h: Int, bands: Int): Double = {
+      val ann = Embeddings.annTopK(
+        df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding",
+        k = 5, dim = 64, h = h, bands = bands)
+        .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+      val annBy = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exactBy.map { case (p, ex) =>
+        annBy.getOrElse(p, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val rDefault = meanRecall(16, 4)
+    val rHigh = meanRecall(32, 8)
+    assert(rDefault >= 0.5, s"default geometry h=16 bands=4: recall@5 $rDefault < 0.5")
+    assert(rHigh >= 0.7, s"high-recall geometry h=32 bands=8: recall@5 $rHigh < 0.7")
+    assert(rHigh > rDefault, s"more bands must buy recall ($rHigh vs $rDefault)")
+  }
+
   test("ANN scores strictly fewer pairs than brute force (bucketing prunes)") {
     import spark.implicits._
     val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
