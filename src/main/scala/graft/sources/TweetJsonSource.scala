@@ -60,10 +60,44 @@ object TweetJsonSource {
   def monthGlob(dir: String, yearMonth: String): String =
     s"$dir/tweets_$yearMonth-*_labeled.json"
 
-  /** S4: JSON sink (one object per line, UTF-8; the reference's
-    * pretty-printed-array framing is presentation, not data —
-    * resilient_etl.py:574-584).
+  /** S4: JSON sink (one object per line, UTF-8; see [[writeJsonArray]] for
+    * the reference's array framing — resilient_etl.py:574-584).
     */
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** S4 array-framing variant: ONE file holding ONE strict JSON array, the
+    * shape the reference emits via `json.dump(docs, f, indent=2)`
+    * (resilient_etl.py:574-584, utils.py:265-276) and the shape its own
+    * re-readers parse back. Elements are indented two spaces under the
+    * array brackets, one document per line; nested-key whitespace is NOT
+    * Python-pretty-printed (presentation only — any strict JSON parser
+    * sees identical data, which TweetPipelineSpec proves through a real
+    * array parser and through [[readLanded]] multiLine).
+    *
+    * Scale note: the array file is produced by `coalesce(1)` + a streaming
+    * per-partition iterator — rows flow straight to the single writer task,
+    * the driver never collects. A one-file export is inherently one task's
+    * worth of output (that is the reference's contract for these files —
+    * its daily exports are small); partitioned exports at scale use
+    * [[writeJson]].
+    */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.toJSON.coalesce(1).mapPartitions { it =>
+      if (!it.hasNext) Iterator("[]")
+      else {
+        val body = new Iterator[String] {
+          private var cur = it.next()
+          private var done = false
+          def hasNext: Boolean = !done
+          def next(): String =
+            if (it.hasNext) { val out = "  " + cur + ","; cur = it.next(); out }
+            else { done = true; "  " + cur }
+        }
+        Iterator("[") ++ body ++ Iterator("]")
+      }
+    }.write.mode("overwrite").text(path)
+  }
 }

@@ -200,6 +200,42 @@ class TweetPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("S4 array framing: one strict JSON-array file, parser-verified round trip") {
+    val dir = tmpDir("arrayframe")
+    writeRaw(s"$dir/raw.json", batch1)
+    val processed = job.transform(
+      TweetJsonSource.readRawScrape(spark, s"$dir/raw.json"), fixedNow).orderBy("_id")
+    TweetJsonSource.writeJsonArray(processed, s"$dir/export")
+    val files = new java.io.File(s"$dir/export").listFiles
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length == 1) // ONE file, like the reference's json.dump
+    val text = new String(java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
+    assert(text.startsWith("[\n  {") && text.trim.endsWith("]"))
+    // a real strict JSON array parser accepts the whole file and sees every
+    // document (trailing garbage or JSONL framing would fail here)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    mapper.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    val tree = mapper.readTree(text)
+    assert(tree.isArray && tree.size == 3)
+    assert(tree.get(0).get("_id").isTextual)
+    // the Spark multiLine reader recovers the canonical shape exactly
+    val back = TweetJsonSource.readLanded(
+      spark, files.head.getPath, multiLine = true, fallback = fixedNow)
+    assert(back.orderBy("_id").toJSON.collect().toSeq == processed.toJSON.collect().toSeq)
+    // framing is byte-deterministic for ordered input
+    TweetJsonSource.writeJsonArray(processed, s"$dir/export2")
+    val text2 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/export2").listFiles
+        .filter(_.getName.startsWith("part-")).head.toPath), "UTF-8")
+    assert(text2 == text)
+    // empty input -> a legal empty array, same as json.dump([])
+    TweetJsonSource.writeJsonArray(processed.limit(0), s"$dir/empty")
+    val etext = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/empty").listFiles
+        .filter(_.getName.startsWith("part-")).head.toPath), "UTF-8").trim
+    assert(etext == "[]")
+  }
+
   test("ReprocessJob recomputes derived columns idempotently for a date range") {
     import graft.pipeline.ReprocessJob
     val dir = tmpDir("reprocess")
