@@ -189,6 +189,33 @@ object DictionaryLocator {
       .select(col("id"), col("province"), col("city"), col("detected_from"))
   }
 
+  /** NON-PARITY opt-in repair of the reference's dead abbreviation branch
+    * (utils.py:384-397): the original guard `province in full_name`
+    * compares a capitalized province against a lowercased expansion (never
+    * true), and even if it fired it would assign the loop's CURRENT city,
+    * not the abbreviation's expansion. The repaired stage does what the
+    * table plainly intends: a word-boundary hit on an abbreviation (over
+    * separator-normalized text — substring matching would fire inside
+    * unrelated words) maps to its expansion's (province, city), first
+    * entry in [[LocationDict.abbreviations]] order wins, tagged
+    * `abbreviation_match`.
+    */
+  def abbreviationHit(text: Column, dict: LocationDict): Column = {
+    val matchable = translate(lower(text), "-/\\|_,;.", "        ")
+    chain(dict.abbreviations.map { case (ab, (p, c)) =>
+      (matchable.rlike(boundary(ab)), hit(p, c, "abbreviation_match"))
+    })
+  }
+
+  /** [[detect]] plus the repaired abbreviation stage as a FALLBACK: the
+    * parity cascade runs unchanged and abbreviations only decide rows the
+    * reference semantics leave undetected — the minimal divergence that
+    * makes `jaksel` work. Explicitly non-parity; [[detect]] remains the
+    * reference-exact variant.
+    */
+  def detectRepaired(text: Column, dict: LocationDict): Column =
+    coalesce(detect(text, dict), abbreviationHit(text, dict))
+
   /** The cascade as one nullable struct(province, city, detected_from).
     * Null when nothing matches (caller decides the fallback shape).
     */

@@ -77,6 +77,33 @@ class DictionaryLocatorSpec extends SparkSpec {
     assert(g == Seq(true, true))
   }
 
+  test("repaired abbreviation stage: parity mode stays blind, repaired mode expands") {
+    import spark.implicits._
+    val dict = DictionaryLocator.Indonesian
+    val parity = DictionaryLocator.detect(col("t"), dict)
+    val repaired = DictionaryLocator.detectRepaired(col("t"), dict)
+    val df = Seq(
+      "jaksel",                 // repaired: DKI Jakarta / Jakarta Selatan
+      "ketemu di sby besok",    // repaired: Jawa Timur / Surabaya
+      "jaksel bandung",         // parity city hit wins over the abbreviation
+      "jakselx",                // word boundary: no hit in either mode
+      "no location here")
+      .toDF("t")
+      .select(
+        parity.getField("province").as("pp"), parity.getField("city").as("pc"),
+        repaired.getField("province").as("rp"), repaired.getField("city").as("rc"),
+        repaired.getField("detected_from").as("rf"))
+      .as[(String, String, String, String, String)].collect().toSeq
+    // the reference's branch is dead code (utils.py:384-397): parity mode
+    // must detect nothing for bare abbreviations
+    assert(df(0) == ((null, null, "DKI Jakarta", "Jakarta Selatan", "abbreviation_match")))
+    assert(df(1) == ((null, null, "Jawa Timur", "Surabaya", "abbreviation_match")))
+    // the parity cascade still decides rows it can see (fallback-only stage)
+    assert(df(2) == (("Jawa Barat", "Bandung", "Jawa Barat", "Bandung", "city_match")))
+    assert(df(3) == ((null, null, null, null, null)))
+    assert(df(4) == ((null, null, null, null, null)))
+  }
+
   test("detectViaJoin (broadcast n-gram scale path) matches the when-chain cascade") {
     import spark.implicits._
     // the 28 recorded truth cases are all separator-normalizable, so the
