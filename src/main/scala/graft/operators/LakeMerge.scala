@@ -22,28 +22,77 @@ object LakeMerge {
 
   val PartitionCol = "event_date"
 
+  /** Set to "true" to materialize merge inputs with a RELIABLE checkpoint
+    * (requires `SparkContext.setCheckpointDir` on durable storage) instead
+    * of `localCheckpoint`. localCheckpoint stores blocks on executors: fine
+    * in local mode, but on a real cluster an executor lost mid-merge takes
+    * its blocks with it and fails the job — after lineage truncation there
+    * is nothing to recompute from. Cluster deployments should set this.
+    */
+  val ReliableCheckpointConf = "spark.graft.lake.reliableCheckpoint"
+
+  /** Lineage-truncating materialization for the merge inputs (Spark
+    * refuses to overwrite a path an active plan still reads from). Local
+    * by default; reliable behind [[ReliableCheckpointConf]] — see the
+    * executor-loss note there.
+    */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.getOption(ReliableCheckpointConf).contains("true")) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Merge `incoming` canonical docs into the lake at `path`, partitioned
     * by event_date = to_date(metadata.created_at). Incoming beats existing
     * on key collision (the `$set` upsert contract); among duplicates within
     * one side, newest `scraped_at` wins with `_id` as final tiebreak.
+    *
+    * SCOPE: the merge is per-partition — only partitions dated by the
+    * incoming batch are read and rewritten. If a re-scraped doc's
+    * created_at parses to a DIFFERENT date than its stored copy (e.g. an
+    * ingestion-time fallback then, a real timestamp now), the stale copy
+    * lives in a partition this merge never touches and survives — a
+    * duplicate `_id` across partitions. `crossPartitionDedup = true`
+    * closes that hole: it scans the untouched lake's (_id, date) pairs
+    * (column-pruned, but still a full-lake scan — the price of the
+    * guarantee) for incoming ids, pulls any partition holding a stale copy
+    * into the merge, and the LWW window retires the copy. Default off:
+    * created_at is immutable for the reference's documents, so the
+    * fast path is the common case; [[readLakeLatest]] is the read-time
+    * alternative.
     */
-  def mergeWrite(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
+  def mergeWrite(spark: SparkSession, incoming: DataFrame, path: String,
+      crossPartitionDedup: Boolean = false): Unit = {
     // Checkpoint the batch as well: reprocess/backfill batches are
     // themselves derived FROM the lake, and Spark (rightly) refuses to
     // overwrite a path still referenced by the writing plan. A batch is
     // bounded (one scrape/repair slice), so materializing it is cheap
     // relative to the merge shuffle.
-    val inc = incoming.withColumn(PartitionCol, to_date(col("metadata.created_at")))
-      .localCheckpoint()
+    val inc = materialize(spark,
+      incoming.withColumn(PartitionCol, to_date(col("metadata.created_at"))))
 
-    val merged =
-      if (!lakeExists(spark, path)) inc.withColumn("__pri", lit(1))
+    val (merged, mergedDates) =
+      if (!lakeExists(spark, path)) (inc.withColumn("__pri", lit(1)), Array.empty[java.sql.Date])
       else {
         // Only the touched partitions participate in the merge. The date
         // list is partition METADATA (bounded by the batch's date range),
         // not data — collecting it to the driver mirrors the reference's
         // per-day routing loop and enables partition pruning on the read.
-        val dates = inc.select(col(PartitionCol)).distinct().collect().map(_.getDate(0))
+        val batchDates = inc.select(col(PartitionCol)).distinct().collect().map(_.getDate(0))
+        // crossPartitionDedup: partitions holding a stale copy of an
+        // incoming _id under another date join the merge set, so the LWW
+        // window below can retire those copies. (_id, date) only — the
+        // scan never materializes document payloads.
+        val staleDates =
+          if (!crossPartitionDedup) Array.empty[java.sql.Date]
+          else {
+            val (nullB, realB) = batchDates.partition(_ == null)
+            val inBatch = col(PartitionCol).isin(realB.toSeq: _*)
+            val touched = if (nullB.nonEmpty) inBatch || col(PartitionCol).isNull else inBatch
+            spark.read.parquet(path)
+              .filter(!coalesce(touched, lit(false)))
+              .join(inc.select(col("_id")).distinct(), Seq("_id"), "left_semi")
+              .select(col(PartitionCol)).distinct().collect().map(_.getDate(0))
+          }
+        val dates = batchDates ++ staleDates
         // null event_date (null created_at upstream of nest's fallback)
         // routes to the default partition — isin(null) would evaluate to
         // null and silently EXCLUDE existing null-partition rows from the
@@ -53,14 +102,12 @@ object LakeMerge {
           val in = col(PartitionCol).isin(realDates.toSeq: _*)
           if (nullDates.nonEmpty) in || col(PartitionCol).isNull else in
         }
-        val existing = spark.read.parquet(path)
-          .filter(datePred)
-          // Truncate lineage: Spark refuses to overwrite a path that an
-          // active plan still reads from; the checkpoint materializes the
-          // (pruned, small) affected slice before the write.
-          .localCheckpoint()
-        existing.withColumn("__pri", lit(0))
-          .unionByName(inc.withColumn("__pri", lit(1)))
+        // Truncate lineage: Spark refuses to overwrite a path that an
+        // active plan still reads from; the checkpoint materializes the
+        // (pruned, small) affected slice before the write.
+        val existing = materialize(spark, spark.read.parquet(path).filter(datePred))
+        (existing.withColumn("__pri", lit(0))
+          .unionByName(inc.withColumn("__pri", lit(1))), dates)
       }
 
     // final tiebreak: a content hash — two docs sharing (_id, priority,
@@ -74,6 +121,19 @@ object LakeMerge {
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
 
+    // Dynamic overwrite only rewrites partitions PRESENT in the output: a
+    // partition whose every row was a retired stale copy produces no
+    // output rows and would silently keep its files. In dedup mode, find
+    // such emptied partitions (partition metadata, bounded) and drop their
+    // directories after the write.
+    val emptied: Array[java.sql.Date] =
+      if (!crossPartitionDedup) Array.empty
+      else {
+        val outDates = winners.select(col(PartitionCol)).distinct()
+          .collect().map(_.getDate(0)).toSet
+        mergedDates.filterNot(outDates.contains).distinct
+      }
+
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try winners.write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
@@ -81,10 +141,35 @@ object LakeMerge {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+
+    if (emptied.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { d =>
+        val leaf = if (d == null) "__HIVE_DEFAULT_PARTITION__" else d.toString
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"$PartitionCol=$leaf"), true)
+      }
+    }
   }
 
   def readLake(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Read-time LWW dedup by `_id` — the query-side alternative to
+    * `mergeWrite(crossPartitionDedup = true)` when stale cross-partition
+    * copies may exist (see the SCOPE note on [[mergeWrite]]): newest
+    * scraped_at wins, same content-hash tiebreak as the merge window.
+    * Costs one shuffle on `_id` per read instead of a lake scan per write.
+    */
+  def readLakeLatest(spark: SparkSession, path: String): DataFrame = {
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("metadata.scraped_at").desc_nulls_last,
+        xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
+    readLake(spark, path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   private def lakeExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
