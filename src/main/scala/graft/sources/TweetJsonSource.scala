@@ -17,17 +17,31 @@ import graft.model.TweetSchema
 object TweetJsonSource {
 
   private val dateWrapper = StructType(Seq(StructField("$date", StringType)))
+  private val numberLongWrapper = StructType(Seq(StructField("$date",
+    StructType(Seq(StructField("$numberLong", StringType))))))
 
   /** Parse a timestamp column that may be (a) a plain ISO-8601 string,
-    * (b) Mongo extended JSON read into a string (`{"$date":"..."}`), or
-    * (c) missing — reference fallback is ingestion time
-    * (src/resilient_scraper.py:453-455, F3).
+    * (b) Mongo relaxed extended JSON read into a string
+    * (`{"$date":"ISO"}`), (c) Mongo CANONICAL extended JSON
+    * (`{"$date":{"$numberLong":"epoch-millis"}}` — what mongoexport
+    * emits for dates outside 1970..9999 or in canonical mode), or
+    * (d) missing — reference fallback is ingestion time
+    * (src/resilient_scraper.py:453-455, F3). Without (c) the canonical
+    * form would silently fall through to the fallback and REWRITE event
+    * time with ingestion time.
     */
-  def parseFlexibleTimestamp(c: Column, fallback: Column = current_timestamp()): Column =
-    coalesce(
-      to_timestamp(from_json(c, dateWrapper).getField("$date")),
-      to_timestamp(c),
-      fallback)
+  def parseFlexibleTimestamp(c: Column, fallback: Column = current_timestamp()): Column = {
+    // try_to_timestamp, not to_timestamp: under ANSI mode a malformed
+    // candidate THROWS instead of yielding null — e.g. form (b)'s parse of
+    // a canonical (c) value sees the stringified inner object. Each branch
+    // must degrade to null for the coalesce to do its job.
+    val relaxed = try_to_timestamp(from_json(c, dateWrapper).getField("$date"))
+    val millis = from_json(c, numberLongWrapper)
+      .getField("$date").getField("$numberLong")
+    val canonical = timestamp_millis(
+      when(millis.rlike("^-?\\d{1,18}$"), millis.cast("long")))
+    coalesce(relaxed, canonical, try_to_timestamp(c), fallback)
+  }
 
   /** Read landed canonical-doc JSON (one object per line; pass
     * `multiLine = true` for the reference's pretty-printed array files).

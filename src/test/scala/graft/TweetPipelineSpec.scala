@@ -135,7 +135,11 @@ class TweetPipelineSpec extends SparkSpec {
     val dir = tmpDir("landed")
     val lines = Seq(
       """{"_id":"a","content":{"text":"t","clean_text":"t"},"metadata":{"author_name":"","author_handle":"","created_at":{"$date":"2025-05-01T08:00:00Z"},"scraped_at":"2025-05-03T00:00:00Z","location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""",
-      """{"_id":"b","content":{"text":"t2","clean_text":"t2"},"metadata":{"author_name":"","author_handle":"","created_at":"2025-05-02T09:00:00Z","scraped_at":{"$date":"2025-05-03T01:00:00Z"},"location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""")
+      """{"_id":"b","content":{"text":"t2","clean_text":"t2"},"metadata":{"author_name":"","author_handle":"","created_at":"2025-05-02T09:00:00Z","scraped_at":{"$date":"2025-05-03T01:00:00Z"},"location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""",
+      // canonical extended JSON ({"$numberLong": epoch-millis}) — without
+      // its parse branch this fell through to the ingestion-time fallback,
+      // silently rewriting event time
+      """{"_id":"c","content":{"text":"t3","clean_text":"t3"},"metadata":{"author_name":"","author_handle":"","created_at":{"$date":{"$numberLong":"1746086400000"}},"scraped_at":{"$date":{"$numberLong":"1746235800500"}},"location":null,"tweet_url":""},"metrics":{"reply_count":0,"retweet_count":0,"like_count":0},"processing_status":{"sentiment_analyzed":false,"cleaning_completed":null,"cleaning_timestamp":null,"sentiment_analysis_timestamp":null},"sentiment_analysis":null,"location":null}""")
     Files.write(Paths.get(s"$dir/landed.json"), String.join("\n", lines: _*).getBytes("UTF-8"))
     val got = TweetJsonSource.readLanded(spark, s"$dir/landed.json")
       .select(col("_id"),
@@ -144,6 +148,8 @@ class TweetPipelineSpec extends SparkSpec {
       .orderBy("_id").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(got(0) == ("a", "2025-05-01 08:00:00", "2025-05-03 00:00:00"))
     assert(got(1) == ("b", "2025-05-02 09:00:00", "2025-05-03 01:00:00"))
+    // 1746086400000 = 2025-05-01T08:00:00Z; sub-second millis preserved
+    assert(got(2) == ("c", "2025-05-01 08:00:00", "2025-05-03 01:30:00.5"))
   }
 
   test("monthly rollup writes once and skips when already rolled up") {
