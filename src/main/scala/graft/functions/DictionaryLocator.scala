@@ -139,7 +139,10 @@ object DictionaryLocator {
     * separator-normalized text. Caveat vs [[detect]]: `\b` also matches at
     * punctuation OUTSIDE the reference's separator set (e.g. "jakarta!"),
     * where token equality does not — the when-chain stays the
-    * parity-exact variant; this is the plan for scale.
+    * parity-exact variant; this is the plan for scale. The gap is pinned
+    * by test, not only prose: DictionaryLocatorSpec's punctuation spec
+    * shows full agreement on separator-set punctuation and measures the
+    * join path blind on every non-separator case (`!?():'"#@+`).
     *
     * Returns (id, province, city, detected_from) — one row per input row
     * that matched anything.

@@ -120,6 +120,47 @@ class DictionaryLocatorSpec extends SparkSpec {
     }
   }
 
+  test("detectViaJoin vs detect() at punctuation: the divergence is exactly the non-separator set") {
+    import spark.implicits._
+    val dict = DictionaryLocator.Indonesian
+    // Punctuation INSIDE the reference's separator set (- / \ | _ , ; .) is
+    // normalized to spaces by both paths — they must agree. Punctuation
+    // OUTSIDE it is where the paths differ by construction: `\b` anchors at
+    // any non-word char, token equality needs the name to be its own
+    // whitespace-delimited token.
+    val separatorCases = Seq(
+      "bandung-bogor", "jakarta.pusat", "depok,hari", "jogja|besok", "medan_kota")
+    val punctCases = Seq(
+      "jakarta!", "ke bandung?", "(semarang)", "medan:", "'jogja'",
+      "\"depok\"", "#bandung", "@medan", "bali+lombok")
+    val all = separatorCases ++ punctCases
+    val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val chainCol = DictionaryLocator.detect(col("t"), dict)
+    val chain = df.select(col("id"), chainCol.getField("province"), chainCol.getField("city"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val join = DictionaryLocator.detectViaJoin(df, col("id"), col("t"), dict)
+      .select(col("id"), col("province"), col("city"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def at(i: Int) = (chain.getOrElse(i.toLong, (null, null)),
+      join.getOrElse(i.toLong, (null, null)))
+    // separator-set punctuation: full agreement, and everything detects
+    separatorCases.indices.foreach { i =>
+      val (c, j) = at(i)
+      assert(c == j, s"separator case '${all(i)}' must agree: chain=$c join=$j")
+      assert(c._1 != null, s"separator case '${all(i)}' must detect")
+    }
+    // non-separator punctuation: the chain's \b sees every name, the token
+    // join is blind to ALL of them — the gap is total on this set, which is
+    // the measured price of the scale path (9/9 here, 0 partial overlap)
+    val disagreements = punctCases.indices.map(i => at(separatorCases.size + i))
+    disagreements.zip(punctCases).foreach { case ((c, j), t) =>
+      assert(c._1 != null, s"chain must detect punctuation-adjacent '$t'")
+      assert(j == ((null, null)), s"token join is blind at '$t' by construction, got $j")
+    }
+  }
+
   test("detectViaJoin agrees with detect() on the full 456-city dictionary") {
     import spark.implicits._
     import graft.sources.LocationDictSource
