@@ -136,15 +136,32 @@ object FuzzyLocator {
       (p.toLowerCase, p, null: String, 1, i)
     }
     val dim = (cityRows ++ provRows).toDF("name_lower", "province", "city", "kind", "priority")
-    val scored = df.select(id.as("__id"), lower(text).as("__text"))
+    // CPU-shape guard: this operator is compute-bound (per-row cost is
+    // |dict| windowed levenshtein sweeps), so a small input file that scans
+    // as 1-2 partitions would serialize the whole sweep on one core.
+    // Repartition UP to cluster width when the scan is narrower; inputs
+    // that already have >= parallelism partitions (any real corpus) are
+    // left alone — no shuffle on the scale path.
+    val base = df.select(id.as("__id"), lower(text).as("__text"))
+    val width = spark.sparkContext.defaultParallelism
+    val scored = (if (base.rdd.getNumPartitions < width) base.repartition(width) else base)
       .join(broadcast(dim))
       .withColumn("score", round(partialRatioSim(col("name_lower"), col("__text")) * 100))
-      .filter(col("score") >= threshold * 100)
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("kind"), col("score").desc, col("priority"))
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as("id"), col("province"), col("city"), col("score"))
+    // Selection is one hash AGGREGATE, not filter + window: a filter on
+    // the projected score alias would be predicate-pushed below the
+    // projection with the whole levenshtein sweep inlined into it
+    // (evaluating the sweep twice per row — the round-3 pushdown-inlining
+    // trap), and a window adds a per-partition sort. min() over an
+    // orderable struct gets map-side partial aggregation instead; the
+    // threshold lives inside the aggregate, so below-threshold candidates
+    // simply contribute null. (kind, -score, priority) is unique per
+    // candidate, so the trailing payload fields never decide the order.
+    scored.groupBy(col("__id"))
+      .agg(min(when(col("score") >= threshold * 100,
+        struct(col("kind"), (-col("score")).as("negScore"), col("priority"),
+          col("province"), col("city"), col("score")))).as("best"))
+      .filter(col("best").isNotNull)
+      .select(col("__id").as("id"), col("best.province").as("province"),
+        col("best.city").as("city"), col("best.score").as("score"))
   }
 }

@@ -65,6 +65,41 @@ object DedupQueries {
       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The skew-capped production variant of [[nearDupPairs]]: shingles with
+    * document frequency above the cap are dropped before the self-join
+    * (stop-shingle pruning — see [[Dedup.nearDuplicatePairsExact]]). The
+    * cap of 4 binds on the synthetic corpus (max shingle DF is 7-9), so
+    * the oracle verifies the DF-aggregate + prune semantics cross-engine,
+    * not just the uncapped path with a no-op knob.
+    */
+  def nearDupPairsCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.nearDuplicatePairsExact(
+      Tables(spark, dir, "documents"), $"doc_id", $"text",
+      threshold = 0.5, maxShingleDf = Some(4))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val nearDupPairsCappedSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, shingles, len(shingles) AS n FROM (
+      |    SELECT doc_id,
+      |      list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
+      |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+      |    WHERE len(toks) >= 3)),
+      |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sh),
+      |kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 4),
+      |exk AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN kept USING (s)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+      |  FROM exk a JOIN exk b USING (s)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+      |FROM cand
+      |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Per-document SimHash fingerprints, oracle-gated end to end: the token
     * hash is the Karp–Rabin character fold already proven cross-engine by
     * q_fingerprints, so DuckDB reproduces every step — per-token hash,
@@ -102,10 +137,12 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
+    "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
     "q_simhash" -> (simHashFingerprints _))
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,
+    "q_near_dup_pairs_capped" -> nearDupPairsCappedSql,
     "q_simhash" -> simHashSql)
 }

@@ -306,6 +306,49 @@ object TextQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** E2's partial-ratio variant ([[graft.operators.FuzzyLocator.detectPartialRatio]])
+    * over the engine-topic dictionary, scored against a bounded 120-char
+    * text prefix (the windowed scan is O(|text|·|name|²) per pair — the
+    * prefix keeps the parity-grade path priced like the reference's own
+    * per-row loop). Every dictionary name — city (kind 0) AND province
+    * (kind 1) — is scored; selection is (kind, score desc, dictionary
+    * order), the reference's city-first strict-> semantics. The oracle
+    * reproduces the m-1/m/m+1 window sweep with DuckDB levenshtein;
+    * document texts (min 44 chars) are always longer than every name, so
+    * the shorter/longer swap never triggers on either engine and the
+    * window formulas align exactly.
+    */
+  def fuzzyPartialRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 120).as("t"))
+    graft.operators.FuzzyLocator.detectPartialRatio(
+      docs, $"doc_id", $"t", DictionaryLocator.EngineTopics, threshold = 0.7)
+      .orderBy($"id")
+  }
+
+  val fuzzyPartialRatioSql: String = {
+    val dict = DictionaryLocator.EngineTopics
+    val rows = (dict.cities.zipWithIndex.map { case ((p, c), i) =>
+      s"('${c.toLowerCase}', '$p', '$c', 0, $i)"
+    } ++ dict.provinces.zipWithIndex.map { case (p, i) =>
+      s"('${p.toLowerCase}', '$p', CAST(NULL AS VARCHAR), 1, $i)"
+    }).mkString(",\n      |    ")
+    s"""WITH dim(name, province, city, kind, prio) AS (VALUES
+       |    $rows),
+       |scored AS (
+       |  SELECT d.doc_id, dim.province, dim.city, dim.kind, dim.prio,
+       |    round(100 * (1 - list_min(flatten([
+       |      [levenshtein(dim.name, substr(d.t, i, wl)) / greatest(len(dim.name), wl)
+       |       for i in range(1, greatest(len(d.t) - wl + 1, 1) + 1)]
+       |      for wl in [greatest(len(dim.name) - 1, 1), len(dim.name), len(dim.name) + 1]])))) AS score
+       |  FROM (SELECT doc_id, lower(substr(text, 1, 120)) AS t FROM documents) d CROSS JOIN dim)
+       |SELECT doc_id AS id, province, city, score FROM scored
+       |WHERE score >= 70
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY kind, score DESC, prio) = 1
+       |ORDER BY id""".stripMargin
+  }
+
   /** The E1 cascade via the broadcast n-gram join
     * ([[DictionaryLocator.detectViaJoin]]) — the scale path for the full
     * production dictionary, rolled up like q_topic_location. Its oracle
@@ -361,6 +404,7 @@ object TextQueries {
     "q_topic_location_join" -> (topicLocationJoin _),
     "q_extractions" -> (extractions _),
     "q_fuzzy_location" -> (fuzzyLocation _),
+    "q_fuzzy_partial_ratio" -> (fuzzyPartialRatio _),
     "q_clean_text" -> (cleanText _),
     "q_token_stats" -> (tokenStats _),
     "q_langid_confusion" -> (langIdConfusion _),
@@ -373,6 +417,7 @@ object TextQueries {
     "q_topic_location_join" -> topicLocationJoinSql,
     "q_extractions" -> extractionsSql,
     "q_fuzzy_location" -> fuzzyLocationSql,
+    "q_fuzzy_partial_ratio" -> fuzzyPartialRatioSql,
     "q_clean_text" -> cleanTextSql,
     "q_token_stats" -> tokenStatsSql,
     "q_langid_confusion" -> langIdConfusionSql,
