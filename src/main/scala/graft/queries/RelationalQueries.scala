@@ -241,15 +241,22 @@ object RelationalQueries {
       |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Share-of-total via window aggregate (SURVEY §2.6 A8: the README's
-    * "~45% positive" distribution claim — count/sum(count) OVER ()).
+  /** Share-of-total (SURVEY §2.6 A8: the README's "~45% positive"
+    * distribution claim — count/sum(count)). Computed with a broadcast
+    * single-row total joined onto the grouped counts: the `OVER ()` window
+    * formulation is equivalent on the bounded distribution but plans an
+    * empty-partition WindowExec (single-partition move + warning) —
+    * q_daily_province_sentiment keeps the PARTITIONED window variant of
+    * A8.
     */
   def eventTypeShares(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "events")
+    val dist = Tables(spark, dir, "events")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"))
-      .withColumn("share", round($"n" / sum($"n").over(Window.partitionBy()), 4))
+    dist.crossJoin(broadcast(dist.agg(sum($"n").as("__total"))))
+      .withColumn("share", round($"n" / $"__total", 4))
+      .drop("__total")
       .orderBy($"event_type")
   }
 

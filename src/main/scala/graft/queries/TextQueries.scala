@@ -152,13 +152,17 @@ object TextQueries {
     */
   def sentimentDistribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    val dist = Tables(spark, dir, "documents")
       .select(LexiconSentiment.label($"text", EngineWords).as("sentiment_label"),
         LexiconSentiment.confidence($"text", EngineWords).as("conf"))
       .groupBy($"sentiment_label")
       .agg(count(lit(1)).as("n"), round(avg($"conf"), 4).as("avg_confidence"))
-      .withColumn("share", round($"n" / sum($"n")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+    // share-of-total via a broadcast single-row total, not a global window:
+    // same result on the (bounded) distribution, but no empty-partition
+    // WindowExec (which moves its input to one partition and warns)
+    dist.crossJoin(broadcast(dist.agg(sum($"n").as("__total"))))
+      .withColumn("share", round($"n" / $"__total", 4))
+      .drop("__total")
       .orderBy($"sentiment_label")
   }
 
