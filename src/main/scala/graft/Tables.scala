@@ -29,6 +29,22 @@ object Tables {
     }
   }
 
+  /** [[apply]] plus a repartition-UP guard for compute-bound projections:
+    * a small parquet file (a single row group) scans as ONE task no matter
+    * what `spark.sql.files.maxPartitionBytes` says, which serializes
+    * per-row CPU work on one core — char-fold fingerprints, shingle
+    * construction, windowed levenshtein, embedding folds. When the scan is
+    * narrower than the cluster, redistribute once up front; at production
+    * scale (input splits >= parallelism) this is a no-op, so the guard
+    * never adds a shuffle on the 100 TB path. Use [[apply]] for
+    * dimensions and join inputs where the scan is not the bottleneck.
+    */
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val width = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+  }
+
   /** Register every table as a temp view (for spark.sql-style access). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))

@@ -39,7 +39,7 @@ object DedupQueries {
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.nearDuplicatePairsExact(
-      Tables(spark, dir, "documents"), $"doc_id", $"text", threshold = 0.5)
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text", threshold = 0.5)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -75,7 +75,7 @@ object DedupQueries {
   def nearDupPairsCapped(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.nearDuplicatePairsExact(
-      Tables(spark, dir, "documents"), $"doc_id", $"text",
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
       threshold = 0.5, maxShingleDf = Some(4))
       .orderBy($"id_a", $"id_b")
   }
@@ -112,7 +112,7 @@ object DedupQueries {
     */
   def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"doc_id",
         Dedup.simHash(Dedup.tokens(lower($"text")),
           graft.functions.TextFunctions.fingerprint).as("simhash"))

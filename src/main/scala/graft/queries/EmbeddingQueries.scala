@@ -23,7 +23,7 @@ object EmbeddingQueries {
     */
   def embeddingKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
+    val e = Tables.wide(spark, dir, "embeddings")
     Embeddings.knnBruteForce(
       e, $"vec_id", $"embedding",
       e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
@@ -64,7 +64,7 @@ object EmbeddingQueries {
     */
   def embeddingAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
+    val e = Tables.wide(spark, dir, "embeddings")
     Embeddings.annTopK(
       e, $"vec_id", $"embedding",
       e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
@@ -80,7 +80,7 @@ object EmbeddingQueries {
     */
   def labelCohesion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings")
+    val e = Tables.wide(spark, dir, "embeddings")
     val dim = 64
     // centroid[i] = avg over label of embedding[i]: aggregate buffer as a
     // fixed-width array via per-index sums (posexplode-free: one agg of 64

@@ -34,7 +34,7 @@ object TextQueries {
     import spark.implicits._
     val noisy = concat(lit("see http://ex.com/"), $"doc_id", lit(" @user"), $"doc_id",
       lit(" #tag"), $"doc_id", lit(" "), $"text")
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"doc_id",
         substring(cleanTweetText(noisy), 1, 80).as("clean_f1"),
         substring(cleanTextScraper(noisy), 1, 80).as("clean_f2"))
@@ -56,7 +56,7 @@ object TextQueries {
   /** Token statistics per source (whitespace + BPE-ish pre-tokenizer). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"source", tokenCount($"text").as("nt"), bpeishTokenCount($"text").as("nb"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
@@ -88,7 +88,7 @@ object TextQueries {
       wordHits($"__lt", words).as(s"__c_$lang")
     }
     val bound = LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"lang", lower($"text").as("__lt"))
       .select(Seq($"lang") ++ counts: _*)
       .select($"lang", langIdFromCounts(bound).as("predicted"))
@@ -119,7 +119,7 @@ object TextQueries {
     import spark.implicits._
     val nt = tokenCount($"text")
     val alpha = length(regexp_replace($"text", "\\s", ""))
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"doc_id",
         nt.cast("long").as("n_tokens"),
         round(punctCount($"text").cast("double") / nullif(length($"text").cast("double"), lit(0.0)), 4)
@@ -152,7 +152,7 @@ object TextQueries {
     */
   def sentimentDistribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dist = Tables(spark, dir, "documents")
+    val dist = Tables.wide(spark, dir, "documents")
       .select(LexiconSentiment.label($"text", EngineWords).as("sentiment_label"),
         LexiconSentiment.confidence($"text", EngineWords).as("conf"))
       .groupBy($"sentiment_label")
@@ -181,7 +181,7 @@ object TextQueries {
   /** Rolling-hash document fingerprints (Karp–Rabin fold). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"doc_id", fingerprint(lower($"text")).as("fp"))
       .orderBy($"doc_id")
   }
@@ -199,7 +199,7 @@ object TextQueries {
   def topicLocation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val det = DictionaryLocator.detect($"text", DictionaryLocator.EngineTopics)
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select(coalesce(det.getField("province"), lit("unknown")).as("province"),
         coalesce(det.getField("city"), lit("unknown")).as("city"),
         coalesce(det.getField("detected_from"), lit("none")).as("detected_from"))
@@ -243,7 +243,7 @@ object TextQueries {
         concat(lit("https://x.com/u"), $"doc_id", lit("/status/"), $"doc_id" + 100000))
     val btn = when($"doc_id" % 7 === 0, lit("reply"))
       .otherwise(concat(lit("replies "), $"doc_id" % 53))
-    Tables(spark, dir, "documents")
+    Tables.wide(spark, dir, "documents")
       .select($"doc_id", href.as("href"), btn.as("btn"), $"text")
       .filter(isStatusUrl($"href"))
       .select($"doc_id",
@@ -279,7 +279,7 @@ object TextQueries {
   def fuzzyLocation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.operators.FuzzyLocator.detect(
-      Tables(spark, dir, "documents"), $"doc_id", $"text",
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
       DictionaryLocator.EngineTopics, threshold = 0.7)
       .orderBy($"id")
   }
@@ -324,7 +324,7 @@ object TextQueries {
     */
   def fuzzyPartialRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.wide(spark, dir, "documents")
       .select($"doc_id", substring($"text", 1, 120).as("t"))
     graft.operators.FuzzyLocator.detectPartialRatio(
       docs, $"doc_id", $"t", DictionaryLocator.EngineTopics, threshold = 0.7)
@@ -361,7 +361,7 @@ object TextQueries {
     */
   def topicLocationJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.wide(spark, dir, "documents")
     val det = DictionaryLocator.detectViaJoin(
       docs, $"doc_id", $"text", DictionaryLocator.EngineTopics)
       .withColumnRenamed("id", "doc_id")
