@@ -46,6 +46,31 @@ class PlanSpec extends SparkSpec {
     assert(scanFilters.forall(!_.contains("arrays_zip")))
   }
 
+  test("capped near-dup keeps the equi-join shape and broadcast-free DF prune") {
+    val p = plan(DedupQueries.nearDupPairsCapped(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cross product in:\n$p")
+    // the DF prune joins on the same shingle key — no new join flavor
+    val scanFilters = p.linesIterator.filter(_.contains("PushedFilters"))
+    assert(scanFilters.forall(!_.contains("arrays_zip")))
+  }
+
+  test("partial-ratio locator broadcasts the dictionary and evaluates the sweep once") {
+    val df = TextQueries.fuzzyPartialRatio(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // condition-free broadcast join against the ~13-row dim: BNLJ is the
+    // EXPECTED plan here (constant per-row work); a shuffle join would
+    // mean the dim lost its broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), s"dim not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    // selection is the hash aggregate, not filter+window: no Filter node
+    // may carry the levenshtein sweep (the pushdown-inlining double-eval)
+    val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(filterLines.forall(!_.contains("levenshtein")),
+      s"levenshtein sweep inlined into a Filter:\n${filterLines.mkString("\n")}")
+    assert(!p.contains("Window"), "selection should be an aggregate, not a window")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
