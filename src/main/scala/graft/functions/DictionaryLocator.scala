@@ -150,7 +150,6 @@ object DictionaryLocator {
   def detectViaJoin(
       df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
       dict: LocationDict): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -184,12 +183,19 @@ object DictionaryLocator {
       .select(col("id"), array_distinct(concat(gramCols: _*)).as("__gr"))
       .select(col("id"), explode_outer(col("__gr")).as("__m"))
 
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__stage"), col("__ip"), col("__kind"), col("__ick"))
+    // First-match-wins as a hash AGGREGATE (min over the cascade sort key),
+    // not a row_number window: partial aggregation folds candidates
+    // map-side and there is no per-partition sort. Two grams of one doc
+    // can hit dim rows with an identical key — e.g. two tokens of the same
+    // multi-word city, or two variations of one province — but those rows
+    // carry the same payload by construction, so the min is deterministic.
     grams.join(broadcast(dim), Seq("__m"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("province"), col("city"), col("detected_from"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__stage"), col("__ip"), col("__kind"), col("__ick"),
+        col("province"), col("city"), col("detected_from"))).as("__best"))
+      .select(col("id"), col("__best.province").as("province"),
+        col("__best.city").as("city"),
+        col("__best.detected_from").as("detected_from"))
   }
 
   /** NON-PARITY opt-in repair of the reference's dead abbreviation branch

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.DictionaryLocator.LocationDict
@@ -16,7 +15,7 @@ import graft.functions.DictionaryLocator.LocationDict
   *
   *   tokens(text) explode -> broadcast join against the (name, province,
   *   city, kind, priority) dimension with a levenshtein similarity
-  *   predicate -> best match per doc via one window.
+  *   predicate -> best match per doc via one hash aggregate.
   *
   * Cities are preferred over provinces (the reference tries cities first),
   * then higher similarity, then dictionary order — deterministic. Exact
@@ -27,7 +26,8 @@ import graft.functions.DictionaryLocator.LocationDict
   *
   * Scale: the dimension is ~460 rows (broadcast); the explode shuffles
   * nothing (narrow); the join emits at most tokens x dict candidate rows
-  * filtered by the threshold; the window groups by doc id only.
+  * filtered by the threshold; the selection aggregate shuffles doc ids
+  * only, with map-side partial aggregation.
   */
 object FuzzyLocator {
 
@@ -70,14 +70,19 @@ object FuzzyLocator {
         abs(length(col("__tok")) - length(col("name_tok"))) <=
           ceil(lit(1.0 - threshold) * greatest(length(col("__tok")), length(col("name_tok")))))
       .withColumn("similarity", sim)
-      .filter(col("similarity") >= threshold)
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("kind"), col("similarity").desc, col("priority"))
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as("id"), col("province"), col("city"),
-        round(col("similarity"), 4).as("similarity"))
+    // best match per doc as a hash aggregate (cities first, then higher
+    // similarity, then dictionary order) — min over the sort-key struct
+    // gets map-side partial aggregation, no per-partition sort, and the
+    // threshold inside the aggregate avoids a Filter on the projected
+    // similarity alias (pushdown would inline the levenshtein into it)
+    scored.groupBy(col("__id"))
+      .agg(min(when(col("similarity") >= threshold,
+        struct(col("kind"), (-col("similarity")).as("negSim"), col("priority"),
+          col("province"), col("city")))).as("__best"))
+      .filter(col("__best").isNotNull)
+      .select(col("__id").as("id"), col("__best.province").as("province"),
+        col("__best.city").as("city"),
+        round(-col("__best.negSim"), 4).as("similarity"))
   }
 
   /** Windowed partial-ratio similarity in [0,1]: align the shorter of
