@@ -63,6 +63,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("partialRatioSim is symmetric, bounded, exact on substrings") {
+    import spark.implicits._
+    import graft.operators.FuzzyLocator.partialRatioSim
+    val s = Gen.alphaLowerStr.map(_.take(12))
+    val pairs = samples(Gen.zip(s, s), 40)
+    val got = pairs.toDF("a", "b").select(
+      partialRatioSim(col("a"), col("b")).as("ab"),
+      partialRatioSim(col("b"), col("a")).as("ba"),
+      partialRatioSim(col("a"), concat(lit("xx"), col("a"), lit("yy"))).as("sub"),
+      length(col("a")).as("la"), length(col("b")).as("lb"))
+      .collect()
+    got.foreach { r =>
+      // the shorter/longer swap makes argument order irrelevant whenever
+      // lengths differ (equal-length pairs sweep each other's m±1 windows,
+      // which is legitimately direction-dependent)
+      if (r.getInt(3) != r.getInt(4)) assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      // embedded as a literal substring -> a window matches exactly
+      assert(if (r.getInt(3) == 0) r.getDouble(2) == 0.0 else r.getDouble(2) == 1.0)
+    }
+  }
+
+  test("capped near-dup pairs are a subset with jaccard lower-bounded (arbitrary docs)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small vocabulary forces shared shingles and binding caps
+    val tok = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val doc = Gen.listOfN(8, tok).map(_.mkString(" "))
+    forAll(Gen.listOfN(12, doc), 6) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      def pairs(cap: Option[Int]) =
+        Dedup.nearDuplicatePairsExact(df, col("id"), col("t"),
+            threshold = 0.2, maxShingleDf = cap)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .as[(Long, Long, Double)].collect()
+          .map(p => (p._1, p._2) -> p._3).toMap
+      val unc = pairs(None)
+      val cap = pairs(Some(3))
+      // dropping shingles can only remove matches: subset + lower bound
+      assert(cap.keySet.subsetOf(unc.keySet))
+      cap.foreach { case (k, j) => assert(j <= unc(k) + 1e-9, s"pair $k: $j > ${unc(k)}") }
+    }
+  }
+
   test("jaccard is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     val arr = Gen.listOf(Gen.alphaStr.map(_.take(4))).map(_.take(6))
