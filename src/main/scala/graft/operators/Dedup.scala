@@ -238,4 +238,70 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rotate a 64-bit fingerprint left by `k` bits (k in 1..63). */
+  private def rotl64(x: Column, k: Int): Column =
+    call_function("shiftleft", x, lit(k))
+      .bitwiseOR(call_function("shiftrightunsigned", x, lit(64 - k)))
+
+  /** SimHash near-duplicate pairs via Charikar's sorted-rotation
+    * candidates (the sub-quadratic path this file's SimHash section
+    * promises): two fingerprints within Hamming distance d agree on long
+    * bit runs, so after SOME rotation they sort adjacently — explode each
+    * doc into `rotations` rotated copies, sort within each rotation, and
+    * only compare each row to its next `window` neighbors. Candidate
+    * volume is rotations · window · n instead of n²/2; exact Hamming
+    * verification then keeps only true pairs (candidates are a superset
+    * heuristic, recall rises with rotations/window — the planted-pair
+    * spec pins it at the defaults).
+    *
+    * Scale shape: fingerprints are 8 bytes/doc; the sort is
+    * `repartitionByRange(rotation, value)` + sortWithinPartitions, so each
+    * rotation spreads over many range partitions (NOT one partition per
+    * rotation) and the neighbor scan is a per-partition window. Pairs
+    * whose members straddle a range boundary are missed — at most
+    * `window` candidates per partition edge, the standard trade; extra
+    * rotations recover them elsewhere in practice.
+    */
+  def simHashNearDuplicates(
+      df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, rotations: Int = 8, window: Int = 4,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = df.select(id.as("__id"), simHash(tokens(lower(text)), tokenHash).as("__fp"))
+    val step = 64 / rotations
+    val rotated = fps.select(col("__id"), col("__fp"),
+      explode(array((0 until rotations).map { r =>
+        struct(lit(r).as("rot"),
+          (if (r == 0) col("__fp") else rotl64(col("__fp"), r * step)).as("rv"))
+      }: _*)).as("__r"))
+      .select(col("__id"), col("__fp"), col("__r.rot").as("__rot"), col("__r.rv").as("__rv"))
+      // Each (rotation, value) RANGE chunk is one physical partition — a
+      // rotation spreads over many partitions, so no single task ever
+      // holds a whole rotation (a window partitioned BY rotation would
+      // gather each rotation onto one task). The neighbor scan groups by
+      // the captured PHYSICAL partition id: each window group is one
+      // contiguous chunk of the Charikar sorted order, and the window's
+      // own orderBy provides the in-chunk sort.
+      .repartitionByRange(col("__rot"), col("__rv"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("__rot"), col("__rv"), col("__id"))
+    val leadCols = (1 to window).map(k =>
+      lead(struct(col("__id").as("nid"), col("__fp").as("nfp"), col("__rot").as("nrot")), k)
+        .over(w).as(s"__n$k"))
+    val withNext = rotated.select(
+      Seq(col("__id"), col("__fp"), col("__rot")) ++ leadCols: _*)
+    val cands = withNext.select(col("__id"), col("__fp"), col("__rot"),
+      explode_outer(array((1 to window).map(k => col(s"__n$k")): _*)).as("__n"))
+      .filter(col("__n").isNotNull && col("__n.nrot") === col("__rot"))
+      .select(
+        least(col("__id"), col("__n.nid")).as("id_a"),
+        greatest(col("__id"), col("__n.nid")).as("id_b"),
+        hamming64(col("__fp"), col("__n.nfp")).as("hamming"))
+      .filter(col("id_a") < col("id_b"))
+    cands.filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
 }

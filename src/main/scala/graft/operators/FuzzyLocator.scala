@@ -66,7 +66,11 @@ object FuzzyLocator {
         greatest(length(col("__tok")), length(col("name_tok"))).cast("double")
     val scored = toks
       .join(broadcast(dim),
-        // cheap length pre-filter: a similarity >= t bounds the length gap
+        // cheap length pre-filter: a similarity >= t bounds the length gap.
+        // A pure inequality plans as a broadcast NESTED-LOOP join — that is
+        // correct here, not a bug to fix: the dimension is bounded (~500
+        // rows), so the loop is constant work per token and linear overall;
+        // rewriting it as an equi-join would force a shuffle for nothing.
         abs(length(col("__tok")) - length(col("name_tok"))) <=
           ceil(lit(1.0 - threshold) * greatest(length(col("__tok")), length(col("name_tok")))))
       .withColumn("similarity", sim)

@@ -106,9 +106,11 @@ object DedupQueries {
     * per-bit vote, sign, assembly — bit-for-bit (see [[Dedup.simHash]] for
     * the 30-bit-entropy trade; the xxhash64 production default is covered
     * by DedupSpec's exactness tests). The fingerprint is a single
-    * codegen'd projection either way; at 100 TB the downstream near-dup
-    * grouping would use Charikar-style sorted-rotation buckets over these
-    * 8-byte values.
+    * codegen'd projection either way; the downstream near-dup grouping at
+    * scale is [[Dedup.simHashNearDuplicates]] — Charikar sorted-rotation
+    * candidates over these 8-byte values (ScalaTest-gated; its output
+    * hinges on physical partition boundaries, which an external SQL
+    * oracle cannot reproduce).
     */
   def simHashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -170,6 +170,42 @@ class DedupSpec extends SparkSpec {
     assert(agree(sigs(0), sigs(2)) < 0.2)  // unrelated docs rarely collide
   }
 
+  test("Charikar sorted-rotation pairs: subset of brute force, exact dups never missed") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (200 to 260).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      1L -> base, 2L -> base, 3L -> base,          // exact-dup cluster (hamming 0)
+      10L -> other, 11L -> other,                  // second cluster
+      20L -> (base + " extra")                     // near-miss of the first
+    ) ++ (100 until 150).map(i => i.toLong -> (i * 7 to i * 7 + 40).map(j => s"u$j").mkString(" ")))
+    val df = docs.toDF("id", "text")
+
+    val got = Dedup.simHashNearDuplicates(df, col("id"), col("text"), maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    // brute-force truth over the same fingerprints
+    val fps = df.select(col("id"), Dedup.simHash(Dedup.tokens(lower(col("text")))))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = ham(fps(a), fps(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+
+    // exact hamming verification ⇒ no false positives, correct distances
+    got.foreach { case (k, h) => assert(expected.get(k).contains(h), s"false positive $k") }
+    // hamming-0 pairs can never be missed: equal fingerprints rotate to
+    // equal values, and equal range keys land in the same partition
+    val exactDups = expected.filter(_._2 == 0).keySet
+    assert(exactDups == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    assert(exactDups.subsetOf(got.keySet))
+    // measured recall over ALL brute-force pairs at the default geometry
+    val recall = got.size.toDouble / expected.size
+    assert(recall >= 0.8, s"recall $recall (${got.size}/${expected.size})")
+  }
+
   test("simHash: near-identical token bags have small hamming distance") {
     import spark.implicits._
     val a = (1 to 60).map(i => s"w$i").mkString(" ")
