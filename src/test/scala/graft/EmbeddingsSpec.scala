@@ -81,6 +81,47 @@ class EmbeddingsSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(a / 5 == b / 5) }
   }
 
+  test("IVF top-k equals brute force on planted clusters and prunes candidates") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" % 8 === 0)
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"rk", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // tight clusters assign WHOLE to one cell (near-identical vectors share
+    // the argmin centroid, sampled or not), and the probe — also a member —
+    // probes that cell first: IVF must recover the exact neighbor set
+    val ivf = Embeddings.ivfTopK(
+      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .select($"probe_id", $"rk", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF recall@5 on the real sf0.01 embeddings table (cell-count gate)") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val probes = df.filter($"vec_id" % 50 === 0)
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val exactBy = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Embeddings.ivfTopK(
+      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val ivfBy = ivf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = exactBy.map { case (p, ex) =>
+      ivfBy.getOrElse(p, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val recall = rs.sum / rs.size
+    // near-random vectors are the IVF worst case too (neighbors at wide
+    // angles scatter across cells); nprobe/nlist = 1/4 of the corpus
+    // scored buys the measured recall below
+    assert(recall >= 0.5, s"IVF recall@5 $recall < 0.5 at nlist=16 nprobe=4")
+  }
+
   test("ANN recall@5 on the real sf0.01 embeddings table (geometry gate)") {
     import spark.implicits._
     // The synthetic table is a WORST case for hyperplane LSH: embeddings
