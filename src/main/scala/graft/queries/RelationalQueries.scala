@@ -311,7 +311,37 @@ object RelationalQueries {
       |  count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Exact interpolated percentiles per group (A5 extended: distribution
+    * shape, not just mean/sum). Spark's `percentile` and DuckDB's
+    * `quantile_cont` both use linear interpolation between closest ranks,
+    * so the oracle is exact after rounding. The sketch counterpart for a
+    * 100 TB single-pass run is `approx_percentile` (KLL-style, mergeable)
+    * — not oracle-expressible (engine-specific sketch), and unnecessary
+    * here because exact percentiles are one sort-free aggregate per
+    * group.
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val priceQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_quantiles" -> (priceQuantiles _),
     "q_distinct_users" -> (distinctUsers _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_region_revenue" -> (regionRevenue _),
@@ -326,6 +356,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_price_quantiles" -> priceQuantilesSql,
     "q_distinct_users" -> distinctUsersSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_region_revenue" -> regionRevenueSql,
