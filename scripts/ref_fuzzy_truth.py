@@ -7,7 +7,8 @@
 # shorter string against each matching-block window of the longer, return
 # the best SequenceMatcher.ratio as an int percentage).
 #
-# The extracted source is PINNED by sha256: the goldens in FuzzyLocatorSpec
+# The extracted source is PINNED by sha256: the goldens in
+# FuzzyPartialRatioSpec
 # were recorded against exactly this function body. If the reference
 # checkout changes, the hash check below fails loudly instead of silently
 # exec()ing mutated untrusted code.

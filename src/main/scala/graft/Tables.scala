@@ -39,9 +39,16 @@ object Tables {
     * never adds a shuffle on the 100 TB path. Use [[apply]] for
     * dimensions and join inputs where the scan is not the bottleneck.
     */
-  def wide(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = apply(spark, dir, name)
-    val width = spark.sparkContext.defaultParallelism
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    widen(apply(spark, dir, name))
+
+  /** The repartition-up guard behind [[wide]], usable on any DataFrame —
+    * the single authority for the "small scan serializes CPU-bound work"
+    * mitigation (operators needing it should call this, not re-implement
+    * the check).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < width) df.repartition(width) else df
   }
 

@@ -253,7 +253,9 @@ object Dedup {
     * volume is rotations · window · n instead of n²/2; exact Hamming
     * verification then keeps only true pairs (candidates are a superset
     * heuristic, recall rises with rotations/window — the planted-pair
-    * spec pins it at the defaults).
+    * spec pins it at the defaults). Hamming-0 pairs bypass the heuristic
+    * entirely via an exact fingerprint equi-join, so exact-duplicate
+    * clusters of ANY size report every pair.
     *
     * Scale shape: fingerprints are 8 bytes/doc; the sort is
     * `repartitionByRange(rotation, value)` + sortWithinPartitions, so each
@@ -268,7 +270,25 @@ object Dedup {
       maxHamming: Int = 3, rotations: Int = 8, window: Int = 4,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // > 64 rotations would truncate step to 0 and silently make every
+    // rotation the identity (Spark masks shift amounts to 6 bits): the
+    // caller would pay rotations x the cost for rotations=1 coverage
+    require(rotations >= 1 && rotations <= 64 && 64 % rotations == 0,
+      s"rotations must divide 64, got $rotations")
+    require(window >= 1, s"window must be >= 1, got $window")
     val fps = df.select(id.as("__id"), simHash(tokens(lower(text)), tokenHash).as("__fp"))
+    // Identical fingerprints sort by __id in EVERY rotation (equal values
+    // everywhere), so extra rotations recover nothing for them and the
+    // neighbor scan only sees pairs within `window` steps — an exact-dup
+    // cluster of more than window+1 docs would silently lose its far
+    // pairs. Hamming-0 pairs are instead generated EXACTLY by an
+    // equi-join on the fingerprint (output size for an n-cluster is
+    // n(n-1)/2 pairs — quadratic because the answer is).
+    val fa = fps.select(col("__id").as("id_a"), col("__fp"))
+    val fb = fps.select(col("__id").as("id_b"), col("__fp"))
+    val exactPairs = fa.join(fb, Seq("__fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     val step = 64 / rotations
     val rotated = fps.select(col("__id"), col("__fp"),
       explode(array((0 until rotations).map { r =>
@@ -301,7 +321,8 @@ object Dedup {
         hamming64(col("__fp"), col("__n.nfp")).as("hamming"))
       .filter(col("id_a") < col("id_b"))
     cands.filter(col("hamming") <= maxHamming)
+      .unionByName(exactPairs)
       .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("hamming")).as("hamming"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 }

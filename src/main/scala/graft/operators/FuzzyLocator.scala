@@ -95,7 +95,7 @@ object FuzzyLocator {
     * the reference's fuzz.partial_ratio SHAPE (substring alignment — a
     * token join cannot see "bandung" inside "menujubandungsekarang") but
     * scores windows by edit distance where difflib's ratio counts matching
-    * blocks without substitutions; FuzzyLocatorSpec quantifies the
+    * blocks without substitutions; FuzzyPartialRatioSpec quantifies the
     * resulting disagreement against executed-reference goldens
     * (scripts/ref_fuzzy_truth.py, sha-pinned).
     *
@@ -147,13 +147,11 @@ object FuzzyLocator {
     val dim = (cityRows ++ provRows).toDF("name_lower", "province", "city", "kind", "priority")
     // CPU-shape guard: this operator is compute-bound (per-row cost is
     // |dict| windowed levenshtein sweeps), so a small input file that scans
-    // as 1-2 partitions would serialize the whole sweep on one core.
-    // Repartition UP to cluster width when the scan is narrower; inputs
-    // that already have >= parallelism partitions (any real corpus) are
-    // left alone — no shuffle on the scale path.
-    val base = df.select(id.as("__id"), lower(text).as("__text"))
-    val width = spark.sparkContext.defaultParallelism
-    val scored = (if (base.rdd.getNumPartitions < width) base.repartition(width) else base)
+    // as 1-2 partitions would serialize the whole sweep on one core —
+    // widen() repartitions up only when the scan is narrower than the
+    // cluster (no-op, no shuffle, on any real corpus).
+    val scored = graft.Tables
+      .widen(df.select(id.as("__id"), lower(text).as("__text")))
       .join(broadcast(dim))
       .withColumn("score", round(partialRatioSim(col("name_lower"), col("__text")) * 100))
     // Selection is one hash AGGREGATE, not filter + window: a filter on

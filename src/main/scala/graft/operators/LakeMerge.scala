@@ -116,10 +116,15 @@ object LakeMerge {
     val w = Window.partitionBy(col("_id"))
       .orderBy(col("__pri").desc, col("metadata.scraped_at").desc_nulls_last,
         xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
-    val winners = merged
+    val winnersPlan = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
+    // In dedup mode the output is consumed twice (emptied-partition
+    // collect below, then the write) — materialize it once instead of
+    // re-running the whole LWW window per consumer
+    val winners =
+      if (crossPartitionDedup) materialize(spark, winnersPlan) else winnersPlan
 
     // Dynamic overwrite only rewrites partitions PRESENT in the output: a
     // partition whose every row was a retired stale copy produces no

@@ -174,8 +174,12 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val other = (200 to 260).map(i => s"w$i").mkString(" ")
+    // exact-dup cluster of SIX — more than window+1, so its far pairs sort
+    // more than `window` lead steps apart in EVERY rotation (identical
+    // values order by id everywhere); only the fingerprint equi-join can
+    // report all 15 pairs
     val docs = (Seq(
-      1L -> base, 2L -> base, 3L -> base,          // exact-dup cluster (hamming 0)
+      1L -> base, 2L -> base, 3L -> base, 4L -> base, 5L -> base, 6L -> base,
       10L -> other, 11L -> other,                  // second cluster
       20L -> (base + " extra")                     // near-miss of the first
     ) ++ (100 until 150).map(i => i.toLong -> (i * 7 to i * 7 + 40).map(j => s"u$j").mkString(" ")))
@@ -196,10 +200,12 @@ class DedupSpec extends SparkSpec {
 
     // exact hamming verification ⇒ no false positives, correct distances
     got.foreach { case (k, h) => assert(expected.get(k).contains(h), s"false positive $k") }
-    // hamming-0 pairs can never be missed: equal fingerprints rotate to
-    // equal values, and equal range keys land in the same partition
+    // hamming-0 pairs can never be missed: the fingerprint equi-join
+    // reports every pair of an exact-dup cluster, including the 6-doc
+    // cluster's far pairs that the window scan cannot see
     val exactDups = expected.filter(_._2 == 0).keySet
-    assert(exactDups == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val sixCluster = (for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield (a, b)).toSet
+    assert((sixCluster + ((10L, 11L))).subsetOf(exactDups))
     assert(exactDups.subsetOf(got.keySet))
     // measured recall over ALL brute-force pairs at the default geometry
     val recall = got.size.toDouble / expected.size
