@@ -322,7 +322,9 @@ object RelationalQueries {
     */
   def priceQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir, "lineitem")
+    // widened: exact percentile buffers values per group in the partial
+    // aggregate, so a one-row-group file serializes the whole pass
+    Tables.wide(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
