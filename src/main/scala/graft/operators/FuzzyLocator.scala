@@ -150,10 +150,13 @@ object FuzzyLocator {
     // as 1-2 partitions would serialize the whole sweep on one core —
     // widen() repartitions up only when the scan is narrower than the
     // cluster (no-op, no shuffle, on any real corpus).
+    // the native single-pass expression — bit-identical to
+    // [[partialRatioSim]] (property-tested) at ~10x less work per pair
     val scored = graft.Tables
       .widen(df.select(id.as("__id"), lower(text).as("__text")))
       .join(broadcast(dim))
-      .withColumn("score", round(partialRatioSim(col("name_lower"), col("__text")) * 100))
+      .withColumn("score",
+        round(graft.functions.PartialRatio.sim(col("name_lower"), col("__text")) * 100))
     // Selection is one hash AGGREGATE, not filter + window: a filter on
     // the projected score alias would be predicate-pushed below the
     // projection with the whole levenshtein sweep inlined into it

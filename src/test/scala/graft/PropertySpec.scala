@@ -86,6 +86,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native PartialRatioSimExpr is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import graft.functions.PartialRatio
+    import graft.operators.FuzzyLocator.partialRatioSim
+    // words with shared fragments so windows actually differ in score,
+    // plus empties and length extremes
+    val frag = Gen.oneOf("jakarta", "bandung", "ban", "xx", "", "selatan")
+    val s = Gen.zip(frag, Gen.alphaLowerStr.map(_.take(6)), frag).map { case (x, y, z) => x + y + z }
+    val pairs = samples(Gen.zip(s, s), 60) ++ Seq(("", ""), ("", "abc"), ("a", "abcdef"))
+    val got = pairs.toDF("a", "b").select(
+      partialRatioSim(col("a"), col("b")).as("hof"),
+      PartialRatio.sim(col("a"), col("b")).as("native"))
+      .as[(Double, Double)].collect()
+    got.zip(pairs).foreach { case ((hof, native), (a, b)) =>
+      assert(hof == native, s"divergence on ('$a', '$b'): hof=$hof native=$native")
+    }
+  }
+
   test("capped near-dup pairs are a subset with jaccard lower-bounded (arbitrary docs)") {
     import spark.implicits._
     import graft.operators.Dedup
