@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "selection should be an aggregate, not a window")
   }
 
+  test("native partial-ratio expression runs inside whole-stage codegen") {
+    val df = TextQueries.fuzzyPartialRatio(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("partial_ratio_sim")).getOrElse("")
+    assert(line.nonEmpty, s"native expression missing from plan:\n$p")
+    // the asterisk marks the WholeStageCodegen span the projection sits in
+    assert(line.trim.matches(".*\\*\\(\\d+\\).*"),
+      s"partial_ratio_sim fell out of codegen: $line")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
