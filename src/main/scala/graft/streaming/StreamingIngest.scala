@@ -85,6 +85,27 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("_id")
       .drop("__event_time")
 
+  /** Streaming NEAR-duplicate suppression: dedup on the 64-bit SimHash of
+    * the cleaned text instead of the id, so re-scrapes under NEW ids and
+    * token-order rewordings that fingerprint identically collapse to the
+    * first arrival within the watermark horizon. Exact-fingerprint
+    * matching only (Hamming 0) — the state store supports key-equality
+    * lookups, not Hamming balls; docs inside the horizon differing by a
+    * few bits are left for the batch-side
+    * [[graft.operators.Dedup.simHashNearDuplicates]] sweep. State is
+    * watermark-bounded like [[dedupStream]].
+    */
+  def nearDupSuppressStream(
+      processed: DataFrame, lateness: String = "1 day",
+      textCol: Column = col("content.clean_text")): DataFrame =
+    processed
+      .withColumn("__event_time", col("metadata.created_at"))
+      .withColumn("__simhash",
+        graft.operators.Dedup.simHash(graft.operators.Dedup.tokens(lower(textCol))))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicatesWithinWatermark("__simhash")
+      .drop("__event_time", "__simhash")
+
   /** A7 streaming: running totals per key across micro-batches via
     * `mapGroupsWithState` — the reference's total_scraped / query_scraped
     * accumulators (src/resilient_scraper.py:1271-1283) as managed state.

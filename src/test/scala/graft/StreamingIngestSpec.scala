@@ -139,4 +139,40 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
     assert(got == Seq("1", "2"))
   }
+
+  test("streaming near-dup suppression collapses identical fingerprints across ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val job = IngestJob(DictionaryLocator.Indonesian, LexiconSentiment.Indonesian)
+    val processed = job.transform(
+      mem.toDF().toDF("_id", "text", "created_at")
+        .withColumn("author_name", lit(""))
+        .withColumn("author_handle", lit(""))
+        .withColumn("location", lit(null).cast("string"))
+        .withColumn("tweet_url", lit(""))
+        .withColumn("metrics", struct(lit(0).as("reply_count"),
+          lit(0).as("retweet_count"), lit(0).as("like_count"))),
+      fixedNow)
+    val suppressed = StreamingIngest.nearDupSuppressStream(processed)
+      .select(col("_id"))
+    val q = suppressed.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    // doc 2 is a re-scrape of doc 1 under a NEW id (id-keyed dedup is
+    // blind to it); doc 3 is the same tokens REORDERED (same token bag ->
+    // same SimHash); doc 4 is genuinely different text. Batch two replays
+    // doc 1's text under yet another id — cross-batch state must hold.
+    mem.addData(
+      ("1", "dokumen penting satu", "2025-05-01T08:00:00Z"),
+      ("2", "dokumen penting satu", "2025-05-01T08:30:00Z"),
+      ("3", "satu penting dokumen", "2025-05-01T08:45:00Z"),
+      ("4", "laporan lain sama sekali", "2025-05-01T09:00:00Z"))
+    q.processAllAvailable()
+    mem.addData(("5", "dokumen penting satu", "2025-05-01T09:30:00Z"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT _id FROM neardup_out ORDER BY _id")
+      .collect().map(_.getString(0)).toSeq
+    q.stop()
+    assert(got == Seq("1", "4"))
+  }
 }
