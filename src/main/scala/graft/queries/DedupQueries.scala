@@ -136,11 +136,25 @@ object DedupQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Charikar sorted-rotation SimHash pairs over the documents table
+    * ([[Dedup.simHashNearDuplicates]]). Registered rows-only: candidate
+    * generation hinges on physical range-partition boundaries, which no
+    * external SQL engine reproduces; DedupSpec pins no-false-positives,
+    * exhaustive hamming-0 recovery, and the recall floor.
+    */
+  def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simHashNearDuplicates(
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text", maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
     "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
-    "q_simhash" -> (simHashFingerprints _))
+    "q_simhash" -> (simHashFingerprints _),
+    "q_simhash_pairs" -> (simHashPairs _))
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" -> exactDedupSql,

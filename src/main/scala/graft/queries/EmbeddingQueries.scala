@@ -72,6 +72,23 @@ object EmbeddingQueries {
       .orderBy($"probe_id", $"rk")
   }
 
+  /** IVF cell-probing approximate top-5 ([[Embeddings.ivfTopK]]) — the
+    * cell-partitioned alternative to [[embeddingAnn]]'s hyperplane LSH.
+    * Deterministic (seeded sample + one Lloyd pass) but the centroid
+    * sample hinges on xxhash64, which no external SQL engine reproduces —
+    * registered rows-only; EmbeddingsSpec pins planted-cluster exactness
+    * and the real-table recall floor.
+    */
+  def embeddingIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.ivfTopK(
+      e, $"vec_id", $"embedding",
+      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      k = K, nlist = 16, nprobe = 4)
+      .orderBy($"probe_id", $"rk")
+  }
+
   /** Per-label centroid cohesion: average cosine of each vector to its
     * label's mean vector — a clustering-quality aggregate exercising
     * element-wise array aggregation (the `embeddings` analogue of A5 score
@@ -120,6 +137,7 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_ann" -> (embeddingAnn _),
+    "q_embedding_ivf" -> (embeddingIvf _),
     "q_label_cohesion" -> (labelCohesion _))
 
   val oracles: Map[String, String] = Map(
