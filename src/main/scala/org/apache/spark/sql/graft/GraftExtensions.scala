@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the library's native expressions.
+  *
+  * Two registration paths, same builder:
+  *  - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *    (cluster config — new sessions get the functions at build time);
+  *  - [[GraftFunctions.register]] on an already-running session (tests,
+  *    notebooks).
+  */
+object GraftFunctions {
+
+  private val partialRatio = (
+    FunctionIdentifier("partial_ratio_sim"),
+    new ExpressionInfo(classOf[PartialRatioSimExpr].getName, "partial_ratio_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"partial_ratio_sim expects 2 arguments, got ${children.size}")
+      PartialRatioSimExpr(children.head, children(1))
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(partialRatio._1, partialRatio._2, partialRatio._3)
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(partialRatio)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -31,4 +31,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaDf)
     assert(viaSql.map(_._2).sum == 25L) // all 25 nations accounted for
   }
+
+  test("native partial_ratio_sim registers as a SQL function (extensions surface)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT round(partial_ratio_sim('bandung', 'menujubandungsekarang'), 4) AS exact,
+        |  round(partial_ratio_sim('bandng', 'kemarin ke bandung'), 4) AS fuzzy,
+        |  partial_ratio_sim('', 'x') AS empty""".stripMargin)
+      .collect().head
+    assert(got.getDouble(0) == 1.0)   // embedded substring aligns exactly
+    assert(got.getDouble(1) > 0.8 && got.getDouble(1) < 1.0)
+    assert(got.getDouble(2) == 0.0)
+    // and the builder-time extensions path wires the same function
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graft.GraftExtensions().apply(ext)
+  }
 }
