@@ -249,34 +249,42 @@ object Dedup {
     * promises): two fingerprints within Hamming distance d agree on long
     * bit runs, so after SOME rotation they sort adjacently — explode each
     * doc into `rotations` rotated copies, sort within each rotation, and
-    * only compare each row to its next `window` neighbors. Candidate
+    * only compare each row to its previous `window` neighbors. Candidate
     * volume is rotations · window · n instead of n²/2; exact Hamming
     * verification then keeps only true pairs (candidates are a superset
     * heuristic, recall rises with rotations/window — the planted-pair
     * spec pins it at the defaults). Hamming-0 pairs bypass the heuristic
     * entirely via an exact fingerprint equi-join, so exact-duplicate
-    * clusters of ANY size report every pair.
+    * clusters of ANY size report every pair. Token-less documents all
+    * fingerprint to 0 — no shared content, yet pairwise "hamming 0" — so
+    * they are dropped up front (the same degenerate-input guard as
+    * [[minHashNearDuplicates]]'s empty-shingle filter; without it the
+    * equi-join goes quadratic on that one key).
     *
-    * Scale shape: fingerprints are 8 bytes/doc; the sort is
-    * `repartitionByRange(rotation, value)` + sortWithinPartitions, so each
-    * rotation spreads over many range partitions (NOT one partition per
-    * rotation) and the neighbor scan is a per-partition window. Pairs
-    * whose members straddle a range boundary are missed — at most
-    * `window` candidates per partition edge, the standard trade; extra
-    * rotations recover them elsewhere in practice.
+    * Scale shape: fingerprints are 8 bytes/doc; ONE range exchange on
+    * (rotation, value) spreads every rotation over many partitions (no
+    * task holds a whole rotation), `sortWithinPartitions` puts each chunk
+    * in Charikar order, and the neighbor scan is a per-partition
+    * `mapPartitions` sliding buffer — no second shuffle (a window keyed
+    * by anything would force one; this is the file's one justified
+    * mapPartitions beside the model/decoder runners). Pairs straddling a
+    * range boundary are missed — at most `window` candidates per
+    * partition edge, the standard trade; extra rotations recover them
+    * elsewhere in practice.
     */
   def simHashNearDuplicates(
       df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, rotations: Int = 8, window: Int = 4,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // > 64 rotations would truncate step to 0 and silently make every
     // rotation the identity (Spark masks shift amounts to 6 bits): the
     // caller would pay rotations x the cost for rotations=1 coverage
     require(rotations >= 1 && rotations <= 64 && 64 % rotations == 0,
       s"rotations must divide 64, got $rotations")
     require(window >= 1, s"window must be >= 1, got $window")
-    val fps = df.select(id.as("__id"), simHash(tokens(lower(text)), tokenHash).as("__fp"))
+    val fps = df.select(id.as("__id"), tokens(lower(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("__id"), simHash(col("__toks"), tokenHash).as("__fp"))
     // Identical fingerprints sort by __id in EVERY rotation (equal values
     // everywhere), so extra rotations recover nothing for them and the
     // neighbor scan only sees pairs within `window` steps — an exact-dup
@@ -290,35 +298,45 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     val step = 64 / rotations
-    val rotated = fps.select(col("__id"), col("__fp"),
+    val sorted = fps.select(col("__id"), col("__fp"),
       explode(array((0 until rotations).map { r =>
         struct(lit(r).as("rot"),
           (if (r == 0) col("__fp") else rotl64(col("__fp"), r * step)).as("rv"))
       }: _*)).as("__r"))
-      .select(col("__id"), col("__fp"), col("__r.rot").as("__rot"), col("__r.rv").as("__rv"))
-      // Each (rotation, value) RANGE chunk is one physical partition — a
-      // rotation spreads over many partitions, so no single task ever
-      // holds a whole rotation (a window partitioned BY rotation would
-      // gather each rotation onto one task). The neighbor scan groups by
-      // the captured PHYSICAL partition id: each window group is one
-      // contiguous chunk of the Charikar sorted order, and the window's
-      // own orderBy provides the in-chunk sort.
+      .select(col("__r.rot").as("__rot"), col("__r.rv").as("__rv"),
+        col("__id"), col("__fp"))
       .repartitionByRange(col("__rot"), col("__rv"))
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid"))
-      .orderBy(col("__rot"), col("__rv"), col("__id"))
-    val leadCols = (1 to window).map(k =>
-      lead(struct(col("__id").as("nid"), col("__fp").as("nfp"), col("__rot").as("nrot")), k)
-        .over(w).as(s"__n$k"))
-    val withNext = rotated.select(
-      Seq(col("__id"), col("__fp"), col("__rot")) ++ leadCols: _*)
-    val cands = withNext.select(col("__id"), col("__fp"), col("__rot"),
-      explode_outer(array((1 to window).map(k => col(s"__n$k")): _*)).as("__n"))
-      .filter(col("__n").isNotNull && col("__n.nrot") === col("__rot"))
+      .sortWithinPartitions(col("__rot"), col("__rv"), col("__id"))
+    val idType = sorted.schema("__id").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ia", idType),
+      org.apache.spark.sql.types.StructField("ib", idType),
+      org.apache.spark.sql.types.StructField("hamming",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val rawPairs = sorted.mapPartitions { it =>
+      // sliding buffer of the previous `window` rows of the sorted chunk;
+      // each row pairs with buffered predecessors of the SAME rotation
+      val buf = new scala.collection.mutable.ArrayDeque[(Int, Any, Long)]()
+      it.flatMap { row =>
+        val rot = row.getInt(0)
+        val rid = row.get(2)
+        val fp = row.getLong(3)
+        val out = buf.iterator.collect {
+          case (prot, pid, pfp) if prot == rot =>
+            org.apache.spark.sql.Row(pid, rid, java.lang.Long.bitCount(pfp ^ fp))
+        }.toVector
+        buf.append((rot, rid, fp))
+        if (buf.size > window) buf.removeHead()
+        out
+      }
+    }
+    val cands = rawPairs
       .select(
-        least(col("__id"), col("__n.nid")).as("id_a"),
-        greatest(col("__id"), col("__n.nid")).as("id_b"),
-        hamming64(col("__fp"), col("__n.nfp")).as("hamming"))
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("hamming"))
       .filter(col("id_a") < col("id_b"))
     cands.filter(col("hamming") <= maxHamming)
       .unionByName(exactPairs)

@@ -94,17 +94,28 @@ object StreamingIngest {
     * few bits are left for the batch-side
     * [[graft.operators.Dedup.simHashNearDuplicates]] sweep. State is
     * watermark-bounded like [[dedupStream]].
+    *
+    * Token-less documents (URL/mention-only tweets whose cleaned text is
+    * empty) all fingerprint to 0 — distinct documents, one shared key —
+    * so their dedup key falls back to the id: they pass through
+    * unsuppressed instead of silently collapsing to whichever arrived
+    * first. The key domains are disjoint strings ("fp:…" vs "id:…"), so
+    * the fallback can never collide with a real fingerprint.
     */
   def nearDupSuppressStream(
       processed: DataFrame, lateness: String = "1 day",
-      textCol: Column = col("content.clean_text")): DataFrame =
+      textCol: Column = col("content.clean_text")): DataFrame = {
+    val toks = graft.operators.Dedup.tokens(lower(textCol))
+    val key = when(size(toks) > 0,
+      concat(lit("fp:"), graft.operators.Dedup.simHash(toks)))
+      .otherwise(concat(lit("id:"), col("_id")))
     processed
       .withColumn("__event_time", col("metadata.created_at"))
-      .withColumn("__simhash",
-        graft.operators.Dedup.simHash(graft.operators.Dedup.tokens(lower(textCol))))
+      .withColumn("__dedup_key", key)
       .withWatermark("__event_time", lateness)
-      .dropDuplicatesWithinWatermark("__simhash")
-      .drop("__event_time", "__simhash")
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__event_time", "__dedup_key")
+  }
 
   /** A7 streaming: running totals per key across micro-batches via
     * `mapGroupsWithState` — the reference's total_scraped / query_scraped

@@ -19,7 +19,12 @@ object GraftFunctions {
     FunctionIdentifier("partial_ratio_sim"),
     new ExpressionInfo(classOf[PartialRatioSimExpr].getName, "partial_ratio_sim"),
     (children: Seq[Expression]) => {
-      require(children.size == 2, s"partial_ratio_sim expects 2 arguments, got ${children.size}")
+      // surface the standard WRONG_NUM_ARGS AnalysisException (with error
+      // class), not a raw IllegalArgumentException, like every built-in
+      if (children.size != 2) {
+        throw org.apache.spark.sql.errors.QueryCompilationErrors
+          .wrongNumArgsError("partial_ratio_sim", Seq(2), children.size)
+      }
       PartialRatioSimExpr(children.head, children(1))
     })
 

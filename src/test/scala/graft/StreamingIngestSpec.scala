@@ -154,7 +154,11 @@ class StreamingIngestSpec extends SparkSpec {
         .withColumn("metrics", struct(lit(0).as("reply_count"),
           lit(0).as("retweet_count"), lit(0).as("like_count"))),
       fixedNow)
-    val suppressed = StreamingIngest.nearDupSuppressStream(processed)
+    // key on the F1 (analysis) cleaning — it strips URLs outright, so
+    // URL-only tweets become token-less and exercise the id fallback
+    // (the F2 default column replaces them with [LINK] placeholder tokens)
+    val suppressed = StreamingIngest.nearDupSuppressStream(processed,
+        textCol = graft.functions.TextFunctions.cleanTweetText(col("content.text")))
       .select(col("_id"))
     val q = suppressed.writeStream.format("memory").queryName("neardup_out")
       .outputMode(OutputMode.Append()).start()
@@ -169,10 +173,16 @@ class StreamingIngestSpec extends SparkSpec {
       ("4", "laporan lain sama sekali", "2025-05-01T09:00:00Z"))
     q.processAllAvailable()
     mem.addData(("5", "dokumen penting satu", "2025-05-01T09:30:00Z"))
+    // docs 6 and 7 are DISTINCT url-only tweets whose F1-cleaned text is
+    // empty — both fingerprint to 0, but the id-fallback key keeps them
+    // from collapsing into one
+    mem.addData(
+      ("6", "https://t.co/xyz", "2025-05-01T09:45:00Z"),
+      ("7", "https://t.co/abc", "2025-05-01T09:50:00Z"))
     q.processAllAvailable()
     val got = spark.sql("SELECT _id FROM neardup_out ORDER BY _id")
       .collect().map(_.getString(0)).toSeq
     q.stop()
-    assert(got == Seq("1", "4"))
+    assert(got == Seq("1", "4", "6", "7"))
   }
 }
