@@ -97,24 +97,35 @@ object StreamingIngest {
     *
     * Token-less documents (URL/mention-only tweets whose cleaned text is
     * empty) all fingerprint to 0 — distinct documents, one shared key —
-    * so their dedup key falls back to the id: they pass through
+    * so their dedup key falls back to `idCol`: they pass through
     * unsuppressed instead of silently collapsing to whichever arrived
     * first. The key domains are disjoint strings ("fp:…" vs "id:…"), so
     * the fallback can never collide with a real fingerprint.
+    *
+    * Checkpoint note: the dedup state key is the string `__dedup_key`
+    * (earlier builds keyed on a long `__simhash`); a checkpoint written
+    * by a pre-guard build cannot resume across this change — Spark's
+    * state-schema validation rejects the key-type change, and the stream
+    * must restart from a fresh checkpoint.
     */
   def nearDupSuppressStream(
       processed: DataFrame, lateness: String = "1 day",
-      textCol: Column = col("content.clean_text")): DataFrame = {
-    val toks = graft.operators.Dedup.tokens(lower(textCol))
-    val key = when(size(toks) > 0,
-      concat(lit("fp:"), graft.operators.Dedup.simHash(toks)))
-      .otherwise(concat(lit("id:"), col("_id")))
-    processed
+      textCol: Column = col("content.clean_text"),
+      idCol: Column = col("_id")): DataFrame = {
+    // tokenization materialized once — the key expression references the
+    // array twice (guard + fingerprint), and CollapseProject would not
+    // dedupe the inlined non-trivial subtree
+    val withToks = processed
+      .withColumn("__toks", graft.operators.Dedup.tokens(lower(textCol)))
+    withToks
       .withColumn("__event_time", col("metadata.created_at"))
-      .withColumn("__dedup_key", key)
+      .withColumn("__dedup_key",
+        when(size(col("__toks")) > 0,
+          concat(lit("fp:"), graft.operators.Dedup.simHash(col("__toks"))))
+          .otherwise(concat(lit("id:"), idCol)))
       .withWatermark("__event_time", lateness)
       .dropDuplicatesWithinWatermark("__dedup_key")
-      .drop("__event_time", "__dedup_key")
+      .drop("__event_time", "__dedup_key", "__toks")
   }
 
   /** A7 streaming: running totals per key across micro-batches via

@@ -157,6 +157,19 @@ class EmbeddingsSpec extends SparkSpec {
     assert(rHigh > rDefault, s"more bands must buy recall ($rHigh vs $rDefault)")
   }
 
+  test("width-mismatched embeddings fail loudly instead of collapsing to sketch 0") {
+    import spark.implicits._
+    // 32-wide vectors vs 64-wide hyperplanes: zip_with pads with nulls, the
+    // dot goes null — must throw, not bucket every row together
+    val df = Seq((1L, Array.fill(32)(1f)), (2L, Array.fill(32)(2f))).toDF("vec_id", "embedding")
+    val planes = Embeddings.hyperplanes(64, 16, 42L)
+    val ex = intercept[Exception] {
+      df.select(Embeddings.signSketch($"embedding", planes)).collect()
+    }
+    assert(ex.getMessage.contains("signSketch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("signSketch")))
+  }
+
   test("ANN scores strictly fewer pairs than brute force (bucketing prunes)") {
     import spark.implicits._
     val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
