@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{DotFExpr, HammingDistExpr, SparseSignSketchExpr}
 
 /** Similarity search over an embedding column (`Array[Float]`) — the
   * training-data-pipeline north star's ANN pillar.
@@ -28,12 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Double-precision dot product of two float/double-array columns —
+    * the native codegen [[org.apache.spark.sql.graft.DotFExpr]].
+    * Bit-identical (property-tested) to the higher-order
+    * `aggregate(zip_with(...))` fold it replaced, which evaluated every
+    * element as an interpreted lambda and dominated the embedding
+    * benchmarks (same null surface: null on length mismatch or any null
+    * element).
+    */
+  def dot(a: Column, b: Column): Column = DotFExpr.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -41,6 +45,17 @@ object Embeddings {
   /** Cosine similarity, 0.0 for zero vectors (no NaN poisoning). */
   def cosine(a: Column, b: Column): Column =
     coalesce(dot(a, b) / nullif(norm(a) * norm(b), lit(0.0)), lit(0.0))
+
+  /** Cosine from a precomputed-norm pair: scoring joins should compute
+    * each row's norm ONCE in the projection below the join (`normOf`) and
+    * score a candidate pair with a single dot — the norms are per-row
+    * constants, and recomputing them per pair tripled the work on the
+    * hottest path of every similarity query. Bitwise identical to
+    * [[cosine]]: same `sqrt(dot(x, x))` value, same division and
+    * zero-vector coalesce.
+    */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    coalesce(dot(a, b) / nullif(normA * normB, lit(0.0)), lit(0.0))
 
   /** Exact top-k cosine neighbors for each probe row.
     *
@@ -55,10 +70,13 @@ object Embeddings {
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
+      .withColumn("__pn", norm(col("__pe")))
     val c = corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce"))
+      .withColumn("__cn", norm(col("__ce")))
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("__pe"), col("__ce")), 4).as("cosine"))
+        round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
+          .as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -134,11 +152,13 @@ object Embeddings {
       .select(col("id_a"), col("id_b"))
       .distinct()
     val embs = df.select(id.as("__id"), emb.as("__e"))
+      .withColumn("__n", norm(col("__e")))
     candIds
-      .join(embs.select(col("__id").as("id_a"), col("__e").as("__ea")), Seq("id_a"))
-      .join(embs.select(col("__id").as("id_b"), col("__e").as("__eb")), Seq("id_b"))
+      .join(embs.select(col("__id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), Seq("id_a"))
+      .join(embs.select(col("__id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("__ea"), col("__eb")), 4).as("cosine"))
+        round(cosinePrenormed(col("__ea"), col("__eb"), col("__na"), col("__nb")), 4)
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -171,13 +191,29 @@ object Embeddings {
     * Shuffle discipline: the only data shuffle is the broadcast of the
     * (probe, cell) pairs onto the corpus cells; embeddings never shuffle.
     */
+  /** nlist for [[ivfTopK]] when not set explicitly: ⌈√n⌉ clamped to
+    * [4, 65536]. A CONSTANT nlist cannot scale — cells grow linearly with
+    * the corpus and every probe's candidate volume grows with them;
+    * nlist ≈ √n keeps per-probe work (nprobe cells of ~√n rows each, plus
+    * the nlist-wide assignment projection) at ~√n, the classic IVF
+    * balance point.
+    */
+  def deriveNlist(n: Long): Int =
+    math.min(65536L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   def ivfTopK(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       probes: DataFrame, probeId: Column, probeEmb: Column,
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+      k: Int = 5, nlist: Int = -1, nprobe: Int = 4,
       refineIterations: Int = 1,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // nlist = -1 (the default) derives ⌈√n⌉ from one metadata-cheap
+    // count; the explicit parameter remains for planted-cluster tests
+    // and callers that size the index themselves
+    val lists =
+      if (nlist > 0) nlist
+      else deriveNlist(corpus.count())
     def normalize(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
@@ -189,13 +225,30 @@ object Embeddings {
     def cellScoresFor(m: Seq[Seq[Double]])(emb: Column): Column =
       zip_with(typedLit(m), sequence(lit(0), lit(m.size - 1)), (v, i) =>
         struct((-dot(emb, v)).as("negDot"), i.as("cell")))
-    val seedMat: Seq[Seq[Double]] = corpus
-      .select(corpusId.as("__cid"), corpusEmb.as("__ce"))
-      .orderBy(xxhash64(col("__cid"), lit(seed)), col("__cid"))
-      .limit(nlist)
-      .collect()
-      .map(r => normalize(r.getSeq[Float](1).map(_.toDouble)))
-      .toSeq
+    // canonical double cast before the driver collect (works for
+    // array<float> AND array<double> corpora); null or width-mismatched
+    // sample vectors raise loudly — a silent bad centroid would skew
+    // every assignment downstream
+    val seedMat: Seq[Seq[Double]] = {
+      val rows = corpus
+        .select(corpusId.as("__cid"), corpusEmb.cast("array<double>").as("__ce"))
+        .orderBy(xxhash64(col("__cid"), lit(seed)), col("__cid"))
+        .limit(lists)
+        .collect()
+      val vecs = rows.map { r =>
+        if (r.isNullAt(1)) {
+          throw new IllegalArgumentException(
+            s"ivfTopK: null embedding in centroid sample (id=${r.get(0)})")
+        }
+        r.getSeq[Double](1)
+      }
+      val dims = vecs.map(_.length).distinct
+      if (dims.length > 1) {
+        throw new IllegalArgumentException(
+          s"ivfTopK: centroid sample has mixed embedding widths ${dims.mkString(",")}")
+      }
+      vecs.map(normalize).toSeq
+    }
     // spherical Lloyd refinement: assign, mean per cell, re-normalize.
     // The width comes from the sampled centroids themselves, never from a
     // parameter that could disagree with the data (a mismatch would
@@ -208,7 +261,19 @@ object Embeddings {
         .agg(count(lit(1)).as("__n"),
           (0 until dim).map(i => avg(col("__ce").getItem(i)).as(s"m$i")): _*)
         .collect()
-        .map(r => r.getInt(0) -> normalize((0 until dim).map(i => r.getDouble(i + 2))))
+        .map { r =>
+          // a per-index avg can only be null if every member's element was
+          // null — raise loudly like the sample guard, never NPE
+          val mean = (0 until dim).map { i =>
+            if (r.isNullAt(i + 2)) {
+              throw new IllegalArgumentException(
+                s"ivfTopK: null mean at index $i for cell ${r.getInt(0)} " +
+                  "(null embeddings in the corpus)")
+            }
+            r.getDouble(i + 2)
+          }
+          r.getInt(0) -> normalize(mean)
+        }
         .toMap
       m.indices.map(c => means.getOrElse(c, m(c)))
     }
@@ -216,6 +281,7 @@ object Embeddings {
     def cellOf(emb: Column): Column = array_min(cellScores(emb)).getField("cell")
     val corpusCells = corpus.select(
       corpusId.as("neighbor_id"), corpusEmb.as("__ce"), cellOf(corpusEmb).as("cell"))
+      .withColumn("__cn", norm(col("__ce")))
     // each probe's nprobe closest cells (probes are small by contract)
     val probeScored = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
       .select(col("probe_id"), col("__pe"),
@@ -225,10 +291,12 @@ object Embeddings {
       .withColumn("__rn", row_number().over(wp))
       .filter(col("__rn") <= nprobe)
       .select(col("probe_id"), col("__pe"), col("__c.cell").as("cell"))
+      .withColumn("__pn", norm(col("__pe")))
     val scored = corpusCells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("__pe"), col("__ce")), 4).as("cosine"))
+        round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
+          .as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -236,37 +304,87 @@ object Embeddings {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Approximate top-k: candidates = corpus rows sharing >= 1 hyperplane
-    * band bucket with the probe; exact cosine + top-k window only over
-    * those. Recall tunes with (h, bands): more bands / fewer bits per band
-    * = more candidates = higher recall.
+  // ------------------------------------------------ sketch-rank ANN
+
+  /** Registered ANN geometry (the q_embedding_ann setting, gated by
+    * EmbeddingsSpec's recall test on the real sf0.01 table): 96-bit
+    * fingerprints from 8-sparse ±1 planes, hamming ball radius 44.
+    * Chosen by measurement on the synthetic embeddings (near-random
+    * vectors, top-5 neighbors at cosine ~0.35 — the LSH WORST case):
+    * recall@5 ≈ 0.9 with ~29 % of pairs exactly rescored, where the
+    * previous banded geometry needed >50 % candidates for the same
+    * recall. On real corpora (tight neighbors) the ball prunes far
+    * harder — see the planted-cluster spec, recall 1.0 at ~2 % scored.
+    */
+  val AnnH = 96
+  val AnnSparsity = 8
+  val AnnHammingMax = 44
+
+  /** Seeded very-sparse ±1 projection planes (Achlioptas-style): h planes,
+    * each touching `s` distinct coordinates with ±1 weights. Deterministic
+    * literals in the plan, like [[hyperplanes]].
+    */
+  def sparsePlanes(dim: Int, h: Int, s: Int, seed: Long): (Seq[Seq[Int]], Seq[Seq[Double]]) = {
+    require(s <= dim, s"sparsePlanes: sparsity $s > dim $dim")
+    val rnd = new scala.util.Random(seed)
+    val cfg = Seq.fill(h) {
+      val idx = rnd.shuffle((0 until dim).toVector).take(s)
+      val sgn = Vector.fill(s)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      (idx: Seq[Int], sgn: Seq[Double])
+    }
+    (cfg.map(_._1), cfg.map(_._2))
+  }
+
+  /** Approximate top-k by sketch-rank-rescore (the binary-fingerprint
+    * index pattern): every vector gets an h-bit sparse-sign fingerprint
+    * (one codegen'd projection, h·sparsity additions per row); a probe
+    * ranks the corpus by fingerprint hamming distance — xor+popcount over
+    * ⌈h/64⌉ longs, ~100× cheaper than a dim-wide dot — and only rows
+    * inside the hamming ball (`<= hammingMax`) are exactly rescored.
     *
-    * Shuffle discipline: the candidate-generation join carries only
-    * (id, band) pairs — never the 64-float embeddings — and the probe side
-    * is broadcast twice (it is small by contract). Embeddings are joined
-    * back once, only for rows that survived bucketing.
+    * Why this shape and not band-bucketing (the previous design, still
+    * used pairwise by [[cosineNearDuplicates]]): banding's candidate set
+    * is fixed by (h, bands) geometry — on weak-signal corpora the bucket
+    * collision floor forces >50 % of pairs through the EXACT scorer for
+    * recall 0.8. The hamming ball moves the selectivity dial to the
+    * threshold while the per-pair ranking cost stays 2 popcounts, so the
+    * expensive exact dot runs on a fraction the banded design cannot
+    * reach, and no explode/distinct machinery is needed at all.
+    *
+    * Scale shape, in order: (1) the ranking pass scans only the
+    * fingerprint index — (id, 12-byte sketch) via columnar pruning, ~5 %
+    * of the bytes of the embedding column; (2) probes broadcast, so
+    * ranking is shuffle-free; (3) only ball survivors carry ids into the
+    * rescore join, where the corpus embedding scan is pruned to
+    * (id, embedding, norm) and norms are computed once per row, not per
+    * pair. Co-locate the rescore by bucketing the corpus on the id to
+    * drop its shuffle entirely.
     */
   def annTopK(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       probes: DataFrame, probeId: Column, probeEmb: Column,
-      k: Int = 5, dim: Int = 64, h: Int = 16, bands: Int = 4,
+      k: Int = 5, dim: Int = 64, h: Int = AnnH, sparsity: Int = AnnSparsity,
+      hammingMax: Int = AnnHammingMax,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = hyperplanes(dim, h, seed)
-    def bandsOf(df: DataFrame, id: Column, emb: Column, idName: String) =
-      df.select(id.as(idName),
-        explode(sketchBands(signSketch(emb, planes), h, bands)).as("__b"))
-    val pBands = bandsOf(probes, probeId, probeEmb, "probe_id")
-    val cBands = bandsOf(corpus, corpusId, corpusEmb, "neighbor_id")
-    val candIds = cBands.join(broadcast(pBands), Seq("__b"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
+    val (idx, sgn) = sparsePlanes(dim, h, sparsity, seed)
+    def sk(emb: Column): Column = SparseSignSketchExpr.sketch(emb, idx, sgn)
+    val cIdx = corpus.select(corpusId.as("neighbor_id"), sk(corpusEmb).as("__cs"))
+    val pIdx = probes.select(probeId.as("probe_id"), sk(probeEmb).as("__ps"))
+    val candIds = cIdx.join(broadcast(pIdx),
+        col("neighbor_id") =!= col("probe_id") &&
+          HammingDistExpr.hamming(col("__cs"), col("__ps")) <= hammingMax)
       .select(col("probe_id"), col("neighbor_id"))
-      .distinct()
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce"))
+      .withColumn("__cn", norm(col("__ce")))
+    val p = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
+      .withColumn("__pn", norm(col("__pe")))
     val scored = candIds
-      .join(corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce")), Seq("neighbor_id"))
-      .join(broadcast(probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))), Seq("probe_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("__pe"), col("__ce")), 4).as("cosine"))
+        round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
+          .as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))

@@ -57,10 +57,15 @@ object EmbeddingQueries {
        |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
   }
 
-  /** LSH-bucketed approximate top-5 ([[Embeddings.annTopK]]) — the 100 TB
-    * scale path. Deterministic (seeded hyperplanes) but approximate, so it
-    * is registered rows-only; EmbeddingsSpec proves exact-top-k recovery on
-    * planted clusters.
+  /** Sketch-rank approximate top-5 ([[Embeddings.annTopK]]) — the 100 TB
+    * scale path: 96-bit sparse-sign fingerprints, hamming-ball candidate
+    * selection, exact rescore of survivors only. Registered at the
+    * library defaults ([[Embeddings.AnnH]]/[[Embeddings.AnnSparsity]]/
+    * [[Embeddings.AnnHammingMax]]), the SAME geometry EmbeddingsSpec
+    * gates at recall@5 >= 0.8 against [[embeddingKnn]] on this table.
+    * Deterministic (seeded planes) but approximate, so registered
+    * rows-only; the spec also proves exact-top-k recovery on planted
+    * clusters.
     */
   def embeddingAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -68,16 +73,19 @@ object EmbeddingQueries {
     Embeddings.annTopK(
       e, $"vec_id", $"embedding",
       e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
-      k = K, dim = 64, h = 16, bands = 4)
+      k = K)
       .orderBy($"probe_id", $"rk")
   }
 
   /** IVF cell-probing approximate top-5 ([[Embeddings.ivfTopK]]) — the
-    * cell-partitioned alternative to [[embeddingAnn]]'s hyperplane LSH.
+    * cell-partitioned alternative to [[embeddingAnn]]'s fingerprint
+    * ranking. nlist is NOT pinned: the operator derives ⌈√n⌉ cells from
+    * the corpus (23 at sf0.01, 45 at sf0.1), so per-probe candidate
+    * volume stays ~nprobe·√n instead of a constant corpus fraction.
     * Deterministic (seeded sample + one Lloyd pass) but the centroid
     * sample hinges on xxhash64, which no external SQL engine reproduces —
     * registered rows-only; EmbeddingsSpec pins planted-cluster exactness
-    * and the real-table recall floor.
+    * and that the candidate fraction falls as n grows.
     */
   def embeddingIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -85,7 +93,7 @@ object EmbeddingQueries {
     Embeddings.ivfTopK(
       e, $"vec_id", $"embedding",
       e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
-      k = K, nlist = 16, nprobe = 4)
+      k = K, nprobe = 4)
       .orderBy($"probe_id", $"rk")
   }
 

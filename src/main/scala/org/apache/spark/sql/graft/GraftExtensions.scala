@@ -15,25 +15,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  private val partialRatio = (
-    FunctionIdentifier("partial_ratio_sim"),
-    new ExpressionInfo(classOf[PartialRatioSimExpr].getName, "partial_ratio_sim"),
+  private def binary(
+      name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
       // surface the standard WRONG_NUM_ARGS AnalysisException (with error
       // class), not a raw IllegalArgumentException, like every built-in
       if (children.size != 2) {
         throw org.apache.spark.sql.errors.QueryCompilationErrors
-          .wrongNumArgsError("partial_ratio_sim", Seq(2), children.size)
+          .wrongNumArgsError(name, Seq(2), children.size)
       }
-      PartialRatioSimExpr(children.head, children(1))
+      build(children.head, children(1))
     })
 
+  private val all = Seq(
+    binary("partial_ratio_sim", classOf[PartialRatioSimExpr], PartialRatioSimExpr(_, _)),
+    binary("dot_f", classOf[DotFExpr], DotFExpr(_, _)),
+    binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(partialRatio._1, partialRatio._2, partialRatio._3)
+    all.foreach(f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3))
 
   private[graft] def inject(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(partialRatio)
+    all.foreach(ext.injectFunction)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
