@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   * JSON line, so a crashing query is visible without reading stack traces.
   */
 object Bench {
-  private def materialize(df: DataFrame): Long = {
-    val row = df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head
-    if (row.isNullAt(0)) 0L else row.getLong(0) // empty result → null fold
+  /** (fold, rows): the xor fold forces every output expression; the row
+    * count rides the same single-pass aggregate so cross-round comparisons
+    * can spot result-size drift without a second execution.
+    */
+  private def materialize(df: DataFrame): (Long, Long) = {
+    val row = df.agg(
+      bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*))),
+      count(lit(1))).head
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,24 +58,45 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .groupBy(col("r_name")).agg(sum(col("rn"))).collect()
     } catch { case _: Throwable => () }
+    // Two passes per query, deterministic name order. The FIRST (cold) run
+    // includes codegen/janino compile and JIT warm-up — and in a sequential
+    // session it also depends on which earlier query already compiled
+    // textually identical generated classes (the janino cache), so
+    // cross-QUERY comparisons of cold times measure cache luck, not the
+    // operator (isolated-JVM check: knn 9.0 s cold alone, 1.8 s cold after
+    // ann compiled the shared window/sort classes). The SECOND (steady)
+    // run measures the execution the operator would sustain at scale,
+    // where per-query compile is amortized to nothing. `time` = steady,
+    // `cold` = first run (the rounds<=4 methodology); the headline total
+    // stays the cold sum for round-over-round continuity.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { materialize(fn(spark, sfDir)); true }
-        catch {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def timed(): Option[(Double, Long)] = {
+        val t0 = System.nanoTime()
+        try {
+          val (_, rows) = materialize(fn(spark, sfDir))
+          Some(((System.nanoTime() - t0) / 1e9, rows))
+        } catch {
           case e: Throwable =>
-            errors += name
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val cold = timed()
+      val steady = if (cold.isDefined) timed() else None
+      if (cold.isEmpty) errors += name
+      name -> ((cold, steady))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, (cold, steady)) =>
+      val t = steady.orElse(cold).fold(-1.0)(_._1)
+      val c = cold.fold(-1.0)(_._1)
+      val r = cold.fold(0L)(_._2)
+      s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r + "}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2._1.map(_._1)).sum
+    val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (2nd run, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
     spark.stop()
   }
 }

@@ -167,13 +167,30 @@ object Dedup {
     * REMOVE join matches, so with the cap on, reported jaccard is a lower
     * bound of the true value and pairs can be missed (recall loss on pairs
     * whose overlap is mostly stop-shingles) but never spuriously added.
-    * Default None keeps the exact pair set — the SQL oracle verifies that
-    * path; DedupSpec's planted-hot-shingle test pins the capped one.
+    *
+    * `maxShingleDfQuantile` is the scale-aware form of the cap: the cap
+    * becomes the given quantile of the OBSERVED df distribution (one tiny
+    * extra aggregate, broadcast as a single row), so only the outlier-hot
+    * tail — exactly the keys that go quadratic — is dropped, whatever the
+    * corpus. A constant cap cannot serve two corpora: 4 binds correctly
+    * on a corpus whose duplicate clusters have df <= 7 and silently
+    * erases EVERY pair on one with 16-to-25-member near-dup clusters
+    * (measured on the sf0.1 documents table). With the quantile at 0.999,
+    * candidate work is bounded by cap·Σdf with cap tracking the corpus's
+    * own tail, and recall loss is confined to pairs whose overlap lives
+    * entirely in top-0.1 % shingles.
+    *
+    * Default None/None keeps the exact pair set — the SQL oracle verifies
+    * that path; DedupSpec's planted-hot-shingle tests pin both capped
+    * forms.
     */
   def nearDuplicatePairsExact(
       df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5, shingleLen: Int = 3,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      maxShingleDf: Option[Int] = None,
+      maxShingleDfQuantile: Option[Double] = None): DataFrame = {
+    require(maxShingleDf.isEmpty || maxShingleDfQuantile.isEmpty,
+      "nearDuplicatePairsExact: set maxShingleDf or maxShingleDfQuantile, not both")
     // explode_outer, not explode: for a plain explode the optimizer's
     // InferFiltersFromGenerate rule adds a size(__sh) > 0 filter and then
     // pushes it below the projections, re-inlining the entire shingle
@@ -188,12 +205,26 @@ object Dedup {
     // within the cap. Shingle arrays are distinct per doc, so count(*) per
     // shingle IS its document frequency. The inner equi-join also drops the
     // null rows explode_outer kept for empty-shingle docs.
-    val ex = maxShingleDf match {
-      case None => exAll
-      case Some(cap) =>
+    val ex = (maxShingleDf, maxShingleDfQuantile) match {
+      case (None, None) => exAll
+      case (Some(cap), _) =>
         val kept = exAll.groupBy(col("__s"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap)
+          .select(col("__s"))
+        exAll.join(kept, Seq("__s"))
+      case (None, Some(q)) =>
+        // the null __s rows explode_outer kept (empty-shingle docs) form a
+        // pseudo-group that must not pollute the df distribution
+        val dfCounts = exAll.filter(col("__s").isNotNull)
+          .groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+        // exact interpolated percentile (cross-engine: DuckDB
+        // quantile_cont uses the same type-7 definition — proven by
+        // q_price_quantiles), broadcast as one row
+        val capRow = dfCounts.agg(
+          expr(s"percentile(__df, $q)").as("__cap"))
+        val kept = dfCounts.join(broadcast(capRow),
+            col("__df").cast("double") <= col("__cap"))
           .select(col("__s"))
         exAll.join(kept, Seq("__s"))
     }

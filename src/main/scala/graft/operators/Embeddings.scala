@@ -351,14 +351,25 @@ object Embeddings {
     * expensive exact dot runs on a fraction the banded design cannot
     * reach, and no explode/distinct machinery is needed at all.
     *
-    * Scale shape, in order: (1) the ranking pass scans only the
-    * fingerprint index — (id, 12-byte sketch) via columnar pruning, ~5 %
-    * of the bytes of the embedding column; (2) probes broadcast, so
-    * ranking is shuffle-free; (3) only ball survivors carry ids into the
-    * rescore join, where the corpus embedding scan is pruned to
-    * (id, embedding, norm) and norms are computed once per row, not per
-    * pair. Co-locate the rescore by bucketing the corpus on the id to
-    * drop its shuffle entirely.
+    * Plan shape: ONE corpus pass computing (sketch, norm) beside the
+    * embedding, one broadcast of the (small-by-contract) probe set, and
+    * the hamming ball + exact rescore fused in the SAME whole-stage-
+    * codegen join stage — the embedding columns never outlive the stage,
+    * only (probe_id, neighbor_id, cosine) reaches the top-k exchange.
+    * This is [[knnBruteForce]]'s exact topology with the dot replaced by
+    * popcounts for the ~70 % of pairs outside the ball, so it strictly
+    * beats brute force whenever the ball prunes at all. When fingerprints
+    * are PRE-materialized as a table column (the real index deployment —
+    * they are deterministic in (planes, embedding)), pass sketches
+    * through `corpusEmb`-adjacent plumbing instead and the ranking scan
+    * prunes to (id, 12-byte sketch): ~5 % of the embedding bytes.
+    *
+    * The hamming predicate is wrapped in coalesce(_, false): a bare
+    * null-rejecting join condition makes InferFiltersFromConstraints push
+    * isnotnull(sparse_sign_sketch(emb)) below the fingerprint projection
+    * into the corpus scan, re-evaluating the whole sketch per row —
+    * doubling index-build work (plan-asserted in PlanSpec). Semantics are
+    * identical: a null-sketch row is dropped either way.
     */
   def annTopK(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
@@ -369,19 +380,17 @@ object Embeddings {
     import org.apache.spark.sql.expressions.Window
     val (idx, sgn) = sparsePlanes(dim, h, sparsity, seed)
     def sk(emb: Column): Column = SparseSignSketchExpr.sketch(emb, idx, sgn)
-    val cIdx = corpus.select(corpusId.as("neighbor_id"), sk(corpusEmb).as("__cs"))
-    val pIdx = probes.select(probeId.as("probe_id"), sk(probeEmb).as("__ps"))
-    val candIds = cIdx.join(broadcast(pIdx),
-        col("neighbor_id") =!= col("probe_id") &&
-          HammingDistExpr.hamming(col("__cs"), col("__ps")) <= hammingMax)
-      .select(col("probe_id"), col("neighbor_id"))
     val c = corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce"))
       .withColumn("__cn", norm(col("__ce")))
+      .withColumn("__cs", sk(col("__ce")))
     val p = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
       .withColumn("__pn", norm(col("__pe")))
-    val scored = candIds
-      .join(c, Seq("neighbor_id"))
-      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("__ps", sk(col("__pe")))
+    val scored = c.join(broadcast(p),
+        col("neighbor_id") =!= col("probe_id") &&
+          coalesce(
+            HammingDistExpr.hamming(col("__cs"), col("__ps")) <= hammingMax,
+            lit(false)))
       .select(col("probe_id"), col("neighbor_id"),
         round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
           .as("cosine"))

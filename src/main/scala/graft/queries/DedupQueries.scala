@@ -65,18 +65,23 @@ object DedupQueries {
       |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** The skew-capped production variant of [[nearDupPairs]]: shingles with
-    * document frequency above the cap are dropped before the self-join
-    * (stop-shingle pruning — see [[Dedup.nearDuplicatePairsExact]]). The
-    * cap of 4 binds on the synthetic corpus (max shingle DF is 7-9), so
-    * the oracle verifies the DF-aggregate + prune semantics cross-engine,
-    * not just the uncapped path with a no-op knob.
+  /** The skew-capped production variant of [[nearDupPairs]]: shingles in
+    * the hot tail of the document-frequency distribution (above the
+    * p99.9 df quantile, computed from the corpus itself) are dropped
+    * before the self-join (stop-shingle pruning — see
+    * [[Dedup.nearDuplicatePairsExact]]). The quantile cap BINDS at every
+    * scale factor of the synthetic corpus (sf0.01: cap 6.0 vs max df 7;
+    * sf0.1: cap ~21 vs max df 25) while keeping the full pair yield — a
+    * constant cap tight enough to bind at sf0.01 erased all 256 sf0.1
+    * pairs, whose 16-to-25-member near-dup clusters pushed every shared
+    * shingle past it. The oracle verifies df-aggregate, quantile and
+    * prune semantics cross-engine.
     */
   def nearDupPairsCapped(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.nearDuplicatePairsExact(
       Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
-      threshold = 0.5, maxShingleDf = Some(4))
+      threshold = 0.5, maxShingleDfQuantile = Some(0.999))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -88,7 +93,9 @@ object DedupQueries {
       |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
       |    WHERE len(toks) >= 3)),
       |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sh),
-      |kept AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 4),
+      |dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+      |cap AS (SELECT quantile_cont(df, 0.999) AS cap FROM dfs),
+      |kept AS (SELECT s FROM dfs, cap WHERE CAST(df AS DOUBLE) <= cap),
       |exk AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN kept USING (s)),
       |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c

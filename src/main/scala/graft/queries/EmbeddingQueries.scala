@@ -9,24 +9,33 @@ import graft.operators.Embeddings
 /** Similarity-search queries over the `embeddings` table (vec_id,
   * embedding FLOAT[64], label).
   *
-  * The probe set is deterministic (vec_id % 50 == 0 — 10 probes at sf0.01,
-  * scaling with the table) so the driver's hash compare is stable across
-  * runs and scale factors.
+  * The registered workload is the all-pairs 5-NN GRAPH of the corpus
+  * (every row is a probe) — the regime similarity indexes exist for. A
+  * handful-of-probes workload can never justify an index: building any
+  * sketch/cell structure costs more corpus passes than just scoring the
+  * probes exactly, so benchmarking knn-vs-ann there only measures fixed
+  * stage overhead. The neighbor-graph shape (dedup graphs, diversity
+  * sampling, graph-based ANN index construction) is where the exact path
+  * goes quadratic and the index earns its keep — and it is fully
+  * deterministic, so the driver's hash compare stays stable.
   */
 object EmbeddingQueries {
 
-  private val ProbeMod = 50
   private val K = 5
 
-  /** Exact cosine top-5 neighbors per probe — brute-force baseline
-    * ([[Embeddings.knnBruteForce]]): one corpus scan, probe set broadcast.
+  /** Exact cosine 5-NN graph — brute-force baseline
+    * ([[Embeddings.knnBruteForce]] with probes = corpus): one corpus scan
+    * against a broadcast of all (id, embedding, norm) rows. Inherently
+    * n²·dim work — the quadratic wall that motivates [[embeddingAnn]];
+    * at 100 TB this exact variant is only feasible per-partition (e.g.
+    * per-day slices small enough to broadcast).
     */
   def embeddingKnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.wide(spark, dir, "embeddings")
     Embeddings.knnBruteForce(
       e, $"vec_id", $"embedding",
-      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
       k = K)
       .orderBy($"probe_id", $"rk")
   }
@@ -43,8 +52,7 @@ object EmbeddingQueries {
     val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
     val normC = s"sqrt(${dotSql("e.embedding", "e.embedding")})"
     s"""WITH probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
-       |  WHERE vec_id % $ProbeMod = 0),
+       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
        |scored AS (
        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
        |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
@@ -72,7 +80,7 @@ object EmbeddingQueries {
     val e = Tables.wide(spark, dir, "embeddings")
     Embeddings.annTopK(
       e, $"vec_id", $"embedding",
-      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
       k = K)
       .orderBy($"probe_id", $"rk")
   }
@@ -92,7 +100,7 @@ object EmbeddingQueries {
     val e = Tables.wide(spark, dir, "embeddings")
     Embeddings.ivfTopK(
       e, $"vec_id", $"embedding",
-      e.filter($"vec_id" % ProbeMod === 0), $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
       k = K, nprobe = 4)
       .orderBy($"probe_id", $"rk")
   }

@@ -198,6 +198,14 @@ case class SparseSignSketchExpr(
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // the default case-class rendering prints all h index/sign vectors into
+  // every plan node that mentions the expression — megabyte plan strings
+  // and truncated explains; equality/canonicalization still use the full
+  // structural fields
+  override def toString: String =
+    s"sparse_sign_sketch($child, h=$h, s=${signs.headOption.fold(0)(_.size)})"
+  override def sql: String = s"sparse_sign_sketch(${child.sql})"
 }
 
 object SparseSignSketchExpr {

@@ -156,6 +156,33 @@ class DedupSpec extends SparkSpec {
     assert(candCapped < 100)               // the cap collapses it to the planted pairs
   }
 
+  test("maxShingleDfQuantile drops only the observed hot tail (scale-adaptive cap)") {
+    import spark.implicits._
+    // same planted corpus as the absolute-cap test: one stop shingle
+    // shared by 402 docs (df=402), every informative shingle at df<=2.
+    // p99.9 of that df distribution is ~2, so the quantile cap must drop
+    // exactly the hot key and keep every planted pair with the SAME
+    // scores as the absolute cap — no hand-tuned constant anywhere.
+    val hotDocs = (1 to 400).map(i => (i.toLong, s"terima kasih banyak u${i}a u${i}b u${i}c"))
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val rare = Seq(900L -> (base + " enda"), 901L -> (base + " endb"))
+    val mixed = Seq(
+      950L -> "terima kasih banyak w1 w2 w3 w4 w5 enda2",
+      951L -> "terima kasih banyak w1 w2 w3 w4 w5 endb2")
+    val docs = (hotDocs ++ rare ++ mixed).toDF("id", "text")
+    def run(cap: Option[Int], q: Option[Double]) =
+      Dedup.nearDuplicatePairsExact(docs, col("id"), col("text"),
+          threshold = 0.5, maxShingleDf = cap, maxShingleDfQuantile = q)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val qCapped = run(None, Some(0.999))
+    assert(qCapped == run(Some(10), None),
+      "quantile cap must reproduce the absolute cap's pruning on this corpus")
+    assert(qCapped.keySet == Set((900L, 901L), (950L, 951L)))
+    // both modes at once is a caller bug
+    intercept[IllegalArgumentException] { run(Some(4), Some(0.999)) }
+  }
+
   test("minhash signature similarity tracks jaccard") {
     import spark.implicits._
     val a = (1 to 50).map(i => s"w$i").mkString(" ")

@@ -112,7 +112,7 @@ class EmbeddingsSpec extends SparkSpec {
   test("IVF recall@5 on the real sf0.01 embeddings table at derived nlist") {
     import spark.implicits._
     val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
-    val probes = df.filter($"vec_id" % 50 === 0)
+    val probes = df // the registered workload: all-pairs 5-NN graph
     val exact = Embeddings.knnBruteForce(
       df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
@@ -121,6 +121,7 @@ class EmbeddingsSpec extends SparkSpec {
       k = 5, nprobe = 4) // nlist derived: ceil(sqrt(500)) = 23 cells
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
     val recall = recallAt5(exact, ivf)
+    info(f"IVF recall@5 at derived nlist=23, nprobe=4: $recall%.3f")
     // near-random vectors are the IVF worst case (neighbors at wide angles
     // scatter across cells); nprobe/nlist = 4/23 ≈ 17 % of the corpus
     // scored buys the measured recall below
@@ -151,7 +152,7 @@ class EmbeddingsSpec extends SparkSpec {
     // REGISTERS (the annTopK defaults — asserted identical here) must
     // measure >= 0.8, not some better setting that only lives in a test.
     val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
-    val probes = df.filter($"vec_id" % 50 === 0)
+    val probes = df // the registered workload: all-pairs 5-NN graph
     val exact = Embeddings.knnBruteForce(
       df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
@@ -159,6 +160,7 @@ class EmbeddingsSpec extends SparkSpec {
       df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
     val recall = recallAt5(exact, ann)
+    info(f"ANN recall@5 at registered geometry: $recall%.3f")
     assert(recall >= 0.8,
       s"recall@5 $recall < 0.8 at registered geometry h=${Embeddings.AnnH} " +
         s"s=${Embeddings.AnnSparsity} T=${Embeddings.AnnHammingMax}")

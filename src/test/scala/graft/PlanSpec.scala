@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("ANN fingerprint is computed once: never re-evaluated in a scan or Filter") {
+    // a bare null-rejecting hamming join condition makes the optimizer
+    // push isnotnull(sparse_sign_sketch(emb)) below the fingerprint
+    // projection into the scan — doubling index-build work; the
+    // coalesce(_, false) wrapper in annTopK must keep it out
+    val df = graft.queries.EmbeddingQueries.embeddingAnn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val filterish = p.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("DataFilters")).toSeq
+    assert(filterish.forall(!_.contains("sparse_sign_sketch")),
+      s"sketch re-evaluated in a filter:\n${filterish.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
