@@ -298,10 +298,19 @@ object Dedup {
     * in Charikar order, and the neighbor scan is a per-partition
     * `mapPartitions` sliding buffer — no second shuffle (a window keyed
     * by anything would force one; this is the file's one justified
-    * mapPartitions beside the model/decoder runners). Pairs straddling a
-    * range boundary are missed — at most `window` candidates per
-    * partition edge, the standard trade; extra rotations recover them
-    * elsewhere in practice.
+    * mapPartitions beside the model/decoder runners).
+    *
+    * Boundary recovery: the sliding scan cannot see pairs straddling a
+    * range-partition edge. A second consumer of the SAME range exchange
+    * (deduped by plan-level exchange reuse) emits each partition's
+    * leading and trailing same-rotation runs — at most `window` rows
+    * each — and a join of tail(p) × head(p+1) at combined sorted
+    * distance <= window restores exactly the pairs the per-partition
+    * scan missed. The recovery is exact for adjacent partitions; a pair
+    * can still be lost only if a MIDDLE partition holds fewer than
+    * `window` rows of the boundary rotation (possible only under extreme
+    * key skew, where the values are near-identical and the hamming-0
+    * equi-join already covers the cluster exactly).
     */
   def simHashNearDuplicates(
       df: DataFrame, id: Column, text: Column,
@@ -369,7 +378,67 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("id_b"),
         col("hamming"))
       .filter(col("id_a") < col("id_b"))
-    cands.filter(col("hamming") <= maxHamming)
+    // edge runs: kind 0 = the partition's first rows (its leading
+    // rotation only), pos = 1-based distance from the partition START;
+    // kind 1 = last rows (trailing rotation), pos = distance from the
+    // END. The global predecessors of head row q in partition p+1 are
+    // the tail rows i of partition p with i + q <= window + 1.
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("erot",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("eid", idType),
+      org.apache.spark.sql.types.StructField("efp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val eenc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(edgeSchema)
+    val edges = sorted
+      .select(spark_partition_id().as("__pidx"), col("__rot"), col("__id"), col("__fp"))
+      .mapPartitions { it =>
+        val head = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val tail = new scala.collection.mutable.ArrayDeque[(Int, Any, Long)]()
+        var pidx = -1
+        var headRot = Int.MinValue
+        var lastRot = Int.MinValue
+        it.foreach { row =>
+          pidx = row.getInt(0)
+          val rot = row.getInt(1)
+          val rid = row.get(2)
+          val fp = row.getLong(3)
+          if (headRot == Int.MinValue) headRot = rot
+          if (rot == headRot && head.size < window) {
+            head += org.apache.spark.sql.Row(0, pidx, head.size + 1, rot, rid, fp)
+          }
+          if (rot != lastRot) { tail.clear(); lastRot = rot }
+          tail.append((rot, rid, fp))
+          if (tail.size > window) tail.removeHead()
+        }
+        val n = tail.size
+        head.iterator ++ tail.iterator.zipWithIndex.map { case ((rot, rid, fp), j) =>
+          org.apache.spark.sql.Row(1, pidx, n - j, rot, rid, fp)
+        }
+      }(eenc)
+    val heads = edges.filter(col("kind") === 0)
+      .select(col("pidx").as("__hp"), col("pos").as("__q"),
+        col("erot").as("__hrot"), col("eid").as("__hid"), col("efp").as("__hfp"))
+    val tails = edges.filter(col("kind") === 1)
+      .select(col("pidx").as("__tp"), col("pos").as("__i"),
+        col("erot").as("__trot"), col("eid").as("__tid"), col("efp").as("__tfp"))
+    val boundary = tails.join(heads,
+        col("__tp") + 1 === col("__hp") && col("__trot") === col("__hrot") &&
+          col("__i") + col("__q") <= window + 1)
+      .select(
+        least(col("__tid"), col("__hid")).as("id_a"),
+        greatest(col("__tid"), col("__hid")).as("id_b"),
+        bit_count(col("__tfp").bitwiseXOR(col("__hfp"))).as("hamming"))
+      .filter(col("id_a") < col("id_b"))
+    cands.unionByName(boundary)
+      .filter(col("hamming") <= maxHamming)
       .unionByName(exactPairs)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))

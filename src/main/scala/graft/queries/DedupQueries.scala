@@ -144,10 +144,14 @@ object DedupQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** Charikar sorted-rotation SimHash pairs over the documents table
-    * ([[Dedup.simHashNearDuplicates]]). Registered rows-only: candidate
-    * generation hinges on physical range-partition boundaries, which no
-    * external SQL engine reproduces; DedupSpec pins no-false-positives,
-    * exhaustive hamming-0 recovery, and the recall floor.
+    * ([[Dedup.simHashNearDuplicates]]). With boundary recovery the output
+    * equals the partition-AGNOSTIC global sliding-window rule (DedupSpec
+    * proves exact equality under adversarial 48-way partitioning), so
+    * row counts are stable across parallelism/environment. Still
+    * registered rows-only — the candidate rule itself (rotations ×
+    * sliding window over xxhash64 fingerprints) is what no external SQL
+    * engine reproduces; DedupSpec pins no-false-positives, exhaustive
+    * hamming-0 recovery, and the recall floor.
     */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

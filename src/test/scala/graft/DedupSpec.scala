@@ -156,6 +156,59 @@ class DedupSpec extends SparkSpec {
     assert(candCapped < 100)               // the cap collapses it to the planted pairs
   }
 
+  test("Charikar boundary recovery: output equals the partition-agnostic candidate rule") {
+    import spark.implicits._
+    // Adversarial partitioning: many range partitions over few rows, so
+    // a large share of sorted-adjacent pairs straddle partition edges.
+    // With boundary recovery the operator must produce EXACTLY the pairs
+    // of the global (partition-free) sliding-window rule + the hamming-0
+    // equi-join — not a subset that shrinks as partitions multiply.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "48")
+      // one 30-member near-dup family (shared base + one rare token each:
+      // fingerprints within small hamming of each other, sorting adjacent
+      // in every rotation) + 50 unrelated docs with disjoint vocabularies
+      val base = (1 to 60).map(i => s"w$i").mkString(" ")
+      val docs = ((1 to 30).map(i => i.toLong -> s"$base zz$i") ++
+        (100 until 150).map(i => i.toLong -> (i * 70 to i * 70 + 50).map(j => s"u$j").mkString(" ")))
+        .toDF("id", "text")
+      val rotations = 8; val window = 4; val maxHamming = 3
+      val got = Dedup.simHashNearDuplicates(docs, col("id"), col("text"),
+          maxHamming = maxHamming, rotations = rotations, window = window)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      // driver-side global simulation of the same candidate rule
+      val fps = docs.select(col("id"),
+          Dedup.simHash(Dedup.tokens(lower(col("text")))).as("fp"))
+        .as[(Long, Long)].collect()
+      def rotl(x: Long, k: Int): Long = if (k == 0) x else (x << k) | (x >>> (64 - k))
+      def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      val step = 64 / rotations
+      val expected = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      def offer(a: Long, b: Long, h: Int): Unit = {
+        val k = (math.min(a, b), math.max(a, b))
+        if (h <= maxHamming) expected.update(k, math.min(h, expected.getOrElse(k, 64)))
+      }
+      for (r <- 0 until rotations) {
+        val sortedRows = fps.map { case (id, fp) => (rotl(fp, r * step), id, fp) }
+          .sortBy(t => (t._1, t._2))
+        for {
+          i <- sortedRows.indices
+          j <- math.max(0, i - window) until i
+        } offer(sortedRows(j)._2, sortedRows(i)._2, ham(sortedRows(j)._3, sortedRows(i)._3))
+      }
+      for { // hamming-0 equi-join pairs
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib && fa == fb
+      } offer(ia, ib, 0)
+      assert(expected.nonEmpty && expected.exists(_._2 > 0),
+        "test is vacuous: no non-exact near-dup pairs planted")
+      assert(got == expected.toMap,
+        s"missing=${(expected.keySet -- got.keySet).toSeq.sorted.take(10)} " +
+          s"spurious=${(got.keySet -- expected.keySet).toSeq.sorted.take(10)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("maxShingleDfQuantile drops only the observed hot tail (scale-adaptive cap)") {
     import spark.implicits._
     // same planted corpus as the absolute-cap test: one stop shingle
