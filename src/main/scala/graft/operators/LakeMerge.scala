@@ -147,12 +147,24 @@ object LakeMerge {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
 
+    // The overwrite (above) and this cleanup are two separate filesystem
+    // operations with no transaction between them: a crash in the gap —
+    // or a filesystem that refuses the delete — would silently resurrect
+    // the stale duplicate _id this mode exists to retire on the next
+    // read. So a failed delete FAILS the merge loudly; the merge is
+    // idempotent (LakeMergeSpec), so the documented recovery for either
+    // failure is simply re-running it.
     if (emptied.nonEmpty) {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { d =>
         val leaf = if (d == null) "__HIVE_DEFAULT_PARTITION__" else d.toString
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"$PartitionCol=$leaf"), true)
+        val dir = new org.apache.hadoop.fs.Path(root, s"$PartitionCol=$leaf")
+        if (!fs.delete(dir, true) && fs.exists(dir)) {
+          throw new java.io.IOException(
+            s"mergeWrite: could not delete emptied partition $dir — " +
+              "stale rows would resurrect; re-run the merge after fixing the filesystem")
+        }
       }
     }
   }

@@ -99,7 +99,11 @@ object TweetJsonSource {
   def writeJsonArray(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.toJSON.coalesce(1).mapPartitions { it =>
+    // repartition(1), NOT coalesce(1): coalesce cannot raise a
+    // zero-partition plan (e.g. a filter that pruned every input file) to
+    // one, and a partitionless write emits no part file at all — only
+    // _SUCCESS — where a re-reader of the export expects "[]"
+    df.toJSON.repartition(1).mapPartitions { it =>
       if (!it.hasNext) Iterator("[]")
       else {
         val body = new Iterator[String] {

@@ -240,6 +240,17 @@ class TweetPipelineSpec extends SparkSpec {
       new java.io.File(s"$dir/empty").listFiles
         .filter(_.getName.startsWith("part-")).head.toPath), "UTF-8").trim
     assert(etext == "[]")
+    // a ZERO-partition plan (not just zero rows) must still produce the
+    // "[]" part file — coalesce(1) cannot raise 0 partitions to 1 and
+    // would emit only _SUCCESS, breaking any re-reader of the export
+    val zeroPart = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], processed.schema)
+    assert(zeroPart.rdd.getNumPartitions == 0)
+    TweetJsonSource.writeJsonArray(zeroPart, s"$dir/empty0")
+    val ztext = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$dir/empty0").listFiles
+        .filter(_.getName.startsWith("part-")).head.toPath), "UTF-8").trim
+    assert(ztext == "[]")
   }
 
   test("ReprocessJob recomputes derived columns idempotently for a date range") {
