@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.nio.file.Paths
+
+/** E4's PRODUCTION model path: the reference's HuggingFace RoBERTa
+  * sentiment classifier (`w11wo/indonesian-roberta-base-sentiment-
+  * classifier`, utils.py:52-72) run through ONNX Runtime behind the same
+  * [[SentimentClassifier]] trait as the lexicon stand-in, so
+  * [[SentimentRunner.label]] — batching, partition-local model instance,
+  * batch-split invariance — is identical for both.
+  *
+  * Dependency gating: this container has no model runtime and the build
+  * allows no new resolvable dependencies, so the implementation binds to
+  * ONNX Runtime (`ai.onnxruntime`) and DJL's HuggingFace tokenizer
+  * (`ai.djl.huggingface:tokenizers`) REFLECTIVELY — it compiles and ships
+  * with the library as-is, and activates when a cluster deployment puts
+  * those two jars (plus the exported .onnx model and tokenizer.json) on
+  * the executor classpath:
+  *
+  * {{{
+  *   // export once, offline:
+  *   //   optimum-cli export onnx \
+  *   //     --model w11wo/indonesian-roberta-base-sentiment-classifier out/
+  *   val clf = OnnxSentimentClassifier(
+  *     modelPath = "/models/sentiment/model.onnx",
+  *     tokenizerPath = "/models/sentiment")  // dir holding tokenizer.json
+  *   SentimentRunner.label(docs, "text", clf)
+  * }}}
+  *
+  * Without the jars, [[OnnxSentimentClassifier.isAvailable]] is false and
+  * any classify call fails with a message naming the missing pieces
+  * (asserted by SentimentRunnerSpec); nothing else in the library touches
+  * these classes.
+  *
+  * Label-vocabulary parity (reference utils.py:76-92): the reference
+  * returns the pipeline's `result['label']` verbatim and falls back to
+  * ('NEUTRAL', 0.0) on empty/error input. For this model the config's
+  * id2label order is index 0 -> positive, 1 -> neutral, 2 -> negative —
+  * `labels` defaults to exactly that order and MUST be overridden to the
+  * exported model's own id2label if a different checkpoint is deployed
+  * (a silently wrong order would permute every label). Confidence is the
+  * softmax of the argmax logit — the same score the HF pipeline reports.
+  * Like the reference, input is truncated to 512 characters before the
+  * tokenizer (its `text[:512]`, utils.py:84-85); the tokenizer
+  * additionally truncates to `maxTokens` model positions.
+  */
+final case class OnnxSentimentClassifier(
+    modelPath: String,
+    tokenizerPath: String,
+    labels: Seq[String] = Seq("positive", "neutral", "negative"),
+    maxTokens: Int = 512) extends SentimentClassifier {
+
+  import OnnxSentimentClassifier._
+
+  // one runtime + tokenizer per executor task thread, built lazily so the
+  // case class itself serializes as plain strings
+  @transient private lazy val runtime: Runtime = Runtime(modelPath, tokenizerPath, maxTokens)
+
+  override def classifyBatch(texts: Seq[String]): Seq[(String, Double)] = {
+    // like the reference, null/empty inputs never touch the model — the
+    // runtime gate fires only when a real classification is needed
+    if (!isAvailable && texts.exists(t => t != null && t.nonEmpty)) {
+      throw new IllegalStateException(
+        "OnnxSentimentClassifier needs ai.onnxruntime (onnxruntime jar) and " +
+          "ai.djl.huggingface:tokenizers on the classpath; add both jars to the " +
+          "cluster deployment or use LexiconClassifier")
+    }
+    texts.map {
+      case null => ("neutral", 0.0) // reference classify_sentiment null/empty fallback
+      case t if t.isEmpty => ("neutral", 0.0)
+      case t =>
+        // reference truncates CHARACTERS before the model (utils.py:84-85)
+        val s = if (t.length > 512) t.substring(0, 512) else t
+        val logits = runtime.logits(s)
+        val probs = softmax(logits)
+        val arg = probs.indices.maxBy(probs)
+        (labels(arg), probs(arg))
+    }
+  }
+}
+
+object OnnxSentimentClassifier {
+
+  private val OrtEnvClass = "ai.onnxruntime.OrtEnvironment"
+  private val TokenizerClass = "ai.djl.huggingface.tokenizers.HuggingFaceTokenizer"
+
+  /** True iff both optional runtimes are on the classpath. */
+  lazy val isAvailable: Boolean =
+    Seq(OrtEnvClass, TokenizerClass).forall { c =>
+      try { Class.forName(c); true } catch { case _: Throwable => false }
+    }
+
+  private[graft] def softmax(logits: Array[Float]): Array[Double] = {
+    val max = logits.max.toDouble
+    val exps = logits.map(l => math.exp(l.toDouble - max))
+    val sum = exps.sum
+    exps.map(_ / sum)
+  }
+
+  /** Reflective bridge to the two optional runtimes. Kept to four call
+    * sites (tokenize, two tensor builds, run) so the reflection surface
+    * stays auditable; everything else is plain Scala.
+    */
+  private final case class Runtime(modelPath: String, tokenizerPath: String, maxTokens: Int) {
+
+    private val tokenizer: AnyRef = {
+      val cls = Class.forName(TokenizerClass)
+      // HuggingFaceTokenizer.newInstance(Path, Map) — truncation bounds the
+      // sequence to the model's positions
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("truncation", "true")
+      opts.put("maxLength", maxTokens.toString)
+      cls.getMethod("newInstance", classOf[java.nio.file.Path], classOf[java.util.Map[_, _]])
+        .invoke(null, Paths.get(tokenizerPath), opts)
+    }
+
+    private val ortEnv: AnyRef =
+      Class.forName(OrtEnvClass).getMethod("getEnvironment").invoke(null)
+
+    private val session: AnyRef = {
+      val optsCls = Class.forName("ai.onnxruntime.OrtSession$SessionOptions")
+      val opts = optsCls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+      ortEnv.getClass
+        .getMethod("createSession", classOf[String], optsCls)
+        .invoke(ortEnv, modelPath, opts)
+    }
+
+    /** Raw class-logits for one text. */
+    def logits(text: String): Array[Float] = {
+      val encoding = tokenizer.getClass.getMethod("encode", classOf[String])
+        .invoke(tokenizer, text)
+      val ids = encoding.getClass.getMethod("getIds").invoke(encoding)
+        .asInstanceOf[Array[Long]]
+      val mask = encoding.getClass.getMethod("getAttentionMask").invoke(encoding)
+        .asInstanceOf[Array[Long]]
+      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      def tensor(v: Array[Long]): AnyRef =
+        tensorCls.getMethod("createTensor", Class.forName(OrtEnvClass), classOf[Object])
+          .invoke(null, ortEnv, Array(v)) // shape [1, seq]
+      val inputs = new java.util.HashMap[String, AnyRef]()
+      inputs.put("input_ids", tensor(ids))
+      inputs.put("attention_mask", tensor(mask))
+      val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+        .invoke(session, inputs)
+      try {
+        val first = result.getClass.getMethod("get", classOf[Int]).invoke(result, Integer.valueOf(0))
+        first.getClass.getMethod("getValue").invoke(first)
+          .asInstanceOf[Array[Array[Float]]](0)
+      } finally {
+        result.getClass.getMethod("close").invoke(result)
+        inputs.values().forEach(t => t.getClass.getMethod("close").invoke(t))
+      }
+    }
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.LexiconSentiment
-import graft.operators.{LexiconClassifier, SentimentRunner}
+import graft.operators.{LexiconClassifier, OnnxSentimentClassifier, SentimentRunner}
 
 class SentimentRunnerSpec extends SparkSpec {
 
@@ -50,5 +50,22 @@ class SentimentRunnerSpec extends SparkSpec {
       .select($"id", $"sentiment_label", $"sentiment_confidence")
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, "neutral", 0.0), (2L, "neutral", 0.0), (3L, "neutral", 0.0)))
+  }
+
+  test("ONNX classifier: dependency-gated with a clear error; softmax is a distribution") {
+    // this container carries neither ai.onnxruntime nor DJL tokenizers —
+    // the reflective gate must report that, and a classify attempt must
+    // name the missing jars instead of NoClassDefFounding mid-batch
+    assert(!OnnxSentimentClassifier.isAvailable)
+    val clf = OnnxSentimentClassifier("/models/m.onnx", "/models")
+    // reference fallback contract holds even before the runtime gate:
+    // null/empty short-circuit to ('neutral', 0.0) without touching it
+    assert(clf.classifyBatch(Seq(null, "")) == Seq(("neutral", 0.0), ("neutral", 0.0)))
+    val e = intercept[IllegalStateException] { clf.classifyBatch(Seq("bagus sekali")) }
+    assert(e.getMessage.contains("onnxruntime") && e.getMessage.contains("classpath"))
+    // the scoring math that runs once the runtime is present
+    val p = OnnxSentimentClassifier.softmax(Array(2.0f, 1.0f, 0.1f))
+    assert(math.abs(p.sum - 1.0) < 1e-12 && p(0) > p(1) && p(1) > p(2))
+    assert(math.abs(p(0) - 0.659001138885) < 1e-9)
   }
 }
