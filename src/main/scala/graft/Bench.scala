@@ -83,7 +83,13 @@ object Bench {
         }
       }
       val cold = timed()
-      val steady = if (cold.isDefined) timed() else None
+      // steady = min of two post-warm-up runs (the standard microbench
+      // estimator): single post-warm runs still jitter ±0.3 s from AQE
+      // re-planning and GC, which at local-mode query sizes is enough to
+      // invert cross-query comparisons run-to-run
+      val steady =
+        if (cold.isEmpty) None
+        else Seq(timed(), timed()).flatten.sortBy(_._1).headOption
       if (cold.isEmpty) errors += name
       name -> ((cold, steady))
     }
@@ -96,7 +102,7 @@ object Bench {
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum
     val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (2nd run, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 2 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
     spark.stop()
   }
 }
