@@ -90,11 +90,14 @@ object Bench {
       val steady =
         if (cold.isEmpty) None
         else Seq(timed(), timed()).flatten.sortBy(_._1).headOption
-      if (cold.isEmpty) errors += name
+      // a query that succeeded cold but failed BOTH steady runs is still
+      // a failing query — surface it instead of reporting the cold time
+      // as a healthy steady-state
+      if (cold.isEmpty || steady.isEmpty) errors += name
       name -> ((cold, steady))
     }
     val qs = results.map { case (k, (cold, steady)) =>
-      val t = steady.orElse(cold).fold(-1.0)(_._1)
+      val t = steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
       val c = cold.fold(-1.0)(_._1)
       val r = cold.fold(0L)(_._2)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r + "}"

@@ -65,17 +65,22 @@ final case class OnnxSentimentClassifier(
           "ai.djl.huggingface:tokenizers on the classpath; add both jars to the " +
           "cluster deployment or use LexiconClassifier")
     }
-    texts.map {
-      case null => ("neutral", 0.0) // reference classify_sentiment null/empty fallback
-      case t if t.isEmpty => ("neutral", 0.0)
-      case t =>
+    // one padded [N, seq] inference call per batch — the batching the
+    // SentimentRunner trait exists to exploit; null/empty rows take the
+    // reference's neutral fallback without occupying a model slot
+    val live = texts.zipWithIndex.collect {
+      case (t, i) if t != null && t.nonEmpty =>
         // reference truncates CHARACTERS before the model (utils.py:84-85)
-        val s = if (t.length > 512) t.substring(0, 512) else t
-        val logits = runtime.logits(s)
+        (if (t.length > 512) t.substring(0, 512) else t, i)
+    }
+    val scored: Map[Int, (String, Double)] =
+      if (live.isEmpty) Map.empty
+      else live.map(_._2).zip(runtime.batchLogits(live.map(_._1)).map { logits =>
         val probs = softmax(logits)
         val arg = probs.indices.maxBy(probs)
         (labels(arg), probs(arg))
-    }
+      }).toMap
+    texts.indices.map(i => scored.getOrElse(i, ("neutral", 0.0)))
   }
 }
 
@@ -106,10 +111,12 @@ object OnnxSentimentClassifier {
     private val tokenizer: AnyRef = {
       val cls = Class.forName(TokenizerClass)
       // HuggingFaceTokenizer.newInstance(Path, Map) — truncation bounds the
-      // sequence to the model's positions
+      // sequence to the model's positions; padding rectangularizes each
+      // batch so one [N, seq] tensor carries it
       val opts = new java.util.HashMap[String, String]()
       opts.put("truncation", "true")
       opts.put("maxLength", maxTokens.toString)
+      opts.put("padding", "true")
       cls.getMethod("newInstance", classOf[java.nio.file.Path], classOf[java.util.Map[_, _]])
         .invoke(null, Paths.get(tokenizerPath), opts)
     }
@@ -125,31 +132,42 @@ object OnnxSentimentClassifier {
         .invoke(ortEnv, modelPath, opts)
     }
 
-    /** Raw class-logits for one text. */
-    def logits(text: String): Array[Float] = {
-      val encoding = tokenizer.getClass.getMethod("encode", classOf[String])
-        .invoke(tokenizer, text)
-      val ids = encoding.getClass.getMethod("getIds").invoke(encoding)
-        .asInstanceOf[Array[Long]]
-      val mask = encoding.getClass.getMethod("getAttentionMask").invoke(encoding)
-        .asInstanceOf[Array[Long]]
+    /** Raw class-logits for a batch of texts: one padded [N, seq]
+      * session call. Native tensors are off-heap — they are registered
+      * for closing BEFORE anything that can throw, so a failing
+      * `session.run` (wrong input names, shape mismatch) cannot leak
+      * them across Spark task retries.
+      */
+    def batchLogits(texts: Seq[String]): Seq[Array[Float]] = {
+      val encodings = tokenizer.getClass.getMethod("batchEncode", classOf[Array[String]])
+        .invoke(tokenizer, texts.toArray)
+        .asInstanceOf[Array[AnyRef]]
+      def field(name: String): Array[Array[Long]] =
+        encodings.map(e =>
+          e.getClass.getMethod(name).invoke(e).asInstanceOf[Array[Long]])
       val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
-      def tensor(v: Array[Long]): AnyRef =
-        tensorCls.getMethod("createTensor", Class.forName(OrtEnvClass), classOf[Object])
-          .invoke(null, ortEnv, Array(v)) // shape [1, seq]
-      val inputs = new java.util.HashMap[String, AnyRef]()
-      inputs.put("input_ids", tensor(ids))
-      inputs.put("attention_mask", tensor(mask))
-      val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
-        .invoke(session, inputs)
+      val open = scala.collection.mutable.ListBuffer.empty[AnyRef]
+      def close(o: AnyRef): Unit =
+        try o.getClass.getMethod("close").invoke(o) catch { case _: Throwable => () }
       try {
-        val first = result.getClass.getMethod("get", classOf[Int]).invoke(result, Integer.valueOf(0))
+        def tensor(v: Array[Array[Long]]): AnyRef = {
+          val t = tensorCls
+            .getMethod("createTensor", Class.forName(OrtEnvClass), classOf[Object])
+            .invoke(null, ortEnv, v) // shape [N, seq]
+          open += t
+          t
+        }
+        val inputs = new java.util.HashMap[String, AnyRef]()
+        inputs.put("input_ids", tensor(field("getIds")))
+        inputs.put("attention_mask", tensor(field("getAttentionMask")))
+        val result = session.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+          .invoke(session, inputs)
+        open += result
+        val first = result.getClass.getMethod("get", classOf[Int])
+          .invoke(result, Integer.valueOf(0))
         first.getClass.getMethod("getValue").invoke(first)
-          .asInstanceOf[Array[Array[Float]]](0)
-      } finally {
-        result.getClass.getMethod("close").invoke(result)
-        inputs.values().forEach(t => t.getClass.getMethod("close").invoke(t))
-      }
+          .asInstanceOf[Array[Array[Float]]].toSeq
+      } finally open.foreach(close)
     }
   }
 }

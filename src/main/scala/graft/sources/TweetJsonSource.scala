@@ -99,11 +99,16 @@ object TweetJsonSource {
   def writeJsonArray(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    // repartition(1), NOT coalesce(1): coalesce cannot raise a
-    // zero-partition plan (e.g. a filter that pruned every input file) to
-    // one, and a partitionless write emits no part file at all — only
-    // _SUCCESS — where a re-reader of the export expects "[]"
-    df.toJSON.repartition(1).mapPartitions { it =>
+    // coalesce(1) preserves the caller's row order (repartition(1) is a
+    // round-robin SHUFFLE to one partition — block-fetch order, i.e. the
+    // array order, would become nondeterministic on a real cluster); but
+    // coalesce cannot raise a ZERO-partition plan (a filter that pruned
+    // every input file) to one, and a partitionless write emits no part
+    // file at all — only _SUCCESS — where a re-reader expects "[]". So:
+    // repartition only the empty 0-partition case (nothing to misorder).
+    val json = df.toJSON
+    val one = if (json.rdd.getNumPartitions == 0) json.repartition(1) else json.coalesce(1)
+    one.mapPartitions { it =>
       if (!it.hasNext) Iterator("[]")
       else {
         val body = new Iterator[String] {

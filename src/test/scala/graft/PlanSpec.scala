@@ -97,6 +97,28 @@ class PlanSpec extends SparkSpec {
       s"sketch re-evaluated in a filter:\n${filterish.mkString("\n")}")
   }
 
+  test("Charikar rotation exchange materializes once: pairs and edge runs share it") {
+    // Boundary recovery is only sound if the sliding-pair scan and the
+    // edge-run scan observe the SAME range-partition boundaries.
+    // RangePartitioner's sample seed involves the RDD id, so two separate
+    // materializations of the rotation exchange could pick different
+    // bounds and the recovered pairs would target boundaries the pair
+    // scan never had. The final AQE plan must therefore contain exactly
+    // ONE real rangepartitioning(__rot, __rv) exchange, with every other
+    // consumer a ReusedExchange of it.
+    val df = graft.queries.DedupQueries.simHashPairs(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head // AQE appends the pre-reuse plan
+    val real = finalPlan.linesIterator
+      .filter(!_.contains("ReusedExchange"))
+      .count(_.contains("Exchange rangepartitioning(__rot"))
+    val reused = finalPlan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning(__rot"))
+    assert(real == 1, s"rotation exchange materialized $real times:\n$finalPlan")
+    assert(reused >= 2, s"edge-run consumers not reusing the exchange ($reused):\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
