@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Faithful re-implementation of CPython `difflib.SequenceMatcher` (over
+  * code points, like Python str) and fuzzywuzzy's `partial_ratio` on top
+  * of it — the scoring the reference actually runs: its environment has
+  * no python-Levenshtein, so fuzzywuzzy falls back to stdlib difflib
+  * (`/root/reference/utils.py:455-465` via fuzz.partial_ratio).
+  *
+  * [[PartialRatioImpl]]'s windowed-levenshtein scorer remains the
+  * oracle-matched registered path (levenshtein is SQL-expressible;
+  * difflib's matching-block recursion is not) — this one exists for
+  * bit-level score parity with the executed reference, pinned by
+  * DifflibRatioSpec against goldens produced by the same algorithm the
+  * sha-pinned scripts/ref_fuzzy_truth.py uses.
+  *
+  * Fidelity notes (each is observable in scores and covered by goldens):
+  *  - b2j/autojunk: elements of `b` occurring more than len(b)/100 + 1
+  *    times are dropped from match SEEDING when len(b) >= 200, but still
+  *    EXTEND matches (CPython keeps them out of `bjunk`).
+  *  - find_longest_match extension order: non-junk first, then junk —
+  *    with no junk function only the first pair of loops can fire.
+  *  - get_matching_blocks merges adjacent blocks after the recursion and
+  *    appends the (la, lb, 0) sentinel.
+  *  - ratio() = 2M/T, 1.0 on two empty strings.
+  *  - partial_ratio: shorter vs len(shorter)-window of longer anchored
+  *    at each matching block, early 100 on ratio > .995, else
+  *    int(round(100 * best)) with Python's round-half-even.
+  */
+object DifflibRatio {
+
+  /** CPython Match triple (a-start, b-start, size). */
+  final case class Block(a: Int, b: Int, size: Int)
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0; var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** b2j minus popular elements (autojunk), as CPython __chain_b. */
+  private def chainB(b: Array[Int]): java.util.HashMap[Int, Array[Int]] = {
+    val b2j = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
+    var j = 0
+    while (j < b.length) {
+      var lst = b2j.get(b(j))
+      if (lst == null) { lst = scala.collection.mutable.ArrayBuffer.empty[Int]; b2j.put(b(j), lst) }
+      lst += j
+      j += 1
+    }
+    val out = new java.util.HashMap[Int, Array[Int]]()
+    val n = b.length
+    val ntest = n / 100 + 1
+    b2j.forEach { (elt, idxs) =>
+      if (!(n >= 200 && idxs.size > ntest)) out.put(elt, idxs.toArray)
+    }
+    out
+  }
+
+  /** CPython find_longest_match with an empty junk set (isjunk = None):
+    * popular elements are absent from b2j (cannot seed) but extend.
+    */
+  private def findLongestMatch(
+      a: Array[Int], b: Array[Int], b2j: java.util.HashMap[Int, Array[Int]],
+      alo: Int, ahi: Int, blo: Int, bhi: Int): Block = {
+    var besti = alo; var bestj = blo; var bestsize = 0
+    var j2len = new java.util.HashMap[Int, Int]()
+    var i = alo
+    while (i < ahi) {
+      val newj2len = new java.util.HashMap[Int, Int]()
+      val idxs = b2j.get(a(i))
+      if (idxs != null) {
+        var t = 0
+        var break = false
+        while (t < idxs.length && !break) {
+          val j = idxs(t)
+          if (j >= blo) {
+            if (j >= bhi) break = true
+            else {
+              val k = j2len.getOrDefault(j - 1, 0) + 1
+              newj2len.put(j, k)
+              if (k > bestsize) { besti = i - k + 1; bestj = j - k + 1; bestsize = k }
+            }
+          }
+          t += 1
+        }
+      }
+      j2len = newj2len
+      i += 1
+    }
+    // bjunk is empty (no junk function), so only the non-junk extension
+    // loops can fire; popular elements pass `not isbjunk` and extend here
+    while (besti > alo && bestj > blo && a(besti - 1) == b(bestj - 1)) {
+      besti -= 1; bestj -= 1; bestsize += 1
+    }
+    while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+      a(besti + bestsize) == b(bestj + bestsize)) {
+      bestsize += 1
+    }
+    Block(besti, bestj, bestsize)
+  }
+
+  /** CPython get_matching_blocks incl. the adjacent-merge pass and the
+    * terminating (la, lb, 0) sentinel.
+    */
+  private[functions] def matchingBlocks(a: Array[Int], b: Array[Int]): Seq[Block] = {
+    val b2j = chainB(b)
+    val queue = scala.collection.mutable.Stack[(Int, Int, Int, Int)]((0, a.length, 0, b.length))
+    val found = scala.collection.mutable.ArrayBuffer.empty[Block]
+    while (queue.nonEmpty) {
+      val (alo, ahi, blo, bhi) = queue.pop()
+      val m = findLongestMatch(a, b, b2j, alo, ahi, blo, bhi)
+      if (m.size > 0) {
+        found += m
+        if (alo < m.a && blo < m.b) queue.push((alo, m.a, blo, m.b))
+        if (m.a + m.size < ahi && m.b + m.size < bhi) {
+          queue.push((m.a + m.size, ahi, m.b + m.size, bhi))
+        }
+      }
+    }
+    val sorted = found.sortBy(m => (m.a, m.b, m.size))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Block]
+    var cur: Block = null
+    sorted.foreach { m =>
+      if (cur != null && cur.a + cur.size == m.a && cur.b + cur.size == m.b) {
+        cur = Block(cur.a, cur.b, cur.size + m.size)
+      } else {
+        if (cur != null) merged += cur
+        cur = m
+      }
+    }
+    if (cur != null) merged += cur
+    merged += Block(a.length, b.length, 0)
+    merged.toSeq
+  }
+
+  /** SequenceMatcher.ratio(): 2M/T; 1.0 when both strings are empty. */
+  private[functions] def ratio(a: Array[Int], b: Array[Int]): Double = {
+    val matches = matchingBlocks(a, b).map(_.size.toLong).sum
+    val length = a.length + b.length
+    if (length > 0) 2.0 * matches / length else 1.0
+  }
+
+  /** fuzzywuzzy partial_ratio (difflib fallback semantics), 0-100. */
+  def partialRatio(s1: String, s2: String): Int = {
+    val c1 = codePoints(s1)
+    val c2 = codePoints(s2)
+    val (shorter, longer) = if (c1.length <= c2.length) (c1, c2) else (c2, c1)
+    if (shorter.length == 0) return 0
+    var best = 0.0
+    val blocks = matchingBlocks(shorter, longer)
+    var i = 0
+    while (i < blocks.length) {
+      val blk = blocks(i)
+      val longStart = math.max(blk.b - blk.a, 0)
+      val longEnd = math.min(longStart + shorter.length, longer.length)
+      val window = java.util.Arrays.copyOfRange(longer, longStart, longEnd)
+      val r = ratio(shorter, window)
+      if (r > 0.995) return 100
+      if (r > best) best = r
+      i += 1
+    }
+    math.rint(100 * best).toInt // Python round(): half to even
+  }
+
+  /** UTF8String entry point for the codegen expression. */
+  def partialRatio(a: UTF8String, b: UTF8String): Int =
+    partialRatio(a.toString, b.toString)
+}

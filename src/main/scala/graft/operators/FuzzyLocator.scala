@@ -135,7 +135,8 @@ object FuzzyLocator {
     */
   def detectPartialRatio(
       df: DataFrame, id: Column, text: Column,
-      dict: LocationDict, threshold: Double = 0.7): DataFrame = {
+      dict: LocationDict, threshold: Double = 0.7,
+      fuzzywuzzyScores: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val cityRows = dict.cities.zipWithIndex.map { case ((p, c), i) =>
@@ -151,12 +152,22 @@ object FuzzyLocator {
     // widen() repartitions up only when the scan is narrower than the
     // cluster (no-op, no shuffle, on any real corpus).
     // the native single-pass expression — bit-identical to
-    // [[partialRatioSim]] (property-tested) at ~10x less work per pair
+    // [[partialRatioSim]] (property-tested) at ~10x less work per pair.
+    // fuzzywuzzyScores = true swaps in the difflib-exact scorer
+    // (partial_ratio_fw): integer scores then match the executed
+    // reference bit-for-bit (DifflibRatioSpec), at the cost of the SQL
+    // oracle (difflib's matching-block recursion is not SQL-expressible)
+    val scoreCol =
+      if (fuzzywuzzyScores) {
+        org.apache.spark.sql.graft.PartialRatioFwExpr
+          .partialRatioFw(col("name_lower"), col("__text")).cast("double")
+      } else {
+        round(graft.functions.PartialRatio.sim(col("name_lower"), col("__text")) * 100)
+      }
     val scored = graft.Tables
       .widen(df.select(id.as("__id"), lower(text).as("__text")))
       .join(broadcast(dim))
-      .withColumn("score",
-        round(graft.functions.PartialRatio.sim(col("name_lower"), col("__text")) * 100))
+      .withColumn("score", scoreCol)
     // Selection is one hash AGGREGATE, not filter + window: a filter on
     // the projected score alias would be predicate-pushed below the
     // projection with the whole levenshtein sweep inlined into it

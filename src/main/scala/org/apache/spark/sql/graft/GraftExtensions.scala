@@ -32,6 +32,7 @@ object GraftFunctions {
 
   private val all = Seq(
     binary("partial_ratio_sim", classOf[PartialRatioSimExpr], PartialRatioSimExpr(_, _)),
+    binary("partial_ratio_fw", classOf[PartialRatioFwExpr], PartialRatioFwExpr(_, _)),
     binary("dot_f", classOf[DotFExpr], DotFExpr(_, _)),
     binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)))
 
