@@ -36,9 +36,14 @@ def partial_ratio(s1, s2):
     """fuzzywuzzy's partial_ratio (fuzz.py), re-expressed over stdlib
     difflib: best SequenceMatcher ratio of the shorter string against
     len(shorter)-sized windows of the longer, anchored at each matching
-    block."""
+    block. fuzzywuzzy wraps every scorer in @check_for_none
+    @check_for_equivalence @check_empty_string — in that order, so two
+    EQUAL strings (including two empty ones) short-circuit to 100 before
+    the empty-string -> 0 rule."""
     if s1 is None or s2 is None:
         raise TypeError
+    if s1 == s2:
+        return 100
     if len(s1) <= len(s2):
         shorter, longer = s1, s2
     else:

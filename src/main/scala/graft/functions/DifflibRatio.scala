@@ -146,8 +146,15 @@ object DifflibRatio {
     if (length > 0) 2.0 * matches / length else 1.0
   }
 
-  /** fuzzywuzzy partial_ratio (difflib fallback semantics), 0-100. */
+  /** fuzzywuzzy partial_ratio (difflib fallback semantics), 0-100.
+    *
+    * Decorator order matters: fuzzywuzzy wraps every scorer in
+    * `@check_for_none @check_for_equivalence @check_empty_string`, so two
+    * EQUAL strings — including two empty ones — short-circuit to 100
+    * before the empty-string -> 0 rule can fire.
+    */
   def partialRatio(s1: String, s2: String): Int = {
+    if (s1 == s2) return 100 // check_for_equivalence precedes check_empty_string
     val c1 = codePoints(s1)
     val c2 = codePoints(s2)
     val (shorter, longer) = if (c1.length <= c2.length) (c1, c2) else (c2, c1)

@@ -159,8 +159,16 @@ object FuzzyLocator {
     // oracle (difflib's matching-block recursion is not SQL-expressible)
     val scoreCol =
       if (fuzzywuzzyScores) {
-        org.apache.spark.sql.graft.PartialRatioFwExpr
-          .partialRatioFw(col("name_lower"), col("__text")).cast("double")
+        // the reference takes max over BOTH argument orders
+        // (utils.py:468-470): partial_ratio is asymmetric when the two
+        // strings have equal code-point length (the argument order then
+        // decides which side is autojunk'd/windowed), and single-order
+        // scoring provably flips threshold decisions on such pairs
+        greatest(
+          org.apache.spark.sql.graft.PartialRatioFwExpr
+            .partialRatioFw(col("name_lower"), col("__text")),
+          org.apache.spark.sql.graft.PartialRatioFwExpr
+            .partialRatioFw(col("__text"), col("name_lower"))).cast("double")
       } else {
         round(graft.functions.PartialRatio.sim(col("name_lower"), col("__text")) * 100)
       }

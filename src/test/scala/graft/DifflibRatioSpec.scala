@@ -29,7 +29,11 @@ class DifflibRatioSpec extends SparkSpec {
     ("jakarta", "jakarta", 100),
     ("jakarta", "xjakartax", 100),
     ("abc", "", 0),
-    ("", "", 0),
+    // fuzzywuzzy's check_for_equivalence fires BEFORE check_empty_string,
+    // so two equal strings — even two empty ones — score 100 (the bare
+    // difflib-algorithm value would be 0; the decorators are part of the
+    // executed reference)
+    ("", "", 100),
     ("a", "b", 0),
     ("kitten", "sitting", 67),
     ("aaaa", "aaaaaaaaaaaaaaaaaaaa", 100),
@@ -87,27 +91,26 @@ class DifflibRatioSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("fuzzywuzzy-parity scorer reproduces all 27 reference selections too") {
+  test("fuzzywuzzy-parity scorer reproduces ALL reference selection goldens") {
     import spark.implicits._
-    // the FuzzyPartialRatioSpec goldens hold for the levenshtein scorer by
+    // the FuzzyGoldens cases hold for the levenshtein scorer by
     // measurement; for the difflib scorer they must hold by CONSTRUCTION —
-    // it is the same algorithm the pinned truth harness ran
+    // same algorithm as the pinned truth harness, including the
+    // reference's max over both argument orders (utils.py:468-470)
     val dict = DictionaryLocator.Indonesian
-    val cases = Seq(
-      ("kemarin ke bandng naik kereta", ("Jawa Barat", "Bandung")),
-      ("tangerang seltan macet", ("Banten", "Tangerang")),
-      ("menujubandungsekarang", ("Jawa Barat", "Bandung")),
-      ("jawa barat", ("DKI Jakarta", "Jakarta Barat")),
-      ("sura", ("Jawa Tengah", "Surakarta")),
-      ("tidak ada kota dalam teks ini ya", (null: String, null: String)))
-    val df = cases.zipWithIndex.map { case ((t, _), i) => (i.toLong, t) }.toDF("id", "text")
+    val df = FuzzyGoldens.cases.zipWithIndex.map { case ((t, a, _), i) =>
+      (i.toLong, if (a == null) t else t + " " + a.toLowerCase)
+    }.toDF("id", "text")
     val got = FuzzyLocator.detectPartialRatio(df, $"id", $"text", dict,
         fuzzywuzzyScores = true)
       .select($"id", $"province", $"city")
       .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    cases.zipWithIndex.foreach { case ((t, want), i) =>
+    val diffs = FuzzyGoldens.cases.zipWithIndex.flatMap { case ((t, a, want), i) =>
       val g = got.getOrElse(i.toLong, (null, null))
-      assert(g == want, s"'$t': got $g want $want")
+      if (g == want) None
+      else Some(s"'$t'${Option(a).fold("")(" | " + _)}: got $g want $want")
     }
+    assert(diffs.isEmpty,
+      s"${diffs.size}/${FuzzyGoldens.cases.size} diverge:\n${diffs.mkString("\n")}")
   }
 }

@@ -12,12 +12,14 @@ import graft.operators.FuzzyLocator
   * windowed normalized levenshtein — this spec pins exactly where the two
   * agree and disagree, so the divergence is measured, not prose.
   */
-class FuzzyPartialRatioSpec extends SparkSpec {
-
-  private val dict = DictionaryLocator.Indonesian
-
+/** Reference-golden selection cases, shared by [[FuzzyPartialRatioSpec]]
+  * (windowed-levenshtein scorer — agreement by measurement) and
+  * [[DifflibRatioSpec]] (fuzzywuzzy-exact scorer — agreement by
+  * construction, same algorithm as the truth harness).
+  */
+object FuzzyGoldens {
   // (text, author, reference golden (province, city)) — from ref_fuzzy_truth.py
-  private val goldens: Seq[(String, String, (String, String))] = Seq(
+  val cases: Seq[(String, String, (String, String))] = Seq(
     ("kemarin ke bandng naik kereta", null, ("Jawa Barat", "Bandung")),
     ("warga surabya senang", null, ("Jawa Timur", "Surabaya")),
     ("tangerang seltan macet", null, ("Banten", "Tangerang")),
@@ -45,6 +47,12 @@ class FuzzyPartialRatioSpec extends SparkSpec {
     ("jak", null, ("DKI Jakarta", "Jakarta Pusat")),
     ("makan enak", "Budi Bandung", ("Jawa Barat", "Bandung")),
     ("hari baik", "warga_medan", ("Sumatera Utara", "Medan")))
+}
+
+class FuzzyPartialRatioSpec extends SparkSpec {
+
+  private val dict = DictionaryLocator.Indonesian
+  private val goldens = FuzzyGoldens.cases
 
   test("detectPartialRatio matches the executed reference on all goldens") {
     import spark.implicits._
