@@ -81,6 +81,24 @@ class DifflibRatioSpec extends SparkSpec {
     assert(DifflibRatio.partialRatio("x" * 250 + "abc", "abc" + "x" * 250) == 1)
   }
 
+  test("150-pair adversarial battery matches CPython (asymmetry, autojunk, astral plane)") {
+    // generated from CPython 3.11 difflib with the fuzzywuzzy decorator
+    // semantics, tab-separated (a, b, expected): 5 regimes — equal-length
+    // pairs (the asymmetric argument-order case), 200-400-char b strings
+    // (autojunk active), unicode incl. astral-plane code points (🎈 is two
+    // UTF-16 units but ONE difflib element), containment, generic random
+    val in = getClass.getResourceAsStream("/difflib_partial_ratio_goldens.tsv")
+    assert(in != null, "golden resource missing")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    assert(lines.size == 150)
+    val diffs = lines.zipWithIndex.flatMap { case (line, i) =>
+      val Array(a, b, want) = line.split("\t", -1)
+      val got = DifflibRatio.partialRatio(a, b)
+      if (got == want.toInt) None else Some(s"line ${i + 1}: got $got want $want")
+    }
+    assert(diffs.isEmpty, s"${diffs.size}/150 diverge:\n${diffs.mkString("\n")}")
+  }
+
   test("partial_ratio_fw SQL surface agrees with the driver-side engine") {
     import spark.implicits._
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
