@@ -83,13 +83,14 @@ object Bench {
         }
       }
       val cold = timed()
-      // steady = min of two post-warm-up runs (the standard microbench
+      // steady = min of three post-warm-up runs (the standard microbench
       // estimator): single post-warm runs still jitter ±0.3 s from AQE
       // re-planning and GC, which at local-mode query sizes is enough to
-      // invert cross-query comparisons run-to-run
+      // invert cross-query comparisons run-to-run; the min converges on
+      // the query's true floor
       val steady =
         if (cold.isEmpty) None
-        else Seq(timed(), timed()).flatten.sortBy(_._1).headOption
+        else Seq(timed(), timed(), timed()).flatten.sortBy(_._1).headOption
       // a query that succeeded cold but failed BOTH steady runs is still
       // a failing query — surface it instead of reporting the cold time
       // as a healthy steady-state
@@ -105,7 +106,7 @@ object Bench {
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum
     val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 2 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
     spark.stop()
   }
 }
