@@ -91,9 +91,9 @@ object Bench {
       val steady =
         if (cold.isEmpty) None
         else Seq(timed(), timed(), timed()).flatten.sortBy(_._1).headOption
-      // a query that succeeded cold but failed BOTH steady runs is still
-      // a failing query — surface it instead of reporting the cold time
-      // as a healthy steady-state
+      // a query that succeeded cold but failed all three steady runs is
+      // still a failing query — surface it instead of reporting the cold
+      // time as a healthy steady-state
       if (cold.isEmpty || steady.isEmpty) errors += name
       name -> ((cold, steady))
     }

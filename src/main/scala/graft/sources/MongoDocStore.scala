@@ -1,9 +1,12 @@
 package graft.sources
 
 import java.time.LocalDate
-import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.ModeDispatch
 
 /** S3/S5's REAL storage backend: the reference's `DailyCollectionManager`
   * (`/root/reference/utils.py:560-592`) re-expressed over the official
@@ -11,10 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `prefix + yyyyMMdd`, monthly mode routing every day of a month to the
   * first-of-month collection (`src/resilient_scraper.py:1061-1068`;
   * `resilient_etl.py:301`), range reads as a union of per-day
-  * collections, and the scraper's upsert save — replace whole document
-  * keyed on `_id` (`src/resilient_scraper.py:941-974`, bulk UpdateOne
-  * `$set` upsert) — as the connector's `operationType=replace` +
-  * `idFieldList=_id`.
+  * collections, and the scraper's upsert save — `$set` upsert keyed on
+  * `_id` (`src/resilient_scraper.py:941-974`, bulk UpdateOne) — as the
+  * connector's `operationType=update` + `idFieldList=_id`.
   *
   * Dependency gating, same policy as
   * [[graft.operators.OnnxSentimentClassifier]]: `format("mongodb")` is a
@@ -42,17 +44,15 @@ final case class MongoDocStore(
 
   import MongoDocStore._
 
-  private val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
-
   /** Collection routing — `get_collection_by_date` (utils.py:567-592)
     * plus the monthly-storage redirect (resilient_scraper.py:1061-1068):
     * daily mode names the day's collection, monthly mode the
-    * first-of-month's.
+    * first-of-month's. Delegates to [[ModeDispatch.collectionKey]] so the
+    * lake partition keys and Mongo collection names can never diverge.
     */
-  def collectionNameFor(date: LocalDate): String = {
-    val target = if (monthlyMode) date.withDayOfMonth(1) else date
-    s"$collectionPrefix${target.format(fmt)}"
-  }
+  def collectionNameFor(date: LocalDate): String =
+    collectionPrefix + ModeDispatch.collectionKey(
+      date, if (monthlyMode) ModeDispatch.Monthly else ModeDispatch.Daily)
 
   /** Distinct collection names covering [start, end] inclusive —
     * `get_collection_names_in_range` (utils.py:626-640); monthly mode
@@ -75,13 +75,15 @@ final case class MongoDocStore(
           "to the cluster deployment or use LakeMerge's parquet lake")
     }
 
-  def readCollection(spark: SparkSession, collection: String): DataFrame = {
+  def readCollection(
+      spark: SparkSession, collection: String,
+      schema: Option[StructType] = None): DataFrame = {
     requireConnector()
-    spark.read.format("mongodb")
+    val reader = spark.read.format("mongodb")
       .option("connection.uri", uri)
       .option("database", database)
       .option("collection", collection)
-      .load()
+    schema.fold(reader)(reader.schema).load()
   }
 
   /** Union of the per-day (or per-month) collections in the range —
@@ -89,25 +91,57 @@ final case class MongoDocStore(
     * (utils.py:605-624) and concatenates; allowMissingColumns absorbs
     * schemaless drift between collections like the reference's
     * defensive `.get` chains do per document.
+    *
+    * Pass `schema` (e.g. TweetSchema's canonical doc) when the range may
+    * contain gap days: a never-created collection gives schema inference
+    * nothing (an empty StructType, where the reference's empty pymongo
+    * cursor is harmless), and an explicit schema turns it into an empty
+    * typed frame instead; without one, zero-column frames are dropped
+    * from the union and an all-gaps range fails loudly.
+    *
+    * In monthly mode the month collections hold days the caller did not
+    * ask for, so the result is filtered back to [start, end] on
+    * `dateField` — the same `metadata.created_at` range predicate the
+    * reference applies when it reads day slices out of a monthly
+    * collection (resilient_etl.py:307-310). Daily mode applies no filter,
+    * faithful to `get_all_daily_collections` returning whole collections.
     */
-  def readRange(spark: SparkSession, start: LocalDate, end: LocalDate): DataFrame =
-    collectionNamesInRange(start, end)
-      .map(readCollection(spark, _))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+  def readRange(
+      spark: SparkSession, start: LocalDate, end: LocalDate,
+      schema: Option[StructType] = None,
+      dateField: String = "metadata.created_at"): DataFrame = {
+    val frames = collectionNamesInRange(start, end)
+      .map(readCollection(spark, _, schema))
+      .filter(_.schema.nonEmpty) // inference over a gap-day collection yields no columns
+    if (frames.isEmpty) {
+      throw new IllegalStateException(
+        s"readRange: no collection in [$start, $end] produced a schema — " +
+          "pass an explicit schema to read ranges with gap days")
+    }
+    val all = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (monthlyMode) {
+      all.filter(col(dateField) >= java.sql.Timestamp.valueOf(start.atStartOfDay()) &&
+        col(dateField) < java.sql.Timestamp.valueOf(end.plusDays(1).atStartOfDay()))
+    } else all
+  }
 
-  /** The scraper's save: replace-whole-document upsert keyed on `_id`
-    * (resilient_scraper.py:944-951 — UpdateOne `$set` with upsert=True).
-    * `operationType=replace` + `idFieldList=_id` is the connector's
-    * exact equivalent; idempotent re-saves rewrite the same documents.
+  /** The scraper's save: field-preserving upsert keyed on `_id`
+    * (resilient_scraper.py:944-951 — UpdateOne `{$set: tweet}` with
+    * upsert=True, which updates the given fields and KEEPS any fields an
+    * earlier save wrote that this batch's frame lacks). The connector's
+    * `operationType=update` + `idFieldList=_id` has exactly that
+    * semantics; `replace` would silently delete such fields — the
+    * schemaless drift [[readRange]]'s allowMissingColumns anticipates.
+    * Idempotent re-saves rewrite the same documents.
     */
   def upsertWrite(df: DataFrame, collection: String): Unit = {
     requireConnector()
     df.write.format("mongodb")
-      .mode("append") // append + replace-by-id IS the upsert; Overwrite would drop the collection
+      .mode("append") // append + update-by-id IS the upsert; Overwrite would drop the collection
       .option("connection.uri", uri)
       .option("database", database)
       .option("collection", collection)
-      .option("operationType", "replace")
+      .option("operationType", "update")
       .option("idFieldList", "_id")
       .save()
   }

@@ -42,7 +42,9 @@ class MongoDocStoreSpec extends SparkSpec {
   }
 
   test("connector gate: unavailable in this container, read/write name the missing jar") {
-    assert(!MongoDocStore.isAvailable)
+    // assume, not assert: legitimately deploying the connector jar must
+    // skip this gate test, not fail the suite
+    assume(!MongoDocStore.isAvailable)
     val e1 = intercept[IllegalStateException] {
       daily.readCollection(spark, "tweets_20250507")
     }
