@@ -44,10 +44,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: touch every table and exercise the shuffle/window/broadcast
-    // machinery once, so session-initialization costs don't land on
-    // whichever query the map happens to order first — per-query numbers
-    // then reflect the query, not its position. (Each query still pays its
-    // own codegen, as it would in production.)
+    // machinery once, so session-initialization costs don't land on the
+    // first query. (Each query's FIRST timed run still pays its own
+    // codegen — that is the `cold` figure; the `time` figure amortizes it,
+    // see the two-pass comment below.)
     try {
       graft.Tables.all.foreach(t => graft.Tables(spark, sfDir, t).count())
       val r = graft.Tables(spark, sfDir, "region")
