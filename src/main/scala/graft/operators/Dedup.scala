@@ -322,9 +322,31 @@ object Dedup {
     require(rotations >= 1 && rotations <= 64 && 64 % rotations == 0,
       s"rotations must divide 64, got $rotations")
     require(window >= 1, s"window must be >= 1, got $window")
+    // The fingerprint table feeds THREE subplans (both sides of the
+    // hamming-0 equi-join and the rotation exchange); without a shuffle
+    // boundary each one rescans the corpus and recomputes tokenization +
+    // simHash — the expensive pass — from scratch. The narrow
+    // repartition materializes (id, fp) — 16 bytes/doc — once, and
+    // plan-level exchange reuse serves every consumer from it.
+    //
+    // Two deliberate shapes make the reuse actually fire (pushdown walks
+    // straight through RepartitionByExpression, so any predicate the
+    // equi-join INFERS lands below the exchange and de-canonicalizes one
+    // copy — before this fix the join side's scan filter carried the
+    // ENTIRE simHash tree as isnotnull(aggregate(...)), evaluated per
+    // row on top of the projection that already computes it):
+    //  - coalesce(fp, 0L) marks the fingerprint NON-NULLABLE (the branch
+    //    never fires: simHash of a non-empty token array is never null),
+    //    so no isnotnull(fp) is inferred at all;
+    //  - the explicit id.isNotNull filter subsumes the isnotnull(id) the
+    //    join's id comparisons would otherwise infer (a null-id document
+    //    has no meaningful pair identity anyway).
+    // PlanSpec pins one documents scan in the final plan.
     val fps = df.select(id.as("__id"), tokens(lower(text)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-      .select(col("__id"), simHash(col("__toks"), tokenHash).as("__fp"))
+      .filter(size(col("__toks")) > 0 && col("__id").isNotNull)
+      .select(col("__id"),
+        coalesce(simHash(col("__toks"), tokenHash), lit(0L)).as("__fp"))
+      .repartition(col("__id"))
     // Identical fingerprints sort by __id in EVERY rotation (equal values
     // everywhere), so extra rotations recover nothing for them and the
     // neighbor scan only sees pairs within `window` steps — an exact-dup

@@ -117,6 +117,12 @@ class PlanSpec extends SparkSpec {
       l.contains("ReusedExchange") && l.contains("rangepartitioning(__rot"))
     assert(real == 1, s"rotation exchange materialized $real times:\n$finalPlan")
     assert(reused >= 2, s"edge-run consumers not reusing the exchange ($reused):\n$finalPlan")
+    // the expensive pass — tokenize + simHash over the corpus — must run
+    // ONCE: every other consumer reads the narrow (id, fp) exchange. One
+    // real documents scan in the final plan; the rest are ReusedExchange.
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"documents scanned $scans times (fingerprints recomputed):\n$finalPlan")
   }
 
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
