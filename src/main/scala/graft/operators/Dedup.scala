@@ -341,9 +341,16 @@ object Dedup {
     //  - the explicit id.isNotNull filter subsumes the isnotnull(id) the
     //    join's id comparisons would otherwise infer (a null-id document
     //    has no meaningful pair identity anyway).
+    // The non-empty gate is the BASE-column predicate trim(text) != ''
+    // (equivalent to size(tokens(..)) > 0: tokens splits on \s+ and keeps
+    // non-empty pieces, so "has a token" == "has a non-space char"; null
+    // drops either way). Filtering on the projected token array instead
+    // would predicate-push the whole split+filter tree into the scan
+    // stage and tokenize every row twice — once below the widen exchange
+    // on the scan's task, once in the fingerprint projection.
     // PlanSpec pins one documents scan in the final plan.
-    val fps = df.select(id.as("__id"), tokens(lower(text)).as("__toks"))
-      .filter(size(col("__toks")) > 0 && col("__id").isNotNull)
+    val fps = df.filter(trim(text) =!= "" && id.isNotNull)
+      .select(id.as("__id"), tokens(lower(text)).as("__toks"))
       .select(col("__id"),
         coalesce(simHash(col("__toks"), tokenHash), lit(0L)).as("__fp"))
       .repartition(col("__id"))

@@ -123,6 +123,14 @@ class PlanSpec extends SparkSpec {
     val scans = finalPlan.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("documents"))
     assert(scans == 1, s"documents scanned $scans times (fingerprints recomputed):\n$finalPlan")
+    // and tokenization must not leak into the scan-stage filter: the
+    // non-empty gate is a base-column trim predicate, so no Filter may
+    // carry the split+HOF token tree (which would tokenize each row a
+    // second time, serialized on the scan's task before the widen)
+    val filterish = finalPlan.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("DataFilters")).toSeq
+    assert(filterish.forall(!_.contains("split(")),
+      s"token tree pushed into a filter:\n${filterish.mkString("\n")}")
   }
 
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
