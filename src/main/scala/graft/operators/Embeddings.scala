@@ -205,9 +205,11 @@ object Embeddings {
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       probes: DataFrame, probeId: Column, probeEmb: Column,
       k: Int = 5, nlist: Int = -1, nprobe: Int = 4,
+      replicas: Int = 1,
       refineIterations: Int = 1,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
     // nlist = -1 (the default) derives ⌈√n⌉ from one metadata-cheap
     // count; the explicit parameter remains for planted-cluster tests
     // and callers that size the index themselves
@@ -279,9 +281,33 @@ object Embeddings {
     }
     def cellScores(emb: Column): Column = cellScoresFor(centroidMat)(emb)
     def cellOf(emb: Column): Column = array_min(cellScores(emb)).getField("cell")
-    val corpusCells = corpus.select(
-      corpusId.as("neighbor_id"), corpusEmb.as("__ce"), cellOf(corpusEmb).as("cell"))
-      .withColumn("__cn", norm(col("__ce")))
+    // Multi-assignment (replicas > 1): each corpus row is indexed under its
+    // `replicas` closest cells, the standard IVF fix for boundary loss — a
+    // true neighbor sitting just across a Voronoi edge from the probed cell
+    // is recovered through its second assignment. Candidate volume scales
+    // ~replicas·nprobe/nlist. Measured on the synthetic near-random corpus
+    // (recall@5 vs exact, all-pairs workload): at n=500/nlist=23 raising
+    // nprobe edges out replicas at equal budget (35 %: 0.716 vs 0.679 —
+    // wide-angle neighbors scatter beyond adjacent cells), the two combine
+    // to 0.81 at 52 %; at n=5000/nlist=71 the same ladder reads 23 %:
+    // 0.732, 34 %: 0.847, 45 %: 0.916 — recall per scanned fraction
+    // IMPROVES with n because the 5-NN of a larger corpus sit at a tighter
+    // top percentile of the cosine distribution, exactly the regime real
+    // clustered corpora live in (planted-cluster spec: 1.0 at ~2 %).
+    // struct ordering sorts by negDot then cell, so array_sort's first
+    // `replicas` entries ARE the closest cells (ties broken by cell index,
+    // same rule as array_min).
+    val corpusAssigned =
+      if (replicas == 1)
+        corpus.select(
+          corpusId.as("neighbor_id"), corpusEmb.as("__ce"), cellOf(corpusEmb).as("cell"))
+      else
+        corpus.select(
+          corpusId.as("neighbor_id"), corpusEmb.as("__ce"),
+          explode(transform(
+            slice(array_sort(cellScores(corpusEmb)), 1, math.min(replicas, lists)),
+            c => c.getField("cell"))).as("cell"))
+    val corpusCells = corpusAssigned.withColumn("__cn", norm(col("__ce")))
     // each probe's nprobe closest cells (probes are small by contract)
     val probeScored = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
       .select(col("probe_id"), col("__pe"),
@@ -297,9 +323,18 @@ object Embeddings {
       .select(col("probe_id"), col("neighbor_id"),
         round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
           .as("cosine"))
+    // with replicas > 1 a (probe, neighbor) pair can match through several
+    // probed cells; collapse duplicates (identical cosine — same vectors,
+    // same formula) BEFORE ranking, or row_number would hand one neighbor
+    // several of the k slots. One extra hash-agg shuffle of the narrow
+    // 3-column candidate table, only on the multi-assignment path.
+    val distinctScored =
+      if (replicas == 1) scored
+      else scored.groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(max(col("cosine")).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
+    distinctScored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }

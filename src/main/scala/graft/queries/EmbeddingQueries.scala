@@ -88,8 +88,13 @@ object EmbeddingQueries {
   /** IVF cell-probing approximate top-5 ([[Embeddings.ivfTopK]]) — the
     * cell-partitioned alternative to [[embeddingAnn]]'s fingerprint
     * ranking. nlist is NOT pinned: the operator derives ⌈√n⌉ cells from
-    * the corpus (23 at sf0.01, 45 at sf0.1), so per-probe candidate
-    * volume stays ~nprobe·√n instead of a constant corpus fraction.
+    * the corpus (23 at sf0.01, 71 at sf0.1), so per-probe candidate
+    * volume stays ~nprobe·replicas·√n instead of a constant corpus
+    * fraction. The registered geometry nprobe=12 × replicas=2 is
+    * spec-gated at recall@5 >= 0.8 vs exact on the real sf0.1 table
+    * (measured 0.847 scanning ~34 % of this worst-case near-random
+    * corpus; the fraction keeps falling as n grows and real clustered
+    * corpora need far less — see the operator's measured ladder).
     * Deterministic (seeded sample + one Lloyd pass) but the centroid
     * sample hinges on xxhash64, which no external SQL engine reproduces —
     * registered rows-only; EmbeddingsSpec pins planted-cluster exactness
@@ -101,7 +106,7 @@ object EmbeddingQueries {
     Embeddings.ivfTopK(
       e, $"vec_id", $"embedding",
       e, $"vec_id", $"embedding",
-      k = K, nprobe = 4)
+      k = K, nprobe = 12, replicas = 2)
       .orderBy($"probe_id", $"rk")
   }
 

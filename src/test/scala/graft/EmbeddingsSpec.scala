@@ -109,23 +109,48 @@ class EmbeddingsSpec extends SparkSpec {
     rs.sum / rs.size
   }
 
-  test("IVF recall@5 on the real sf0.01 embeddings table at derived nlist") {
+  test("IVF recall@5 ladder on the real sf0.01 table: replicas raises recall") {
     import spark.implicits._
     val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val probes = df // the registered workload: all-pairs 5-NN graph
     val exact = Embeddings.knnBruteForce(
       df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    def ivfRecall(nprobe: Int, replicas: Int): Double = recallAt5(exact,
+      Embeddings.ivfTopK(
+        df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding",
+        k = 5, nprobe = nprobe, replicas = replicas)
+        .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect())
+    // near-random vectors are the IVF worst case (neighbors at wide angles
+    // scatter across cells); nlist derived: ceil(sqrt(500)) = 23 cells.
+    // Measured points: (4,1) 0.484 at ~17 % scanned, (4,2) 0.679 at ~35 %
+    val r41 = ivfRecall(4, 1)
+    val r42 = ivfRecall(4, 2)
+    info(f"IVF recall@5 nlist=23: nprobe=4/replicas=1 $r41%.3f, nprobe=4/replicas=2 $r42%.3f")
+    assert(r41 >= 0.3, s"IVF recall@5 $r41 < 0.3 at derived nlist, nprobe=4")
+    // multi-assignment must buy real recall, not just duplicate candidates
+    assert(r42 >= r41 + 0.1,
+      s"replicas=2 recall $r42 does not improve on replicas=1 recall $r41")
+  }
+
+  test("IVF recall@5 >= 0.8 at the REGISTERED geometry on the real sf0.1 table") {
+    import spark.implicits._
+    // the q_embedding_ivf setting: nprobe=12 x replicas=2 against derived
+    // nlist=71 scans ~34 % of this worst-case near-random corpus for a
+    // measured 0.847 (recall per scanned fraction improves with n — the
+    // 5-NN of a larger corpus sit at a tighter cosine percentile)
+    val df = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
     val ivf = Embeddings.ivfTopK(
-      df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding",
-      k = 5, nprobe = 4) // nlist derived: ceil(sqrt(500)) = 23 cells
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding",
+      k = 5, nprobe = 12, replicas = 2)
       .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
     val recall = recallAt5(exact, ivf)
-    info(f"IVF recall@5 at derived nlist=23, nprobe=4: $recall%.3f")
-    // near-random vectors are the IVF worst case (neighbors at wide angles
-    // scatter across cells); nprobe/nlist = 4/23 ≈ 17 % of the corpus
-    // scored buys the measured recall below
-    assert(recall >= 0.3, s"IVF recall@5 $recall < 0.3 at derived nlist, nprobe=4")
+    info(f"IVF recall@5 at registered nprobe=12/replicas=2, nlist=71: $recall%.3f")
+    assert(recall >= 0.8,
+      s"IVF recall@5 $recall < 0.8 at the registered geometry (nprobe=12, replicas=2)")
   }
 
   test("IVF candidate fraction falls as the corpus grows (nlist ~ sqrt n)") {
