@@ -341,15 +341,18 @@ object Dedup {
     //  - the explicit id.isNotNull filter subsumes the isnotnull(id) the
     //    join's id comparisons would otherwise infer (a null-id document
     //    has no meaningful pair identity anyway).
-    // The non-empty gate is the BASE-column predicate trim(text) != ''
-    // (equivalent to size(tokens(..)) > 0: tokens splits on \s+ and keeps
-    // non-empty pieces, so "has a token" == "has a non-space char"; null
-    // drops either way). Filtering on the projected token array instead
-    // would predicate-push the whole split+filter tree into the scan
-    // stage and tokenize every row twice — once below the widen exchange
-    // on the scan's task, once in the fingerprint projection.
-    // PlanSpec pins one documents scan in the final plan.
-    val fps = df.filter(trim(text) =!= "" && id.isNotNull)
+    // The non-empty gate is the BASE-column predicate rlike("\S") —
+    // exactly size(tokens(..)) > 0: tokens splits on regex \s+ and keeps
+    // non-empty pieces, so "has a token" == "has a char outside \s", and
+    // rlike's \S is the same Java regex class (NOT trim, which strips
+    // only ASCII spaces and would let tab/newline-only docs through to
+    // fingerprint 0L — the quadratic degenerate key this gate exists to
+    // drop); null drops either way. Filtering on the projected token
+    // array instead would predicate-push the whole split+filter tree
+    // into the scan stage and tokenize every row twice — once below the
+    // widen exchange on the scan's task, once in the fingerprint
+    // projection. PlanSpec pins one documents scan in the final plan.
+    val fps = df.filter(text.rlike("\\S") && id.isNotNull)
       .select(id.as("__id"), tokens(lower(text)).as("__toks"))
       .select(col("__id"),
         coalesce(simHash(col("__toks"), tokenHash), lit(0L)).as("__fp"))

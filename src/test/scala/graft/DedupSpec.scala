@@ -267,7 +267,9 @@ class DedupSpec extends SparkSpec {
       1L -> base, 2L -> base, 3L -> base, 4L -> base, 5L -> base, 6L -> base,
       10L -> other, 11L -> other,                  // second cluster
       20L -> (base + " extra"),                    // near-miss of the first
-      30L -> "", 31L -> "   "                      // degenerate: no tokens
+      30L -> "", 31L -> "   ",                     // degenerate: no tokens
+      32L -> "\t", 33L -> "\n\n \r"                // non-space whitespace only:
+                                                   // \s-class chars trim() keeps
     ) ++ (100 until 150).map(i => i.toLong -> (i * 50 to i * 50 + 40).map(j => s"u$j").mkString(" ")))
     val df = docs.toDF("id", "text")
 
@@ -295,8 +297,10 @@ class DedupSpec extends SparkSpec {
     val sixCluster = (for { a <- 1L to 6L; b <- 1L to 6L if a < b } yield (a, b)).toSet
     assert((sixCluster + ((10L, 11L))).subsetOf(exactDups))
     assert(exactDups.subsetOf(got.keySet))
-    // no pair may touch a token-less doc
-    assert(!got.keySet.exists { case (a, b) => a >= 30L && a <= 31L || b >= 30L && b <= 31L })
+    // no pair may touch a token-less doc — including the tab/newline-only
+    // docs that an ASCII-space trim() gate would keep (all token-less docs
+    // fingerprint to 0L, so two surviving ones pair at hamming 0)
+    assert(!got.keySet.exists { case (a, b) => a >= 30L && a <= 33L || b >= 30L && b <= 33L })
     // recall floor chosen so the DETERMINISTIC hamming-0 pairs alone
     // satisfy it (16 of <= 22 expected): boundary-dependent recovery of
     // the near-miss pairs can only raise it, never flake it
