@@ -223,7 +223,15 @@ object Embeddings {
     // per-cell scores against a literal centroid matrix: -dot(emb,
     // normalized centroid); argmin == nearest by cosine (the row's own
     // norm is a constant positive factor), ties broken by cell index via
-    // the struct's second field
+    // the struct's second field.
+    // Shape note (measured, do not "optimize"): the zip_with lambda runs
+    // interpreted, but its inner dot is DotFExpr.eval — a tight JIT'd
+    // loop — and the assignment is ~n·nlist·dim flops, dwarfed by the
+    // candidate-scoring join (~n²·nprobe·replicas/nlist·dim). Unrolling
+    // into array(nlist × struct(DotF…)) to chase whole-stage codegen
+    // pushed the generated method past JIT limits and made the bench
+    // SLOWER (2.5 s → 3.7 s at sf0.1); nlist parallel HOF-cosine trees
+    // OOM'd Catalyst canonicalization. This formulation is the fast one.
     def cellScoresFor(m: Seq[Seq[Double]])(emb: Column): Column =
       zip_with(typedLit(m), sequence(lit(0), lit(m.size - 1)), (v, i) =>
         struct((-dot(emb, v)).as("negDot"), i.as("cell")))
