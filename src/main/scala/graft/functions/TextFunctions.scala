@@ -20,6 +20,18 @@ object TextFunctions {
   val MentionRe = "@\\w+"
   val HashtagRe = "#\\w+"
 
+  /** Python `str.strip()` parity: strip LEADING/TRAILING whitespace by the
+    * Unicode White_Space property — `(?U)` makes Java's \s match what
+    * Python's `.isspace()` does (tab, newline, CR, FF, VT, NBSP, U+3000…),
+    * where Spark's `trim` strips ONLY ASCII spaces. Use this wherever the
+    * reference gates on `text.strip()` over RAW text; after the cleaning
+    * chains (F1/F2) collapse \s+ to ' ', plain trim is already exact.
+    * Known residue: Python also treats \x1c-\x1f (file/group/record/unit
+    * separators) as whitespace; Unicode does not — not worth a char class.
+    */
+  def pyStrip(text: Column): Column =
+    regexp_replace(text, "(?U)^\\s+|\\s+$", "")
+
   /** F1: analysis-stage cleaning (utils.py:28-50). */
   def cleanTweetText(text: Column): Column =
     lower(trim(regexp_replace(

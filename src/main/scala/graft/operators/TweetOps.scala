@@ -27,7 +27,10 @@ object TweetOps {
     * (shape 1 of SURVEY §1.3; src/resilient_scraper.py:631-638).
     */
   def locationFromString(s: Column): Column =
-    when(s.isNotNull && trim(s) =!= "",
+    // the reference gate is `location_str.strip()` — Python strip, which
+    // drops tab/newline/NBSP-only strings that Spark's ASCII-space trim
+    // would pass through as a non-empty location
+    when(s.isNotNull && TextFunctions.pyStrip(s) =!= "",
       struct(
         nullString.as("province"),
         nullString.as("city"),
@@ -40,7 +43,9 @@ object TweetOps {
     * nest projection, where the reference applies it.
     */
   def minLengthFilter(raw: DataFrame, minChars: Int = 5): DataFrame =
-    raw.filter(length(trim(coalesce(col("text"), lit("")))) >= minChars)
+    // `len(text.strip()) < 5` in the reference: Python strip — a doc like
+    // "abc \t\n" measures 3, not the 7 Spark's ASCII-space trim reports
+    raw.filter(length(TextFunctions.pyStrip(coalesce(col("text"), lit("")))) >= minChars)
 
   /** P2: raw scrape record -> canonical nested doc
     * (process_and_save_tweets, src/resilient_scraper.py:909-936): F2-clean

@@ -125,4 +125,30 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.wordHits(col("t"), Seq("terima kasih"))).as[Int].head()
     assert(phrase == 1)
   }
+
+  test("pyStrip matches CPython str.strip() on the whitespace classes") {
+    import spark.implicits._
+    // goldens executed by CPython 3: `c.strip()` — the reference's gates
+    // (resilient_scraper.py:399,597) use Python strip, which removes ALL
+    // Unicode whitespace, where Spark's trim removes only ASCII spaces
+    val golden = Seq(
+      ("", ""), ("   ", ""), ("\t", ""), ("\n\n \r", ""),
+      (" x ", "x"),          // NBSP: trim would keep it
+      ("　ab　", "ab"),        // ideographic space
+      (" ab\tcd \n", "ab\tcd"),        // interior whitespace survives
+      ("abc \t\n", "abc"), ("", ""), ("no-ws", "no-ws"))
+    val got = golden.map(_._1).toDF("t")
+      .select(TextFunctions.pyStrip(col("t"))).as[String].collect().toSeq
+    golden.map(_._2).zip(got).foreach { case (exp, g) => assert(g == exp) }
+    // and the two reference gates flip on exactly these inputs:
+    // "abc \t\n" measures 3 (dropped by the 5-char gate), a tab-only
+    // location is an empty location
+    val kept = operators.TweetOps.minLengthFilter(
+      Seq("abc \t\n", "abcde", "ab    ").toDF("text"))
+      .as[String].collect().toSeq
+    assert(kept == Seq("abcde"))
+    val loc = Seq("\t", "jakarta").toDF("l")
+      .select(operators.TweetOps.locationFromString(col("l")).isNull).as[Boolean].collect().toSeq
+    assert(loc == Seq(true, false))
+  }
 }
