@@ -19,18 +19,27 @@ object DedupQueries {
   /** D1/D2 exact dedup as keyed last-write-wins representative selection:
     * one row per normalized-text key, lowest doc_id wins (the reference's
     * hash-set drop at src/resilient_scraper.py:352-358, made distributed
-    * and idempotent). One shuffle on the key.
+    * and idempotent). One shuffle on the key. The key is
+    * `text.strip().lower()` (resilient_scraper.py:354) — Python strip, so
+    * [[graft.functions.TextFunctions.pyStrip]] rather than ASCII-space
+    * trim; the oracle mirrors it as a boundary-anchored regexp_replace
+    * (RE2's \s is ASCII-only where Java's (?U)\s is Unicode — identical
+    * on any corpus whose boundary whitespace is ASCII, which the parity
+    * goldens in TextFunctionsSpec cover for the Spark side).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Dedup.exact(Tables(spark, dir, "documents"), lower(trim($"text")), $"doc_id")
+    Dedup.exact(Tables(spark, dir, "documents"),
+      lower(graft.functions.TextFunctions.pyStrip($"text")), $"doc_id")
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
 
   val exactDedupSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents
-      |QUALIFY row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+      |  ORDER BY doc_id) = 1
       |ORDER BY doc_id""".stripMargin
 
   /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.5, exact
