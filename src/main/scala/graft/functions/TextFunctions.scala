@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  val UrlRe = "http\\S+|www\\S+|https\\S+"
-  val MentionRe = "@\\w+"
-  val HashtagRe = "#\\w+"
+  // (?U) = Java UNICODE_CHARACTER_CLASS, making \s/\S/\w match what
+  // Python's re does on str patterns (the reference's regexes,
+  // utils.py:37-45): \S stops at NBSP, @\w+ eats accented handles, \s+
+  // collapses ideographic spaces. Executed-reference goldens in
+  // TextFunctionsSpec pin the divergent cases. The DuckDB oracle SQL
+  // keeps RE2's ASCII classes — identical on the gate corpora, which are
+  // verified pure-ASCII (see DedupQueries.exactDedupSql's note).
+  val UrlRe = "(?U)http\\S+|www\\S+|https\\S+"
+  val MentionRe = "(?U)@\\w+"
+  val HashtagRe = "(?U)#\\w+"
 
   /** Python `str.strip()` parity: strip LEADING/TRAILING whitespace by the
     * Unicode White_Space property — `(?U)` makes Java's \s match what
@@ -40,7 +47,7 @@ object TextFunctions {
           regexp_replace(text, UrlRe, ""),
           MentionRe, "[MENTION]"),
         HashtagRe, "[HASHTAG]"),
-      "\\s+", " ")))
+      "(?U)\\s+", " ")))
 
   /** F2: scrape-stage cleaning (src/resilient_scraper.py:868-889). */
   def cleanTextScraper(text: Column): Column =
@@ -49,8 +56,8 @@ object TextFunctions {
         regexp_replace(
           regexp_replace(text, UrlRe, "[LINK]"),
           MentionRe, "[MENTION]"),
-        "#(\\w+)", "$1"),
-      "\\s+", " "))
+        "(?U)#(\\w+)", "$1"),
+      "(?U)\\s+", " "))
 
   /** Whitespace token count — scale-safe (a count, not a materialized
     * array).

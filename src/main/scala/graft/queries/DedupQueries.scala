@@ -22,10 +22,11 @@ object DedupQueries {
     * and idempotent). One shuffle on the key. The key is
     * `text.strip().lower()` (resilient_scraper.py:354) — Python strip, so
     * [[graft.functions.TextFunctions.pyStrip]] rather than ASCII-space
-    * trim; the oracle mirrors it as a boundary-anchored regexp_replace
-    * (RE2's \s is ASCII-only where Java's (?U)\s is Unicode — identical
-    * on any corpus whose boundary whitespace is ASCII, which the parity
-    * goldens in TextFunctionsSpec cover for the Spark side).
+    * trim. The oracle's RE2 class [\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]
+    * is EXACTLY Unicode White_Space == Java's (?U)\s (verified char-by-char
+    * over U+0001..U+30FF), so the two engines agree on every input; the
+    * only residue is Python's extra \x1c-\x1f, which BOTH engines keep
+    * (documented on pyStrip). The gate corpora are verified pure ASCII.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -38,7 +39,9 @@ object DedupQueries {
   val exactDedupSql: String =
     """SELECT doc_id, lang, source, n_chars FROM documents
       |QUALIFY row_number() OVER (
-      |  PARTITION BY lower(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+      |  PARTITION BY lower(regexp_replace(text,
+      |    '^[\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]+|[\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]+$',
+      |    '', 'g'))
       |  ORDER BY doc_id) = 1
       |ORDER BY doc_id""".stripMargin
 

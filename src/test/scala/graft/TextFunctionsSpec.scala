@@ -32,7 +32,17 @@ class TextFunctionsSpec extends SparkSpec {
       "tag1tag2 [MENTION][MENTION]"),
     ("", "", ""),
     ("no noise at all", "no noise at all", "no noise at all"),
-    ("akhir url https://t.co/abc", "akhir url", "akhir url [LINK]"))
+    ("akhir url https://t.co/abc", "akhir url", "akhir url [LINK]"),
+    // Unicode-whitespace/word cases (CPython-executed against the
+    // reference regexes — the (?U) flag on the Spark chains makes \S stop
+    // at NBSP, @\w+ eat accented handles, and \s+ collapse U+3000/U+2028
+    // exactly like Python's re over str)
+    ("halo dunia ", "halo dunia", "halo dunia"),
+    ("cek http://x.co lanjut", "cek lanjut", "cek [LINK] lanjut"),
+    ("@café_user halo", "[mention] halo", "[MENTION] halo"),
+    ("#tagé x", "[hashtag] x", "tagé x"),
+    ("a　b", "a b", "a b"),
+    (" line ", "line", "line"))
 
   test("F1/F2 cleaning matches the executed reference byte-for-byte") {
     val got = runBoth(golden.map(_._1))
