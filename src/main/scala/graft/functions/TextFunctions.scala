@@ -169,7 +169,10 @@ object TextFunctions {
 
   /** F5: first digit run in a metric button text -> int, 0 when absent
     * (re.findall(r'\d+')[0] with a 0 default,
-    * src/resilient_scraper.py:460-479).
+    * src/resilient_scraper.py:460-479). Deliberately ASCII \d: Python's
+    * \d+int() would also read e.g. Arabic-Indic digits, but metric
+    * buttons render ASCII and a (?U)\d match would cast to null here —
+    * the 0 default already covers that path.
     */
   def countFromText(text: Column): Column =
     coalesce(nullif(regexp_extract(text, "\\d+", 0), lit("")).cast("int"), lit(0))
