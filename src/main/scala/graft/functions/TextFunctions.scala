@@ -22,10 +22,26 @@ object TextFunctions {
   // collapses ideographic spaces. Executed-reference goldens in
   // TextFunctionsSpec pin the divergent cases. The DuckDB oracle SQL
   // keeps RE2's ASCII classes — identical on the gate corpora, which are
-  // verified pure-ASCII (see DedupQueries.exactDedupSql's note).
+  // verified pure-ASCII (pinned by TextFunctionsSpec's corpus scan).
+  // Known residues vs CPython even under (?U): \w excludes
+  // general-category-No chars Python counts as alphanumeric (e.g. '²')
+  // and INCLUDES combining marks (Mn) Python's \w stops before — both
+  // outside any plausible tweet handle; and \s excludes \x1c-\x1f (see
+  // pyStrip).
   val UrlRe = "(?U)http\\S+|www\\S+|https\\S+"
   val MentionRe = "(?U)@\\w+"
   val HashtagRe = "(?U)#\\w+"
+
+  /** The RE2 spelling of Unicode White_Space for DuckDB oracle SQL — the
+    * single authority any oracle needing Python-strip parity must
+    * interpolate (mirrors [[pyStrip]]'s Java `(?U)\s`). The SAME literal
+    * parses to the SAME set under BOTH engines even though `\v` differs
+    * (RE2: the VT char; Java: the vertical-whitespace class, whose extra
+    * members x85/U+2028/U+2029 are listed anyway) — TextFunctionsSpec
+    * pins the Java interpretation char-by-char against `(?U)\s`; the RE2
+    * interpretation is exercised by every oracle run.
+    */
+  val PyWsRe2Class: String = """[\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]"""
 
   /** Python `str.strip()` parity: strip LEADING/TRAILING whitespace by the
     * Unicode White_Space property — `(?U)` makes Java's \s match what

@@ -22,11 +22,16 @@ object DedupQueries {
     * and idempotent). One shuffle on the key. The key is
     * `text.strip().lower()` (resilient_scraper.py:354) — Python strip, so
     * [[graft.functions.TextFunctions.pyStrip]] rather than ASCII-space
-    * trim. The oracle's RE2 class [\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]
-    * is EXACTLY Unicode White_Space == Java's (?U)\s (verified char-by-char
-    * over U+0001..U+30FF), so the two engines agree on every input; the
-    * only residue is Python's extra \x1c-\x1f, which BOTH engines keep
-    * (documented on pyStrip). The gate corpora are verified pure ASCII.
+    * trim. The oracle strips with
+    * [[graft.functions.TextFunctions.PyWsRe2Class]] — exactly Unicode
+    * White_Space == Java's (?U)\s (spec-pinned char-by-char), so the
+    * STRIP step agrees cross-engine on every input; the residues are
+    * Python's extra \x1c-\x1f (both engines keep them, see pyStrip) and
+    * the `lower()` step itself, which is engine-sensitive beyond ASCII
+    * (JDK context-sensitive casing: final sigma, dotted İ) — exact
+    * cross-engine agreement of the WHOLE key therefore still assumes the
+    * corpus' cased text is ASCII, which the gate corpora are
+    * (spec-pinned by TextFunctionsSpec's corpus scan).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -36,14 +41,14 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val exactDedupSql: String =
-    """SELECT doc_id, lang, source, n_chars FROM documents
-      |QUALIFY row_number() OVER (
-      |  PARTITION BY lower(regexp_replace(text,
-      |    '^[\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]+|[\t\n\v\f\r\x{85}\x{2028}\x{2029}\p{Zs}]+$',
-      |    '', 'g'))
-      |  ORDER BY doc_id) = 1
-      |ORDER BY doc_id""".stripMargin
+  val exactDedupSql: String = {
+    val ws = graft.functions.TextFunctions.PyWsRe2Class
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY lower(regexp_replace(text, '^$ws+|$ws+$$', '', 'g'))
+       |  ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Near-duplicate pairs by 3-token-shingle Jaccard >= 0.5, exact
     * inverted-index algorithm (see [[Dedup.nearDuplicatePairsExact]]).

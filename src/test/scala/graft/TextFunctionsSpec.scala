@@ -161,4 +161,40 @@ class TextFunctionsSpec extends SparkSpec {
       .select(operators.TweetOps.locationFromString(col("l")).isNull).as[Boolean].collect().toSeq
     assert(loc == Seq(true, false))
   }
+
+  test("PyWsRe2Class (the oracle's strip class) == Java (?U)\\s, char by char") {
+    // The load-bearing equivalence behind exactDedupSql: the literal the
+    // DuckDB oracle interpolates must denote exactly the set pyStrip's
+    // (?U)\s strips. Both engines parse the SAME string; this pins the
+    // Java interpretation over the BMP's whitespace-bearing range (the
+    // RE2 side is exercised by every oracle run). A drift on either side
+    // of the class breaks this before it can break the correctness gate.
+    val cls = java.util.regex.Pattern.compile(TextFunctions.PyWsRe2Class)
+    val uws = java.util.regex.Pattern.compile("(?U)\\s")
+    (1 until 0x3100).map(_.toChar.toString).foreach { ch =>
+      assert(cls.matcher(ch).matches() == uws.matcher(ch).matches(),
+        f"class vs (?U)\\s disagree on U+${ch.codePointAt(0)}%04X")
+    }
+    // spot high/odd codepoints: BOM and Mongolian vowel separator are NOT
+    // whitespace (neither side may strip them)
+    Seq('\uFEFF', '\u180E').foreach { c =>
+      assert(!cls.matcher(c.toString).matches() && !uws.matcher(c.toString).matches())
+    }
+  }
+
+  test("gate corpora are pure ASCII (precondition for the ASCII-class oracles)") {
+    import spark.implicits._
+    // The cleaning/dedup oracles keep RE2's ASCII classes while the Spark
+    // chains are (?U)-Unicode; they agree BECAUSE the corpora contain no
+    // non-ASCII text. If a regenerated corpus ever breaks this, fail here
+    // with a clear message instead of as an opaque oracle hash mismatch.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val offenders = Tables(spark, sf, "documents")
+        .filter(col("text").rlike("[^\\x01-\\x7F]")).count()
+      assert(offenders == 0,
+        s"$sf/documents contains $offenders non-ASCII rows: the ASCII-class " +
+          "DuckDB oracles no longer match the (?U) Spark chains — regenerate " +
+          "the oracle regexes from PyWsRe2Class-style shared constants")
+    }
+  }
 }
