@@ -404,7 +404,72 @@ object TextQueries {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Composed corpus-curation pipeline — the end-to-end training-data prep
+    * run a large-corpus user actually chains: exact dedup on the
+    * Python-strip normalized text (the reference's key,
+    * src/resilient_scraper.py:354), stopword language ID, the
+    * [[qualityScores]] keep rule (>= 20 tokens, punct <= tokens), then a
+    * per-detected-language summary. Shuffle shape at 100 TB: ONE exchange
+    * on the dedup key, then a map-side-combined hash agg over a handful of
+    * language groups — nothing else moves. The oracle is generated from
+    * the SAME LangStopwords/hitPattern/PyWsRe2Class constants as the
+    * component queries, so the composition can never drift from its parts.
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val deduped = graft.operators.Dedup.exact(
+      Tables.wide(spark, dir, "documents"),
+      lower(TextFunctions.pyStrip($"text")), $"doc_id")
+    val counts = LangStopwords.map { case (lang, words) =>
+      wordHits($"__lt", words).as(s"__c_$lang")
+    }
+    val bound = LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
+    deduped
+      .select($"text", lower($"text").as("__lt"))
+      .select(Seq(
+        tokenCount($"text").cast("long").as("__nt"),
+        punctCount($"text").cast("long").as("__np")) ++ counts: _*)
+      .select($"__nt", $"__np", langIdFromCounts(bound).as("lang_pred"))
+      .withColumn("__ok", $"__nt" >= 20 && $"__np" <= $"__nt")
+      .groupBy($"lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"__ok", 1L).otherwise(0L)).as("n_kept"),
+        round(avg(when($"__ok", $"__nt")), 4).as("avg_tokens_kept"))
+      .withColumn("kept_share", round($"n_kept".cast("double") / $"n_docs", 4))
+      .orderBy($"lang_pred")
+  }
+
+  val corpusCurationSql: String = {
+    val ws = TextFunctions.PyWsRe2Class
+    val counts = LangStopwords.map { case (lang, words) =>
+      lang -> s"len(regexp_extract_all(lower(text), '${hitPattern(words)}'))"
+    }
+    val total = counts.map(_._2).mkString(" + ")
+    val maxOf = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val chain = counts.map { case (lang, c) =>
+      s"WHEN $c = $maxOf THEN '$lang'"
+    }.mkString(" ")
+    val nt = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+    val np = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)"
+    s"""WITH deduped AS (
+       |  SELECT doc_id, text FROM documents
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY lower(regexp_replace(text, '^$ws+|$ws+$$', '', 'g'))
+       |    ORDER BY doc_id) = 1),
+       |scored AS (
+       |  SELECT $nt AS nt, $np AS np,
+       |    CASE WHEN ($total) = 0 THEN 'und' $chain END AS lang_pred
+       |  FROM deduped)
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN nt >= 20 AND np <= nt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(avg(CASE WHEN nt >= 20 AND np <= nt THEN CAST(nt AS DOUBLE) END), 4) AS avg_tokens_kept,
+       |  round(CAST(sum(CASE WHEN nt >= 20 AND np <= nt THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_share
+       |FROM scored GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_curation" -> (corpusCuration _),
     "q_topic_location_join" -> (topicLocationJoin _),
     "q_extractions" -> (extractions _),
     "q_fuzzy_location" -> (fuzzyLocation _),
@@ -418,6 +483,7 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_curation" -> corpusCurationSql,
     "q_topic_location_join" -> topicLocationJoinSql,
     "q_extractions" -> extractionsSql,
     "q_fuzzy_location" -> fuzzyLocationSql,
