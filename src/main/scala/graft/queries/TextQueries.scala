@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -82,24 +82,21 @@ object TextQueries {
     * chain re-evaluates every regexp_count 3-4x per row — this shape cut
     * the query from 7.7s to ~2s at sf0.1.
     */
-  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val counts = LangStopwords.map { case (lang, words) =>
-      wordHits($"__lt", words).as(s"__c_$lang")
-    }
-    val bound = LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
-    Tables.wide(spark, dir, "documents")
-      .select($"lang", lower($"text").as("__lt"))
-      .select(Seq($"lang") ++ counts: _*)
-      .select($"lang", langIdFromCounts(bound).as("predicted"))
-      .groupBy($"lang", $"predicted")
-      .agg(count(lit(1)).as("n"))
-      .orderBy($"lang", $"predicted")
+  // The language-ID argmax, ONE definition per engine shared by
+  // langIdConfusion and corpusCuration so the composed query can never
+  // drift from the standalone one: per-language hit-count columns over a
+  // pre-lowered __lt column (materialized in their own projection — see
+  // langIdConfusion's doc for why), and the DuckDB CASE chain generated
+  // from the same LangStopwords/hitPattern constants. The trailing
+  // ELSE 'und' only fires for NULL text (a non-null text always matches
+  // some WHEN; Spark's when(null-cond).otherwise chain lands on 'und' for
+  // NULL too, so the engines agree even off the non-null corpora).
+  private def langCountCols: Seq[Column] = LangStopwords.map { case (lang, words) =>
+    wordHits(col("__lt"), words).as(s"__c_$lang")
   }
-
-  // Oracle generated from the same LangStopwords Seq (and the same
-  // hitPattern regex builder) so the two stay in sync.
-  val langIdConfusionSql: String = {
+  private def langBound: Seq[(String, Column)] =
+    LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
+  private val langPredSqlExpr: String = {
     val counts = LangStopwords.map { case (lang, words) =>
       lang -> s"len(regexp_extract_all(lower(text), '${hitPattern(words)}'))"
     }
@@ -108,11 +105,25 @@ object TextQueries {
     val chain = counts.map { case (lang, c) =>
       s"WHEN $c = $maxOf THEN '$lang'"
     }.mkString(" ")
+    s"CASE WHEN ($total) = 0 THEN 'und' $chain ELSE 'und' END"
+  }
+
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "documents")
+      .select($"lang", lower($"text").as("__lt"))
+      .select(Seq($"lang") ++ langCountCols: _*)
+      .select($"lang", langIdFromCounts(langBound).as("predicted"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val langIdConfusionSql: String =
     s"""SELECT lang, predicted, count(*) AS n FROM (
-       |  SELECT lang, CASE WHEN ($total) = 0 THEN 'und' $chain END AS predicted
+       |  SELECT lang, $langPredSqlExpr AS predicted
        |  FROM documents)
        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
-  }
 
   /** Per-document quality heuristics (pretraining-corpus filter shape). */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
@@ -420,16 +431,12 @@ object TextQueries {
     val deduped = graft.operators.Dedup.exact(
       Tables.wide(spark, dir, "documents"),
       lower(TextFunctions.pyStrip($"text")), $"doc_id")
-    val counts = LangStopwords.map { case (lang, words) =>
-      wordHits($"__lt", words).as(s"__c_$lang")
-    }
-    val bound = LangStopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
     deduped
       .select($"text", lower($"text").as("__lt"))
       .select(Seq(
         tokenCount($"text").cast("long").as("__nt"),
-        punctCount($"text").cast("long").as("__np")) ++ counts: _*)
-      .select($"__nt", $"__np", langIdFromCounts(bound).as("lang_pred"))
+        punctCount($"text").cast("long").as("__np")) ++ langCountCols: _*)
+      .select($"__nt", $"__np", langIdFromCounts(langBound).as("lang_pred"))
       .withColumn("__ok", $"__nt" >= 20 && $"__np" <= $"__nt")
       .groupBy($"lang_pred")
       .agg(
@@ -442,14 +449,6 @@ object TextQueries {
 
   val corpusCurationSql: String = {
     val ws = TextFunctions.PyWsRe2Class
-    val counts = LangStopwords.map { case (lang, words) =>
-      lang -> s"len(regexp_extract_all(lower(text), '${hitPattern(words)}'))"
-    }
-    val total = counts.map(_._2).mkString(" + ")
-    val maxOf = s"greatest(${counts.map(_._2).mkString(", ")})"
-    val chain = counts.map { case (lang, c) =>
-      s"WHEN $c = $maxOf THEN '$lang'"
-    }.mkString(" ")
     val nt = "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
     val np = "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)"
     s"""WITH deduped AS (
@@ -458,8 +457,7 @@ object TextQueries {
        |    PARTITION BY lower(regexp_replace(text, '^$ws+|$ws+$$', '', 'g'))
        |    ORDER BY doc_id) = 1),
        |scored AS (
-       |  SELECT $nt AS nt, $np AS np,
-       |    CASE WHEN ($total) = 0 THEN 'und' $chain END AS lang_pred
+       |  SELECT $nt AS nt, $np AS np, $langPredSqlExpr AS lang_pred
        |  FROM deduped)
        |SELECT lang_pred, count(*) AS n_docs,
        |  CAST(sum(CASE WHEN nt >= 20 AND np <= nt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
