@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
       s"token tree pushed into a filter:\n${filterish.mkString("\n")}")
   }
 
+  test("corpus curation: one documents scan, no regex trees in any filter") {
+    // the composed pipeline must keep its components' plan discipline:
+    // the dedup window's row_number filter stays a plain __rn comparison
+    // (no pushdown-inlined pyStrip/tokenCount trees re-evaluating regexes
+    // in the scan stage), and the whole chain reads documents ONCE
+    val df = TextQueries.corpusCuration(spark, sf)
+    df.collect()
+    val finalPlan = plan(df).split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, s"documents scanned $scans times:\n$finalPlan")
+    val filterish = finalPlan.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("DataFilters")).toSeq
+    assert(filterish.forall(l => !l.contains("regexp_") && !l.contains("split(")),
+      s"regex tree leaked into a filter:\n${filterish.mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
