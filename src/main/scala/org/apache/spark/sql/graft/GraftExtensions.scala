@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
 
 /** SQL surface for the library's native expressions.
   *
@@ -30,11 +31,42 @@ object GraftFunctions {
       build(children.head, children(1))
     })
 
+  /** Composed-expression functions: the builder assembles the SAME
+    * Catalyst tree the Column API builds (no UDF, stays codegen'd), so
+    * SQL users get the reference's callable text functions byte-identical
+    * to the DataFrame surface. The Column node tree is converted to a
+    * Catalyst tree EAGERLY (ColumnNodeToExpressionConverter) — a lazy
+    * ColumnNodeExpression wrapper returned from a registry builder never
+    * gets converted by the analyzer and dies Unevaluable at codegen.
+    */
+  private def composed(name: String, owner: Class[_], build: Column => Column) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(owner.getName, name),
+    (children: Seq[Expression]) => {
+      if (children.size != 1) {
+        throw org.apache.spark.sql.errors.QueryCompilationErrors
+          .wrongNumArgsError(name, Seq(1), children.size)
+      }
+      ColumnNodeToExpressionConverter(build(ExpressionUtils.column(children.head)).node)
+    })
+
+  private def textFns = graft.functions.TextFunctions
+
   private val all = Seq(
     binary("partial_ratio_sim", classOf[PartialRatioSimExpr], PartialRatioSimExpr(_, _)),
     binary("partial_ratio_fw", classOf[PartialRatioFwExpr], PartialRatioFwExpr(_, _)),
     binary("dot_f", classOf[DotFExpr], DotFExpr(_, _)),
-    binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)))
+    binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)),
+    // the reference's two cleaning functions (utils.py:28-50;
+    // src/resilient_scraper.py:868-889), its strip gate, and the
+    // text-analysis scalars — a spark.sql user can run the whole cleaning
+    // stage without touching the Column API
+    composed("clean_tweet_text", textFns.getClass, textFns.cleanTweetText),
+    composed("clean_text_scraper", textFns.getClass, textFns.cleanTextScraper),
+    composed("py_strip", textFns.getClass, textFns.pyStrip),
+    composed("lang_id", textFns.getClass, textFns.langId),
+    composed("token_count", textFns.getClass, textFns.tokenCount),
+    composed("doc_fingerprint", textFns.getClass, textFns.fingerprint))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

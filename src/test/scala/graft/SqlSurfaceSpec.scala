@@ -46,4 +46,31 @@ class SqlSurfaceSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new org.apache.spark.sql.graft.GraftExtensions().apply(ext)
   }
+
+  test("composed text functions register as SQL and match the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val texts = Seq(
+      "Halo @user1 cek https://x.co/a #MBG  sekarang",
+      "the cat is on the mat", "", "  spaced  out  ")
+    import spark.implicits._
+    val df = texts.toDF("t")
+    val viaSql = df.selectExpr(
+      "clean_tweet_text(t)", "clean_text_scraper(t)", "py_strip(t)",
+      "lang_id(t)", "CAST(token_count(t) AS BIGINT)", "doc_fingerprint(t)")
+      .collect().toSeq
+    val viaDf = df.select(
+      TextFunctions.cleanTweetText($"t"), TextFunctions.cleanTextScraper($"t"),
+      TextFunctions.pyStrip($"t"), TextFunctions.langId($"t"),
+      TextFunctions.tokenCount($"t").cast("long"), TextFunctions.fingerprint($"t"))
+      .collect().toSeq
+    assert(viaSql == viaDf)
+    // wrong arity surfaces the standard WRONG_NUM_ARGS AnalysisException
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT py_strip('a', 'b')").collect()
+    }
+    assert(e.getCondition != null && e.getCondition.contains("WRONG_NUM_ARGS"),
+      s"unexpected error class: ${e.getCondition}")
+  }
 }
