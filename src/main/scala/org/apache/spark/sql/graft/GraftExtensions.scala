@@ -16,18 +16,23 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
   */
 object GraftFunctions {
 
+  import graft.functions.TextFunctions
+
+  // surface the standard WRONG_NUM_ARGS AnalysisException (with error
+  // class), not a raw IllegalArgumentException, like every built-in
+  private def requireArity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.size != n) {
+      throw org.apache.spark.sql.errors.QueryCompilationErrors
+        .wrongNumArgsError(name, Seq(n), children.size)
+    }
+
   private def binary(
       name: String, clazz: Class[_],
       build: (Expression, Expression) => Expression) = (
     FunctionIdentifier(name),
     new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      // surface the standard WRONG_NUM_ARGS AnalysisException (with error
-      // class), not a raw IllegalArgumentException, like every built-in
-      if (children.size != 2) {
-        throw org.apache.spark.sql.errors.QueryCompilationErrors
-          .wrongNumArgsError(name, Seq(2), children.size)
-      }
+      requireArity(name, 2, children)
       build(children.head, children(1))
     })
 
@@ -43,14 +48,9 @@ object GraftFunctions {
     FunctionIdentifier(name),
     new ExpressionInfo(owner.getName, name),
     (children: Seq[Expression]) => {
-      if (children.size != 1) {
-        throw org.apache.spark.sql.errors.QueryCompilationErrors
-          .wrongNumArgsError(name, Seq(1), children.size)
-      }
+      requireArity(name, 1, children)
       ColumnNodeToExpressionConverter(build(ExpressionUtils.column(children.head)).node)
     })
-
-  private def textFns = graft.functions.TextFunctions
 
   private val all = Seq(
     binary("partial_ratio_sim", classOf[PartialRatioSimExpr], PartialRatioSimExpr(_, _)),
@@ -61,12 +61,12 @@ object GraftFunctions {
     // src/resilient_scraper.py:868-889), its strip gate, and the
     // text-analysis scalars — a spark.sql user can run the whole cleaning
     // stage without touching the Column API
-    composed("clean_tweet_text", textFns.getClass, textFns.cleanTweetText),
-    composed("clean_text_scraper", textFns.getClass, textFns.cleanTextScraper),
-    composed("py_strip", textFns.getClass, textFns.pyStrip),
-    composed("lang_id", textFns.getClass, textFns.langId),
-    composed("token_count", textFns.getClass, textFns.tokenCount),
-    composed("doc_fingerprint", textFns.getClass, textFns.fingerprint))
+    composed("clean_tweet_text", TextFunctions.getClass, TextFunctions.cleanTweetText),
+    composed("clean_text_scraper", TextFunctions.getClass, TextFunctions.cleanTextScraper),
+    composed("py_strip", TextFunctions.getClass, TextFunctions.pyStrip),
+    composed("lang_id", TextFunctions.getClass, TextFunctions.langId),
+    composed("token_count", TextFunctions.getClass, TextFunctions.tokenCount),
+    composed("doc_fingerprint", TextFunctions.getClass, TextFunctions.fingerprint))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

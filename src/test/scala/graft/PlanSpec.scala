@@ -15,6 +15,24 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // The one authority for AQE plan-discipline parsing: executed final plan
+  // (AQE appends the pre-reuse plan after "== Initial Plan =="), table scan
+  // counting, and "no expensive expression tree in any Filter" assertions.
+  private def finalExecutedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    plan(df).split("== Initial Plan ==").head
+  }
+  private def scanCount(finalPlan: String, table: String): Int =
+    finalPlan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains(table))
+  private def assertNoFilterTrees(finalPlan: String, forbidden: String*): Unit = {
+    val filterish = finalPlan.linesIterator.filter(l =>
+      l.contains("Filter") || l.contains("DataFilters")).toSeq
+    forbidden.foreach(f =>
+      assert(filterish.forall(!_.contains(f)),
+        s"'$f' tree leaked into a filter:\n${filterish.mkString("\n")}"))
+  }
+
   test("date-range predicate pushes down to the parquet scan") {
     val p = plan(RelationalQueries.ordersInRange(spark, sf))
     assert(p.contains("PushedFilters:") &&
@@ -106,10 +124,7 @@ class PlanSpec extends SparkSpec {
     // scan never had. The final AQE plan must therefore contain exactly
     // ONE real rangepartitioning(__rot, __rv) exchange, with every other
     // consumer a ReusedExchange of it.
-    val df = graft.queries.DedupQueries.simHashPairs(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val finalPlan = p.split("== Initial Plan ==").head // AQE appends the pre-reuse plan
+    val finalPlan = finalExecutedPlan(graft.queries.DedupQueries.simHashPairs(spark, sf))
     val real = finalPlan.linesIterator
       .filter(!_.contains("ReusedExchange"))
       .count(_.contains("Exchange rangepartitioning(__rot"))
@@ -120,17 +135,13 @@ class PlanSpec extends SparkSpec {
     // the expensive pass — tokenize + simHash over the corpus — must run
     // ONCE: every other consumer reads the narrow (id, fp) exchange. One
     // real documents scan in the final plan; the rest are ReusedExchange.
-    val scans = finalPlan.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("documents"))
+    val scans = scanCount(finalPlan, "documents")
     assert(scans == 1, s"documents scanned $scans times (fingerprints recomputed):\n$finalPlan")
     // and tokenization must not leak into the scan-stage filter: the
-    // non-empty gate is a base-column trim predicate, so no Filter may
+    // non-empty gate is a base-column rlike predicate, so no Filter may
     // carry the split+HOF token tree (which would tokenize each row a
     // second time, serialized on the scan's task before the widen)
-    val filterish = finalPlan.linesIterator.filter(l =>
-      l.contains("Filter") || l.contains("DataFilters")).toSeq
-    assert(filterish.forall(!_.contains("split(")),
-      s"token tree pushed into a filter:\n${filterish.mkString("\n")}")
+    assertNoFilterTrees(finalPlan, "split(")
   }
 
   test("corpus curation: one documents scan, no regex trees in any filter") {
@@ -138,16 +149,10 @@ class PlanSpec extends SparkSpec {
     // the dedup window's row_number filter stays a plain __rn comparison
     // (no pushdown-inlined pyStrip/tokenCount trees re-evaluating regexes
     // in the scan stage), and the whole chain reads documents ONCE
-    val df = TextQueries.corpusCuration(spark, sf)
-    df.collect()
-    val finalPlan = plan(df).split("== Initial Plan ==").head
-    val scans = finalPlan.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("documents"))
+    val finalPlan = finalExecutedPlan(TextQueries.corpusCuration(spark, sf))
+    val scans = scanCount(finalPlan, "documents")
     assert(scans == 1, s"documents scanned $scans times:\n$finalPlan")
-    val filterish = finalPlan.linesIterator.filter(l =>
-      l.contains("Filter") || l.contains("DataFilters")).toSeq
-    assert(filterish.forall(l => !l.contains("regexp_") && !l.contains("split(")),
-      s"regex tree leaked into a filter:\n${filterish.mkString("\n")}")
+    assertNoFilterTrees(finalPlan, "regexp_", "split(")
   }
 
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
