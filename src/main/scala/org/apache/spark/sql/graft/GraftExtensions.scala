@@ -66,7 +66,13 @@ object GraftFunctions {
     composed("py_strip", TextFunctions.getClass, TextFunctions.pyStrip),
     composed("lang_id", TextFunctions.getClass, TextFunctions.langId),
     composed("token_count", TextFunctions.getClass, TextFunctions.tokenCount),
-    composed("doc_fingerprint", TextFunctions.getClass, TextFunctions.fingerprint))
+    composed("doc_fingerprint", TextFunctions.getClass, TextFunctions.fingerprint),
+    // 64-bit SimHash of raw text (production xxhash64 token hash) — with
+    // the built-in bit_count(a ^ b), SQL users run near-dup detection
+    // end-to-end (hamming_dist above is the array-sketch variant)
+    composed("simhash64", graft.operators.Dedup.getClass, t =>
+      graft.operators.Dedup.simHash(
+        graft.operators.Dedup.tokens(org.apache.spark.sql.functions.lower(t)))))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

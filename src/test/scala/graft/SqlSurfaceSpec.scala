@@ -66,6 +66,16 @@ class SqlSurfaceSpec extends SparkSpec {
       TextFunctions.tokenCount($"t").cast("long"), TextFunctions.fingerprint($"t"))
       .collect().toSeq
     assert(viaSql == viaDf)
+    // simhash64 + built-in bit_count(a ^ b) compose to SQL near-dup
+    // detection (hamming_dist is the ARRAY-sketch variant; a 64-bit
+    // scalar fingerprint xors directly)
+    val ham = spark.sql(
+      """SELECT bit_count(simhash64('the quick brown fox jumps high') ^
+        |                 simhash64('the quick brown fox jumps low')) AS h,
+        |       bit_count(simhash64('same text') ^ simhash64('same text')) AS zero
+        |""".stripMargin).collect().head
+    assert(ham.getInt(1) == 0)
+    assert(ham.getInt(0) > 0 && ham.getInt(0) <= 20) // near-dup: small distance
     // wrong arity surfaces the standard WRONG_NUM_ARGS AnalysisException
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT py_strip('a', 'b')").collect()
