@@ -20,12 +20,21 @@ object Dedup {
   /** D1/D2 exact dedup: deterministic keep-lowest-tiebreak representative
     * per key (the reference's hash-set membership drop,
     * src/resilient_scraper.py:352-358, made distributed + idempotent).
+    *
+    * Shape: min-over-struct hash aggregate, NOT a row_number window — the
+    * aggregate combines map-side, so each task ships ONE candidate row per
+    * key it saw instead of shuffling and sorting every duplicate row
+    * (at corpus scale, shuffle volume drops by the duplication factor and
+    * there is no per-partition sort at all). Selection is also stronger:
+    * a tied tiebreak falls through to whole-row struct comparison
+    * (deterministic), where row_number on a tied orderBy picks whichever
+    * row the shuffle happened to deliver first.
     */
-  def exact(df: DataFrame, key: Column, tiebreak: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key).orderBy(tiebreak)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  def exact(df: DataFrame, key: Column, tiebreak: Column): DataFrame =
+    df.groupBy(key.as("__k"))
+      .agg(min(struct(tiebreak.as("__tb"),
+        struct(df.columns.map(col): _*).as("__row"))).as("__m"))
+      .select(col("__m.__row.*"))
 
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column =
