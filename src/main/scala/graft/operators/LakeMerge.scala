@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** D3/S5: the idempotent keyed merge write — the reference's Mongo
@@ -110,16 +109,27 @@ object LakeMerge {
           .unionByName(inc.withColumn("__pri", lit(1))), dates)
       }
 
-    // final tiebreak: a content hash — two docs sharing (_id, priority,
-    // scraped_at) would otherwise be picked by task-scheduling order,
-    // breaking the "same batch, same winner" idempotency contract
-    val w = Window.partitionBy(col("_id"))
-      .orderBy(col("__pri").desc, col("metadata.scraped_at").desc_nulls_last,
-        xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
+    // LWW winner as a max-over-struct hash aggregate, not a row_number
+    // window: the agg combines map-side, so each task ships one candidate
+    // per _id it saw instead of shuffling and sorting every version of
+    // every doc — at lake scale the shuffle shrinks by the version count.
+    // Struct field order encodes the priority: batch-beats-lake (__pri),
+    // newest scraped_at (max; a null field compares smallest, exactly
+    // desc_nulls_last), then a content-hash tiebreak — bitwise NOT makes
+    // the max pick the SMALLEST hash (order-reversing with no MinValue
+    // negation overflow), matching the previous ascending tiebreak; two
+    // docs sharing even the hash fall through to whole-row comparison
+    // instead of task-scheduling order, keeping "same batch, same winner".
+    val dataCols = merged.columns.filter(_ != "__pri")
     val winnersPlan = merged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__pri")
+      .groupBy(col("_id").as("__gid"))
+      .agg(max(struct(
+        col("__pri"),
+        col("metadata.scraped_at").as("__ts"),
+        bitwise_not(xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
+          .as("__inv"),
+        struct(dataCols.map(col): _*).as("__row"))).as("__m"))
+      .select(col("__m.__row.*"))
     // In dedup mode the output is consumed twice (emptied-partition
     // collect below, then the write) — materialize it once instead of
     // re-running the whole LWW window per consumer
@@ -179,13 +189,17 @@ object LakeMerge {
     * Costs one shuffle on `_id` per read instead of a lake scan per write.
     */
   def readLakeLatest(spark: SparkSession, path: String): DataFrame = {
-    val w = Window.partitionBy(col("_id"))
-      .orderBy(col("metadata.scraped_at").desc_nulls_last,
-        xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
-    readLake(spark, path)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // same max-over-struct LWW selection as the merge's winner pick (see
+    // there for why this beats a row_number window at lake scale)
+    val lake = readLake(spark, path)
+    lake
+      .groupBy(col("_id").as("__gid"))
+      .agg(max(struct(
+        col("metadata.scraped_at").as("__ts"),
+        bitwise_not(xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
+          .as("__inv"),
+        struct(lake.columns.map(col): _*).as("__row"))).as("__m"))
+      .select(col("__m.__row.*"))
   }
 
   private def lakeExists(spark: SparkSession, path: String): Boolean = {

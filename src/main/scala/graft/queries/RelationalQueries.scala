@@ -125,12 +125,16 @@ object RelationalQueries {
     */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    // max-over-struct, not a row_number window: map-side partial agg ships
+    // one candidate per (task, user) instead of sorting every event of
+    // every user through the shuffle (struct field order = the window's
+    // ts DESC, event_id DESC; both non-null in events)
     Tables(spark, dir, "events")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"user_id", $"event_id".as("last_event_id"),
-        $"event_type".as("last_event_type"), round($"value", 4).as("last_value"))
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type", $"value")).as("__m"))
+      .select($"user_id", $"__m.event_id".as("last_event_id"),
+        $"__m.event_type".as("last_event_type"),
+        round($"__m.value", 4).as("last_value"))
       .orderBy($"user_id")
   }
 
