@@ -21,20 +21,29 @@ object Dedup {
     * per key (the reference's hash-set membership drop,
     * src/resilient_scraper.py:352-358, made distributed + idempotent).
     *
-    * Shape: min-over-struct hash aggregate, NOT a row_number window — the
-    * aggregate combines map-side, so each task ships ONE candidate row per
-    * key it saw instead of shuffling and sorting every duplicate row
-    * (at corpus scale, shuffle volume drops by the duplication factor and
-    * there is no per-partition sort at all). Selection is also stronger:
-    * a tied tiebreak falls through to whole-row struct comparison
-    * (deterministic), where row_number on a tied orderBy picks whichever
-    * row the shuffle happened to deliver first.
+    * Shape: min-over-struct aggregate, NOT a row_number window. Struct
+    * min/max plans as a SORT-based aggregate (struct buffers are not
+    * hash-aggregable), but the partial side still combines map-side: each
+    * task sorts ITS input and ships one candidate per key it saw, so
+    * shuffle volume drops by the duplication factor — the window instead
+    * shuffles every duplicate row and sorts them all post-shuffle.
+    * Selection is also stronger: a tied tiebreak falls through to
+    * payload-struct comparison (deterministic), where row_number on a
+    * tied orderBy picks whichever row the shuffle delivered first.
+    *
+    * `payload` = the columns the caller actually needs back (default: all
+    * of df's). The aggregate buffers and shuffles the payload per
+    * candidate, so pruning here is pruning the shuffle; every payload
+    * column must be an ORDERABLE type (maps are not — exclude them).
     */
-  def exact(df: DataFrame, key: Column, tiebreak: Column): DataFrame =
+  def exact(df: DataFrame, key: Column, tiebreak: Column,
+      payload: Seq[String] = Seq.empty): DataFrame = {
+    val cols = if (payload.nonEmpty) payload else df.columns.toSeq
     df.groupBy(key.as("__k"))
       .agg(min(struct(tiebreak.as("__tb"),
-        struct(df.columns.map(col): _*).as("__row"))).as("__m"))
+        struct(cols.map(col): _*).as("__row"))).as("__m"))
       .select(col("__m.__row.*"))
+  }
 
   /** Whitespace tokens of a text column. */
   def tokens(text: Column): Column =

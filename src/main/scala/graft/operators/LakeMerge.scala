@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** D3/S5: the idempotent keyed merge write — the reference's Mongo
@@ -109,27 +109,9 @@ object LakeMerge {
           .unionByName(inc.withColumn("__pri", lit(1))), dates)
       }
 
-    // LWW winner as a max-over-struct hash aggregate, not a row_number
-    // window: the agg combines map-side, so each task ships one candidate
-    // per _id it saw instead of shuffling and sorting every version of
-    // every doc — at lake scale the shuffle shrinks by the version count.
-    // Struct field order encodes the priority: batch-beats-lake (__pri),
-    // newest scraped_at (max; a null field compares smallest, exactly
-    // desc_nulls_last), then a content-hash tiebreak — bitwise NOT makes
-    // the max pick the SMALLEST hash (order-reversing with no MinValue
-    // negation overflow), matching the previous ascending tiebreak; two
-    // docs sharing even the hash fall through to whole-row comparison
-    // instead of task-scheduling order, keeping "same batch, same winner".
-    val dataCols = merged.columns.filter(_ != "__pri")
-    val winnersPlan = merged
-      .groupBy(col("_id").as("__gid"))
-      .agg(max(struct(
-        col("__pri"),
-        col("metadata.scraped_at").as("__ts"),
-        bitwise_not(xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
-          .as("__inv"),
-        struct(dataCols.map(col): _*).as("__row"))).as("__m"))
-      .select(col("__m.__row.*"))
+    // LWW winner via [[lwwWinners]] — max-over-struct with the batch
+    // priority leading, so incoming beats lake on key collision.
+    val winnersPlan = lwwWinners(merged, leading = Seq(col("__pri")))
     // In dedup mode the output is consumed twice (emptied-partition
     // collect below, then the write) — materialize it once instead of
     // re-running the whole LWW window per consumer
@@ -188,17 +170,35 @@ object LakeMerge {
     * scraped_at wins, same content-hash tiebreak as the merge window.
     * Costs one shuffle on `_id` per read instead of a lake scan per write.
     */
-  def readLakeLatest(spark: SparkSession, path: String): DataFrame = {
-    // same max-over-struct LWW selection as the merge's winner pick (see
-    // there for why this beats a row_number window at lake scale)
-    val lake = readLake(spark, path)
-    lake
-      .groupBy(col("_id").as("__gid"))
-      .agg(max(struct(
+  def readLakeLatest(spark: SparkSession, path: String): DataFrame =
+    lwwWinners(readLake(spark, path), leading = Seq.empty)
+
+  /** The ONE LWW winner selection, shared by [[mergeWrite]] (with the
+    * batch-priority column leading) and [[readLakeLatest]] (without), so
+    * write-time and read-time winners can never drift: newest scraped_at
+    * wins, content-hash tiebreak, identical across both surfaces.
+    *
+    * Shape: max-over-struct aggregate, not a row_number window. Struct
+    * min/max plans SORT-based (struct buffers are not hash-aggregable),
+    * but the partial side combines map-side — each task ships one
+    * candidate per _id it saw, so the shuffle shrinks by the version
+    * count, where the window shuffles and sorts every version. Field
+    * order encodes the old sort: optional leading priority, scraped_at
+    * (max; a null field compares smallest == desc_nulls_last), then
+    * bitwise NOT of the content hash — order-reversing on signed longs
+    * with no MinValue negation overflow, so max picks the SMALLEST hash,
+    * matching the previous ascending tiebreak. Rows tied even on the hash
+    * fall through to whole-row comparison instead of task-scheduling
+    * order, keeping "same batch, same winner".
+    */
+  private def lwwWinners(df: DataFrame, leading: Seq[Column]): DataFrame = {
+    val dataCols = df.columns.filter(_ != "__pri")
+    df.groupBy(col("_id").as("__gid"))
+      .agg(max(struct(leading ++ Seq(
         col("metadata.scraped_at").as("__ts"),
         bitwise_not(xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
           .as("__inv"),
-        struct(lake.columns.map(col): _*).as("__row"))).as("__m"))
+        struct(dataCols.map(col): _*).as("__row")): _*)).as("__m"))
       .select(col("__m.__row.*"))
   }
 

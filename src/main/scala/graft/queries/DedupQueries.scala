@@ -35,8 +35,12 @@ object DedupQueries {
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // payload excludes text: the key is derived from it, but the output
+    // never returns it — keeping it out of the aggregate's buffer keeps
+    // the document bodies out of the shuffle
     Dedup.exact(Tables(spark, dir, "documents"),
-      lower(graft.functions.TextFunctions.pyStrip($"text")), $"doc_id")
+      lower(graft.functions.TextFunctions.pyStrip($"text")), $"doc_id",
+      payload = Seq("doc_id", "lang", "source", "n_chars"))
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }

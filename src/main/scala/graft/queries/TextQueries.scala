@@ -428,9 +428,12 @@ object TextQueries {
     */
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // payload = text only: downstream scoring needs nothing else, and the
+    // payload is what the dedup aggregate buffers and shuffles
     val deduped = graft.operators.Dedup.exact(
       Tables.wide(spark, dir, "documents"),
-      lower(TextFunctions.pyStrip($"text")), $"doc_id")
+      lower(TextFunctions.pyStrip($"text")), $"doc_id",
+      payload = Seq("text"))
     deduped
       .select($"text", lower($"text").as("__lt"))
       .select(Seq(

@@ -145,10 +145,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus curation: one documents scan, no regex trees in any filter") {
-    // the composed pipeline must keep its components' plan discipline:
-    // the dedup window's row_number filter stays a plain __rn comparison
-    // (no pushdown-inlined pyStrip/tokenCount trees re-evaluating regexes
-    // in the scan stage), and the whole chain reads documents ONCE
+    // the composed pipeline must keep its components' plan discipline: the
+    // dedup is a min-over-struct sort aggregate with no Filter at all, so
+    // no pushdown may inline pyStrip/tokenCount regex trees into the scan
+    // stage, and the whole chain reads documents ONCE
     val finalPlan = finalExecutedPlan(TextQueries.corpusCuration(spark, sf))
     val scans = scanCount(finalPlan, "documents")
     assert(scans == 1, s"documents scanned $scans times:\n$finalPlan")
