@@ -120,8 +120,8 @@ object RelationalQueries {
 
   /** Last-write-wins upsert emulation (SURVEY §2.5 D3: the reference's Mongo
     * `UpdateOne({_id},{$set},upsert=True)` at resilient_scraper.py:944-956
-    * becomes window row_number=1 over the key, newest first). Deterministic
-    * tiebreak on event_id so re-runs are idempotent.
+    * becomes newest-wins selection over the key). Deterministic tiebreak
+    * on event_id so re-runs are idempotent.
     */
   def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
