@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EmbeddingQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ EmbeddingQueries.queries ++
-      PipelineQueries.queries ++ MultimodalQueries.queries
+      PipelineQueries.queries ++ MultimodalQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ EmbeddingQueries.oracles ++
-      PipelineQueries.oracles ++ MultimodalQueries.oracles
+      PipelineQueries.oracles ++ MultimodalQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -206,6 +206,31 @@ object TextFunctions {
   def stopwordHits(text: Column): Column =
     wordHits(lower(text), LangStopwords.flatMap(_._2).filterNot(_.exists(_ > 127)))
 
+  /** PII patterns shared by [[redactPii]] and the DuckDB oracle generator —
+    * one constant per category so the two engines can never drift. Each
+    * pattern is restricted to the ASCII-class/RE2-compatible subset (no
+    * lookaround, no Unicode classes) so Java regex and RE2 match the same
+    * spans byte-for-byte.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PiiPhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII redaction — the scrub step a training corpus runs before anything
+    * else sees the text: emails → [EMAIL], IPv4 literals → [IP],
+    * NNN-NNN-NNNN phone numbers → [PHONE]. Order matters and is fixed:
+    * emails first (an email never contains an IP/phone once replaced),
+    * then IPs, then phones — the categories are disjoint under these
+    * patterns so the cascade is confluent. A pure codegen'd projection;
+    * zero shuffle at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "[EMAIL]"),
+        PiiIpRe, "[IP]"),
+      PiiPhoneRe, "[PHONE]")
+
   /** Rolling polynomial fingerprint over the document's characters
     * (Karp–Rabin style): fold (acc*31 + codepoint) mod 1e9+7, seeded with
     * the first codepoint. Expressed with higher-order array functions so it

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and training: benchmark decontamination, deterministic
+  * stratified sampling, and repetition (duplicate-n-gram) quality signals.
+  * These extend the reference's cleaning/filter stage (SURVEY §2.2/§2.3)
+  * with the standard LLM-pretraining curation steps; none exist in the
+  * reference — they are the 100 TB-pipeline layer the brief asks for.
+  *
+  * All three are shuffle-light by construction:
+  *  - decontamination broadcasts the (small) benchmark shingle set and
+  *    shuffles only (id, matched-shingle) hit pairs — never document text;
+  *  - stratified sampling is a pure per-row predicate (zero shuffle);
+  *  - repetition signals are per-row projections (zero shuffle).
+  */
+object Curation {
+
+  /** Benchmark decontamination (the GPT-3/PaLM eval-overlap rule): a corpus
+    * document is contaminated iff it shares at least one n-token shingle
+    * with any benchmark document. Production defaults to the literature's
+    * n=13; callers tune n down only for tiny synthetic corpora where no
+    * 13-gram ever collides.
+    *
+    * Returns one row per corpus document: (id, contaminated, n_shared)
+    * where n_shared counts DISTINCT shingles shared with the benchmark —
+    * the audit number a curation run reports before dropping.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of documents,
+    * not billions) collapses to a distinct shingle set and is broadcast;
+    * the corpus side tokenizes once per row, and only (id, shingle) pairs
+    * that actually hit the benchmark reach the per-id count aggregate. The
+    * corpus text itself never shuffles, and a clean corpus costs one scan
+    * plus an empty aggregate.
+    */
+  def contaminationMarks(
+      corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 13): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.wordShingles(benchmarkText, n)).as("__g"))
+      .distinct()
+    val corpusShingles = corpus
+      .select(id.as("id"), Dedup.tokens(text).as("__toks"))
+      .select(col("id"), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+    val hits = corpusShingles
+      .join(broadcast(benchShingles), Seq("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc already
+    corpus.select(id.as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        col("n_shared").isNotNull.as("contaminated"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
+  /** Threshold for [[stratifiedSample]]: the 8-hex-digit lowercase prefix
+    * of floor(rate · 2³²), zero-padded. md5 hex output is lowercase and
+    * fixed-width in every engine, so `substr(md5(key), 1, 8) < threshold`
+    * compares LEXICOGRAPHICALLY equal to the numeric compare — the whole
+    * predicate is portable to any SQL engine with md5(), which is what
+    * makes the sample reproducible outside Spark (xxhash64 is not).
+    */
+  def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Deterministic stratified sampling: keep a row iff the md5 of
+    * (salt ':' key) falls under its stratum's rate threshold. The
+    * per-stratum rates rebalance a corpus mix (the domain/language quota
+    * step of every pretraining data recipe) without any shuffle, sort, or
+    * count — a pure codegen'd filter, trivially reproducible on any engine
+    * and stable under repartitioning, re-runs, and incremental appends
+    * (a document's fate depends only on its key, never on which batch it
+    * arrived in — the property reservoir/random sampling cannot give).
+    *
+    * @param strata stratum label column (e.g. language, source domain)
+    * @param key    stable unique row key; drives the hash
+    * @param rates  stratum label → keep rate in [0,1]
+    * @param defaultRate keep rate for strata not in `rates`
+    * @param salt   decorrelates this sample from any other md5-based
+    *               sample of the same keys
+    */
+  def stratifiedSample(
+      df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    val bucket = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8)
+    val threshold = rates.foldLeft(lit(rateThresholdHex(defaultRate))) {
+      case (acc, (label, rate)) => when(strata === label, lit(rateThresholdHex(rate))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Duplicate-n-gram fraction — the repetition quality signal of the
+    * Gopher/MassiveText filter family: the fraction of a document's n-token
+    * shingles that are repeats of an earlier shingle
+    * (1 − distinct/total; 0 for documents shorter than n tokens). Highly
+    * repetitive machine-generated or boilerplate text scores near 1 and is
+    * dropped by a threshold filter downstream. Pure per-row projection.
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val total = (size(toks) - (n - 1)).cast("double")
+    val distinctN = size(Dedup.shinglesOfTokens(toks, n)).cast("double")
+    coalesce((lit(1.0) - distinctN / nullif(greatest(total, lit(0.0)), lit(0.0))), lit(0.0))
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+
+/** Corpus-curation queries over the `documents` table — the LLM
+  * training-data prep steps beyond the reference's own surface
+  * ([[graft.operators.Curation]] + [[TextFunctions.redactPii]]):
+  * benchmark decontamination, deterministic stratified sampling,
+  * repetition quality signals, and PII redaction. Every query is
+  * DuckDB-oracled; the oracle SQL is generated from the same constants
+  * (shingle n, md5 thresholds, PII regexes) as the Spark side, so the two
+  * engines cannot drift independently.
+  */
+object CurationQueries {
+
+  /** Registered decontamination shingle width. Production default is the
+    * literature's n=13 ([[Curation.contaminationMarks]]); the synthetic
+    * corpus is near-random common words where no 13-gram ever collides, so
+    * the registered query runs n=5 — the largest width with hits at both
+    * sf0.01 (2 contaminated docs) and sf0.1 (110) — to exercise the
+    * operator's join path, not just its empty-aggregate path.
+    */
+  private val DecontamN = 5
+
+  /** Benchmark slice: every 23rd document plays the eval set. */
+  private val BenchMod = 23
+
+  /** Benchmark decontamination marks for the full corpus (benchmark rows
+    * excluded from the corpus side): one row per corpus document with its
+    * contamination flag and shared-shingle count.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % BenchMod === 0)
+    val corpus = docs.filter($"doc_id" % BenchMod =!= 0)
+    Curation.contaminationMarks(corpus, $"doc_id", $"text", bench, $"text", n = DecontamN)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
+  // DuckDB-side whitespace tokens matching Dedup.tokens (split on \s+,
+  // drop empties — leading/trailing whitespace yields empty fragments in
+  // both engines, filtered identically).
+  private val tsSqlExpr =
+    "[x for x in regexp_split_to_array(text, '\\s+') if len(x) > 0]"
+
+  // ts[i:i+n-1] is an n-element inclusive slice; range is end-exclusive, so
+  // the last shingle starts at len(ts)-n+1 → bound len(ts)-n+2.
+  private def shinglesSqlExpr(n: Int): String =
+    s"list_distinct([array_to_string(ts[i:i+${n - 1}], ' ') for i in range(1, len(ts) - $n + 2)])"
+
+  val decontaminateSql: String = {
+    val n = DecontamN
+    s"""WITH tok AS (
+       |  SELECT doc_id, $tsSqlExpr AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSqlExpr(n)}) AS g
+       |  FROM tok WHERE len(ts) >= $n),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % $BenchMod = 0),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM sh s JOIN bench USING (g)
+       |  WHERE s.doc_id % $BenchMod <> 0 GROUP BY s.doc_id)
+       |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated,
+       |  coalesce(h.n_shared, 0) AS n_shared
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % $BenchMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Registered rebalance recipe: downsample the majority language, keep
+    * most of the rarest, half of everything else — the language-quota mix
+    * step of a pretraining recipe, keyed on doc_id so the sample is
+    * identical on every engine, run, and partitioning.
+    */
+  private val SampleRates = Map("en" -> 0.3, "zh" -> 0.8)
+  private val SampleDefault = 0.5
+  private val SampleSalt = "graft"
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.stratifiedSample(
+      Tables.wide(spark, dir, "documents"),
+      $"lang", $"doc_id", SampleRates, SampleDefault, SampleSalt)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String = {
+    // CASE generated from the SAME rate map + threshold function as the
+    // Spark side; md5 hex is lowercase fixed-width in both engines, so the
+    // lexicographic compare is the numeric compare.
+    val whens = SampleRates.toSeq.sortBy(_._1).map { case (lang, rate) =>
+      s"WHEN lang = '$lang' THEN '${Curation.rateThresholdHex(rate)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE substr(md5('$SampleSalt:' || doc_id), 1, 8) <
+       |  CASE $whens ELSE '${Curation.rateThresholdHex(SampleDefault)}' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Gopher-style repetition signals: duplicate n-gram fraction at n=2,3,5
+    * per document ([[Curation.dupNgramFrac]]) — the filter input that
+    * catches boilerplate and looping machine text.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "documents")
+      .select($"doc_id", Dedup.tokens($"text").as("__toks"))
+      .select($"doc_id",
+        round(Curation.dupNgramFrac($"__toks", 2), 4).as("dup_2gram_frac"),
+        round(Curation.dupNgramFrac($"__toks", 3), 4).as("dup_3gram_frac"),
+        round(Curation.dupNgramFrac($"__toks", 5), 4).as("dup_5gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSignalsSql: String = {
+    def frac(n: Int) =
+      s"""round(CASE WHEN len(ts) >= $n THEN
+         |    1 - CAST(len(${shinglesSqlExpr(n)}) AS DOUBLE) / (len(ts) - ${n - 1})
+         |    ELSE 0 END, 4)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, $tsSqlExpr AS ts FROM documents)
+       |SELECT doc_id,
+       |  ${frac(2)} AS dup_2gram_frac,
+       |  ${frac(3)} AS dup_3gram_frac,
+       |  ${frac(5)} AS dup_5gram_frac
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** PII redaction audit: the raw documents carry no PII, so (exactly like
+    * q_clean_text and q_extractions) both engines append the same
+    * deterministic synthetic contact block, then count and redact it. The
+    * output carries per-category match counts and the redacted tail — the
+    * counts prove detection, the tail proves replacement.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val synth = concat($"text",
+      lit(" contact u"), $"doc_id", lit("@ex"), $"doc_id" % 7, lit(".com"),
+      lit(" from 10."), $"doc_id" % 200, lit(".3."), $"doc_id" % 250,
+      lit(" call 555-"), lit(100) + $"doc_id" % 900, lit("-"), lit(1000) + $"doc_id" % 9000)
+    Tables.wide(spark, dir, "documents")
+      .select($"doc_id", synth.as("__t"))
+      .select($"doc_id",
+        regexp_count($"__t", lit(TextFunctions.PiiEmailRe)).as("n_emails"),
+        regexp_count($"__t", lit(TextFunctions.PiiIpRe)).as("n_ips"),
+        regexp_count($"__t", lit(TextFunctions.PiiPhoneRe)).as("n_phones"),
+        TextFunctions.redactPii($"__t").as("__r"))
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones",
+        $"__r".substr(greatest(length($"__r") - lit(59), lit(1)), lit(60)).as("redacted_tail"))
+      .orderBy($"doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val synth = "text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com'" +
+      " || ' from 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)" +
+      " || ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)"
+    val email = TextFunctions.PiiEmailRe
+    val ip = TextFunctions.PiiIpRe
+    val phone = TextFunctions.PiiPhoneRe
+    s"""WITH synth AS (SELECT doc_id, $synth AS t FROM documents),
+       |red AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+       |    CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
+       |    CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS r
+       |  FROM synth)
+       |SELECT doc_id, n_emails, n_ips, n_phones,
+       |  substr(r, greatest(length(r) - 59, 1), 60) AS redacted_tail
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (decontaminate _),
+    "q_stratified_sample" -> (stratifiedSample _),
+    "q_repetition_signals" -> (repetitionSignals _),
+    "q_pii_redact" -> (piiRedact _))
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
+    "q_repetition_signals" -> repetitionSignalsSql,
+    "q_pii_redact" -> piiRedactSql)
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Curation
+
+/** [[graft.operators.Curation]] + [[TextFunctions.redactPii]]: benchmark
+  * decontamination, deterministic stratified sampling, repetition signals,
+  * PII redaction.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------- decontamination
+
+  private val benchDocs = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog tonight"),
+    (101L, "pack my box with five dozen liquor jugs right now")).toDF("id", "text")
+
+  test("contaminationMarks flags exactly the docs sharing an n-gram, counts distinct shared shingles") {
+    val corpus = Seq(
+      // shares "the quick brown fox jumps" (and more) with bench 100
+      (1L, "note the quick brown fox jumps over a fence"),
+      // shares nothing 5-token long (words shuffled)
+      (2L, "fox brown quick the jumps dog lazy over tonight the"),
+      // shares "pack my box with five dozen liquor jugs" → 4 distinct 5-shingles
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "completely unrelated text about spark catalyst planning rules")).toDF("id", "text")
+    val out = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text", n = 5)
+      .orderBy($"id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq === Seq(
+      (1L, true, 2L),  // "the quick brown fox jumps", "quick brown fox jumps over"
+      (2L, false, 0L),
+      (3L, true, 4L),
+      (4L, false, 0L)))
+  }
+
+  test("contaminationMarks on a clean corpus returns all-false with zero counts") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val out = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text", n = 5)
+      .collect()
+    assert(out.length === 1 && !out(0).getBoolean(1) && out(0).getLong(2) === 0L)
+  }
+
+  test("contaminationMarks respects n: a shared 4-gram is not a 13-gram hit") {
+    // 4 shared tokens ("quick brown fox jumps") but no shared 5-gram
+    val corpus = Seq((1L, "a quick brown fox jumps happily away")).toDF("id", "text")
+    val hit4 = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text", n = 4)
+      .head()
+    val hit5 = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text", n = 5)
+      .head()
+    assert(hit4.getBoolean(1) && !hit5.getBoolean(1))
+  }
+
+  // -------------------------------------------- stratified sampling
+
+  private def sampleDf = spark.range(0, 2000)
+    .select($"id", (when($"id" % 4 === 0, "en").when($"id" % 4 === 1, "zh")
+      .otherwise("other")).as("lang"))
+
+  test("stratifiedSample is deterministic and stable under repartitioning") {
+    val rates = Map("en" -> 0.3, "zh" -> 0.8)
+    val a = Curation.stratifiedSample(sampleDf, $"lang", $"id", rates, 0.5)
+      .select($"id").collect().map(_.getLong(0)).sorted
+    val b = Curation.stratifiedSample(sampleDf.repartition(13), $"lang", $"id", rates, 0.5)
+      .select($"id").collect().map(_.getLong(0)).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("stratifiedSample hits each stratum's rate within binomial tolerance") {
+    val rates = Map("en" -> 0.3, "zh" -> 0.8)
+    val counts = Curation.stratifiedSample(sampleDf, $"lang", $"id", rates, 0.5)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata sizes: en 500, zh 500, other 1000; 4σ ≈ 4·√(n·p·(1−p))
+    assert(math.abs(counts("en") - 150.0) < 4 * math.sqrt(500 * 0.3 * 0.7))
+    assert(math.abs(counts("zh") - 400.0) < 4 * math.sqrt(500 * 0.8 * 0.2))
+    assert(math.abs(counts("other") - 500.0) < 4 * math.sqrt(1000 * 0.25))
+  }
+
+  test("stratifiedSample at a lower rate is a subset of the same sample at a higher rate") {
+    // monotone thresholds on the same hash → nested samples (the property
+    // that lets a pipeline cheaply carve 1%/10%/100% corpus tiers)
+    val lo = Curation.stratifiedSample(sampleDf, $"lang", $"id", Map.empty, 0.2)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val hi = Curation.stratifiedSample(sampleDf, $"lang", $"id", Map.empty, 0.6)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(lo.nonEmpty && lo.subsetOf(hi))
+  }
+
+  test("stratifiedSample rate 0 keeps nothing; rate 1 keeps everything") {
+    assert(Curation.stratifiedSample(sampleDf, $"lang", $"id", Map.empty, 0.0).count() === 0L)
+    assert(Curation.stratifiedSample(sampleDf, $"lang", $"id", Map.empty, 1.0).count() === 2000L)
+  }
+
+  test("rateThresholdHex is 8 lowercase hex chars, monotone in the rate") {
+    val ts = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0).map(Curation.rateThresholdHex)
+    assert(ts.forall(_.matches("[0-9a-f]{8}")))
+    assert(ts === ts.sorted)
+    assert(Curation.rateThresholdHex(0.0) === "00000000")
+    assert(Curation.rateThresholdHex(1.0) === "ffffffff")
+  }
+
+  // ------------------------------------------------ repetition signals
+
+  test("dupNgramFrac: fully repetitive text scores high, distinct text scores 0") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),         // 4 bigrams, 1 distinct → 0.75
+      (2L, "all words here are different ok"),  // all bigrams distinct → 0.0
+      (3L, "ab cd ab cd ab cd"),                // 5 bigrams, 2 distinct → 0.6
+      (4L, "one"),                              // shorter than n → 0.0
+      (5L, "")).toDF("id", "text")
+      .select($"id", Curation.dupNgramFrac(graft.operators.Dedup.tokens($"text"), 2).as("f"))
+      .orderBy($"id").collect().map(_.getDouble(1))
+    assert(df(0) === 0.75 && df(1) === 0.0 && df(2) === 0.6 && df(3) === 0.0 && df(4) === 0.0)
+  }
+
+  test("dupNgramFrac at n=3 sees repeats the bigram view misses differently") {
+    // "ab cd ab cd ab cd": trigrams = [ab cd ab, cd ab cd, ab cd ab, cd ab cd]
+    // → 4 total, 2 distinct → 0.5
+    val f = Seq((1L, "ab cd ab cd ab cd")).toDF("id", "text")
+      .select(Curation.dupNgramFrac(graft.operators.Dedup.tokens($"text"), 3).as("f"))
+      .head().getDouble(0)
+    assert(f === 0.5)
+  }
+
+  // --------------------------------------------------- PII redaction
+
+  test("redactPii replaces emails, IPv4s, and phones; counts match patterns") {
+    val out = Seq(
+      "write to john.doe+spam@mail.example.org or call 555-123-4567 from 192.168.0.1",
+      "no pii here at all",
+      "two mails a@b.io c@d.co one ip 8.8.8.8").toDF("text")
+      .select(TextFunctions.redactPii($"text").as("r"),
+        regexp_count($"text", lit(TextFunctions.PiiEmailRe)).as("ne"),
+        regexp_count($"text", lit(TextFunctions.PiiIpRe)).as("ni"),
+        regexp_count($"text", lit(TextFunctions.PiiPhoneRe)).as("np"))
+      .collect()
+    assert(out(0).getString(0) === "write to [EMAIL] or call [PHONE] from [IP]")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) === ((1, 1, 1)))
+    assert(out(1).getString(0) === "no pii here at all")
+    assert(out(2).getString(0) === "two mails [EMAIL] [EMAIL] one ip [IP]")
+    assert((out(2).getInt(1), out(2).getInt(2), out(2).getInt(3)) === ((2, 1, 0)))
+  }
+
+  test("redactPii leaves nothing matching any PII pattern behind") {
+    val left = Seq("a@b.io 10.0.0.1 555-000-1234 x@y.org 1.2.3.4").toDF("text")
+      .select(TextFunctions.redactPii($"text").as("r"))
+      .filter(col("r").rlike(TextFunctions.PiiEmailRe) ||
+        col("r").rlike(TextFunctions.PiiIpRe) ||
+        col("r").rlike(TextFunctions.PiiPhoneRe))
+    assert(left.count() === 0L)
+  }
+}
