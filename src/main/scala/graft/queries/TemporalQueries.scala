@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal queries over the `events` table ([[Temporal]]): as-of join
+  * and gap sessionization. Both oracled — DuckDB has native ASOF JOIN,
+  * and the sessionization oracle rebuilds session_window's gap rule with
+  * lag + a running sum, so the two engines check each other through
+  * entirely different algorithms.
+  */
+object TemporalQueries {
+
+  /** For every click, the latest view by the same user at or before the
+    * click ([[Temporal.asOfJoin]], `<=` semantics): the
+    * "last-impression-before-conversion" attribution shape. The view side
+    * is deduplicated to one row per (user, ts) — max event_id wins — so
+    * the as-of pick is deterministic on both engines.
+    */
+  def asofClickView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click")
+    val views = e.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max_by(struct($"event_id", $"value"), $"event_id").as("__v"))
+      .select($"user_id", $"ts", $"__v.event_id".as("view_event_id"),
+        $"__v.value".as("view_value"))
+    Temporal.asOfJoin(
+      clicks, $"user_id", $"ts", Seq("event_id", "user_id", "ts"),
+      views, $"user_id", $"ts",
+      Seq("prev_view_event" -> $"view_event_id",
+        "prev_view_ts" -> $"ts",
+        "prev_view_value" -> $"view_value"),
+      rightOrder = $"view_event_id")
+      .select($"event_id", $"user_id",
+        $"prev_view_event",
+        round($"prev_view_value", 4).as("prev_view_value"),
+        (unix_micros($"ts") - unix_micros($"prev_view_ts")).as("staleness_us"))
+      .orderBy($"event_id")
+  }
+
+  val asofClickViewSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      |  FROM events),
+      |views AS (
+      |  SELECT user_id, ts, max(event_id) AS view_event_id,
+      |    max_by(value, event_id) AS view_value
+      |  FROM e WHERE event_type = 'view' GROUP BY user_id, ts),
+      |clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id,
+      |  v.view_event_id AS prev_view_event,
+      |  round(v.view_value, 4) AS prev_view_value,
+      |  CASE WHEN v.view_event_id IS NULL THEN NULL
+      |    ELSE epoch_us(c.ts) - epoch_us(v.ts) END AS staleness_us
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Per-user gap sessions (30-minute inactivity timeout,
+    * [[Temporal.sessionize]] = native session_window): session start,
+    * event count, value sum, and active span. The streaming-compatible
+    * session shape — the same grouping runs under readStream + watermark.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Temporal.sessionize(
+      Tables(spark, dir, "events"), $"user_id", $"ts", "30 minutes")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"),
+        (unix_micros(max($"ts")) - unix_micros(min($"ts"))).as("span_us"))
+      .select($"user_id", unix_micros($"session.start").as("session_start_us"),
+        $"n_events", $"sum_value", $"span_us")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  // The gap rule, rebuilt relationally: a session breaks only when the gap
+  // to the previous event STRICTLY exceeds 30 min — session_window merges
+  // an event landing exactly at last+gap (inclusive bound, measured and
+  // pinned by TemporalSpec's boundary test).
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessioned AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM marked)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      |FROM sessioned GROUP BY user_id, sess
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (asofClickView _),
+    "q_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofClickViewSql,
+    "q_sessionize" -> sessionizeSql)
+}

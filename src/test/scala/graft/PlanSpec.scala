@@ -155,6 +155,48 @@ class PlanSpec extends SparkSpec {
     assertNoFilterTrees(finalPlan, "regexp_", "split(")
   }
 
+  test("decontamination broadcasts the benchmark shingle set, never cross-joins") {
+    // the benchmark side is small by contract (eval sets vs a corpus) — it
+    // must reach the corpus as a broadcast, and the corpus text must only be
+    // tokenized in projections, never in a scan filter
+    val finalPlan = finalExecutedPlan(graft.queries.CurationQueries.decontaminate(spark, sf))
+    assert(finalPlan.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"))
+    assertNoFilterTrees(finalPlan, "arrays_zip")
+  }
+
+  test("stratified sample is a pure filtered scan — zero shuffle at any scale") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Curation.stratifiedSample(
+      Tables(spark, sf, "documents"), col("lang"), col("doc_id"),
+      Map("en" -> 0.3), 0.5)
+    val finalPlan = finalExecutedPlan(df)
+    assert(scanCount(finalPlan, "documents") == 1)
+    assert(!finalPlan.contains("Exchange"), s"sampling must not shuffle:\n$finalPlan")
+  }
+
+  test("repetition signals are a single-scan projection") {
+    val finalPlan = finalExecutedPlan(graft.queries.CurationQueries.repetitionSignals(spark, sf))
+    val scans = scanCount(finalPlan, "documents")
+    assert(scans == 1, s"documents scanned $scans times:\n$finalPlan")
+    assertNoFilterTrees(finalPlan, "arrays_zip", "split(")
+  }
+
+  test("as-of join is a union-merge, never a range nested-loop") {
+    // the defining property of the merge formulation: NO join operator at
+    // all on the as-of path (a range-condition join would plan as a
+    // nested-loop and go quadratic per key) — just union, one hash
+    // exchange, and a running window
+    val finalPlan = finalExecutedPlan(graft.queries.TemporalQueries.asofClickView(spark, sf))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"),
+      s"as-of fell back to a nested loop:\n$finalPlan")
+    assert(finalPlan.contains("Window"), "merge window missing")
+    val scans = scanCount(finalPlan, "events")
+    assert(scans <= 2, s"events scanned $scans times:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan

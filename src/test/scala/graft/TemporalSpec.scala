@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** [[Temporal]]: as-of join boundary/tie/isolation semantics and
+  * session_window gap-boundary parity with the relational oracle rule.
+  */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // trades (left) and quotes (right) — the canonical as-of shape
+  private def quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0, 10L),
+    (1L, ts("2024-01-01 10:05:00"), 101.0, 11L),
+    (1L, ts("2024-01-01 10:10:00"), 102.0, 12L),
+    (2L, ts("2024-01-01 10:07:00"), 200.0, 20L)).toDF("k", "qts", "px", "qid")
+
+  private def trades = Seq(
+    (1L, ts("2024-01-01 10:04:59"), 1L), // between quotes 10 and 11
+    (1L, ts("2024-01-01 10:05:00"), 2L), // exactly at quote 11
+    (1L, ts("2024-01-01 09:59:00"), 3L), // before any quote
+    (2L, ts("2024-01-01 10:08:00"), 4L), // key-2 only sees key-2 quotes
+    (1L, ts("2024-01-01 11:00:00"), 5L)) // long after the last quote
+    .toDF("k", "tts", "tid")
+
+  private def run(strict: Boolean) =
+    Temporal.asOfJoin(
+      trades, $"k", $"tts", Seq("tid"),
+      quotes, $"k", $"qts", Seq("px" -> $"px", "qid" -> $"qid"), $"qid",
+      strict = strict)
+      .orderBy($"tid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val m = run(strict = false)
+    assert(m(1L) === Some(10L)) // 10:04:59 → 10:00 quote
+    assert(m(2L) === Some(11L)) // <= : the 10:05:00 quote IS visible
+    assert(m(3L) === None)      // nothing before 09:59
+    assert(m(4L) === Some(20L)) // key isolation: never a key-1 quote
+    assert(m(5L) === Some(12L)) // carries arbitrarily far forward
+  }
+
+  test("asOfJoin strict mode excludes the right row at exactly leftTs") {
+    val m = run(strict = true)
+    assert(m(2L) === Some(10L)) // < : the 10:05:00 quote is NOT visible
+    assert(m(1L) === Some(10L) && m(3L) === None && m(4L) === Some(20L))
+  }
+
+  test("asOfJoin breaks (key, ts) ties on the right by max rightOrder") {
+    val dupQuotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 7L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 9L),
+      (1L, ts("2024-01-01 10:00:00"), 3.0, 8L)).toDF("k", "qts", "px", "qid")
+    val one = Temporal.asOfJoin(
+      trades.filter($"tid" === 1L), $"k", $"tts", Seq("tid"),
+      dupQuotes, $"k", $"qts", Seq("qid" -> $"qid"), $"qid")
+      .head()
+    assert(one.getLong(1) === 9L)
+  }
+
+  test("sessionize gap boundary: exactly +gap still merges, beyond it starts a NEW session") {
+    // measured session_window semantics (the oracle's lag rule must use
+    // STRICT >): the window end is last+gap INCLUSIVE for merging
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")), // exactly +30:00 → merges
+      (1L, ts("2024-01-01 10:59:59")), // +29:59 → merges
+      (1L, ts("2024-01-01 11:30:00")), // +30:01 → NEW session
+      (2L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val out = Temporal.sessionize(ev, $"user_id", $"ts", "30 minutes")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session.start", $"n")
+      .orderBy($"user_id", $"session.start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01 10:00:00.0", 3L),
+      (1L, "2024-01-01 11:30:00.0", 1L),
+      (2L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
+  test("sessionize session end is last event + gap") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val s = Temporal.sessionize(ev, $"user_id", $"ts", "30 minutes")
+      .agg(count(lit(1)))
+      .select($"session.start", $"session.end").head()
+    assert(s.getTimestamp(0).toString === "2024-01-01 10:00:00.0")
+    assert(s.getTimestamp(1).toString === "2024-01-01 10:30:00.0")
+  }
+}
