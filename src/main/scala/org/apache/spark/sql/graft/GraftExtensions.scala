@@ -72,7 +72,11 @@ object GraftFunctions {
     // end-to-end (hamming_dist above is the array-sketch variant)
     composed("simhash64", graft.operators.Dedup.getClass, t =>
       graft.operators.Dedup.simHash(
-        graft.operators.Dedup.tokens(org.apache.spark.sql.functions.lower(t)))))
+        graft.operators.Dedup.tokens(org.apache.spark.sql.functions.lower(t)))),
+    // PII scrub (curation layer): same regexp_replace cascade as the
+    // Column API, so SQL pipelines can redact before anything else reads
+    // the text
+    composed("redact_pii", TextFunctions.getClass, TextFunctions.redactPii))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

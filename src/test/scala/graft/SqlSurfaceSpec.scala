@@ -83,4 +83,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getCondition != null && e.getCondition.contains("WRONG_NUM_ARGS"),
       s"unexpected error class: ${e.getCondition}")
   }
+
+  test("redact_pii registers as SQL and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      "mail a@b.io from 10.0.0.1 call 555-123-4567",
+      "nothing sensitive").toDF("t")
+    val viaSql = df.selectExpr("redact_pii(t)").collect().map(_.getString(0)).toSeq
+    val viaDf = df.select(TextFunctions.redactPii($"t")).collect().map(_.getString(0)).toSeq
+    assert(viaSql === viaDf)
+    assert(viaSql.head === "mail [EMAIL] from [IP] call [PHONE]")
+  }
 }

@@ -96,4 +96,31 @@ class TemporalSpec extends SparkSpec {
     assert(s.getTimestamp(0).toString === "2024-01-01 10:00:00.0")
     assert(s.getTimestamp(1).toString === "2024-01-01 10:30:00.0")
   }
+
+  test("sessionize runs unchanged under a stream: the watermark finalizes gap sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = Temporal.sessionize(
+      mem.toDF().toDF("user_id", "ts").withWatermark("ts", "1 hour"),
+      $"user_id", $"ts", "30 minutes")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"session.start".as("start"), $"n")
+    val q = sessions.writeStream.format("memory").queryName("gap_sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    // event far past the session end advances the watermark beyond it...
+    mem.addData((1L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // ...and the NEXT batch emits the finalized session in Append mode
+    mem.addData((2L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, start, n FROM gap_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    q.stop()
+    assert(got.contains((1L, "2024-01-01 10:00:00.0", 2L)),
+      s"finalized session missing from $got")
+  }
 }
