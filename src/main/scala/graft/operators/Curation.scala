@@ -62,10 +62,17 @@ object Curation {
     * compares LEXICOGRAPHICALLY equal to the numeric compare — the whole
     * predicate is portable to any SQL engine with md5(), which is what
     * makes the sample reproducible outside Spark (xxhash64 is not).
+    *
+    * rate = 1.0 returns the sentinel "g" (lexicographically above every
+    * hex string) so keep-all truly keeps ALL: clamping to "ffffffff"
+    * would silently drop the ~1-in-4·10⁹ keys whose md5 prefix is
+    * exactly ffffffff under the strict `<` — at the 100 TB row counts
+    * this operator targets, that boundary row actually exists.
     */
   def rateThresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (rate >= 1.0) "g"
+    else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Deterministic stratified sampling: keep a row iff the md5 of

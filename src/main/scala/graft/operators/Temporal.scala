@@ -34,6 +34,15 @@ object Temporal {
     * (key, ts) the LAST in `rightOrder` wins — pass a deterministic
     * tiebreak column (e.g. an event id) if duplicates are possible.
     *
+    * Null semantics match the SQL ASOF condition `r.ts <= l.ts AND
+    * r.k = l.k` (which a null on either side never satisfies): right
+    * rows with a null key or null ts are dropped up front — otherwise a
+    * null ts would sort FIRST in the window and its payload would flow to
+    * every left row with no real predecessor — and a left row with a
+    * null key or ts keeps null payloads (its nulls never equal a right
+    * key, and nothing sorts at-or-before a null ts but other nulls,
+    * which the right side no longer has).
+    *
     * @param leftCols     columns of `left` to carry through (must exist)
     * @param rightPayload (outputName, column-of-right) pairs delivered
     *                     as-of; null when no predecessor exists
@@ -53,13 +62,20 @@ object Temporal {
     val leftType = StructType(left.select(leftCols.map(col): _*).schema.fields)
     val payloadType = StructType(
       right.select(rightPayload.map { case (n, c) => c.as(n) }: _*).schema.fields)
-    val r = right.select(
-      rightKey.as("__k"), rightTs.as("__ts"), lit(rightTag).as("__tag"),
-      rightOrder.cast("long").as("__ord"), payloadStruct.as("__p"),
-      lit(null).cast(leftType).as("__l"))
+    // the tiebreak keeps its own type (a silent cast("long") would turn a
+    // string id into null/ANSI-throw and break the "max wins" contract);
+    // left rows carry a typed null — their relative order never affects
+    // last(__p) because their __p is null
+    val ordType = right.select(rightOrder).schema.head.dataType
+    val r = right
+      .filter(rightKey.isNotNull && rightTs.isNotNull)
+      .select(
+        rightKey.as("__k"), rightTs.as("__ts"), lit(rightTag).as("__tag"),
+        rightOrder.as("__ord"), payloadStruct.as("__p"),
+        lit(null).cast(leftType).as("__l"))
     val l = left.select(
       leftKey.as("__k"), leftTs.as("__ts"), lit(leftTag).as("__tag"),
-      lit(0L).as("__ord"),
+      lit(null).cast(ordType).as("__ord"),
       lit(null).cast(payloadType).as("__p"),
       struct(leftCols.map(col): _*).as("__l"))
     val w = Window.partitionBy(col("__k"))

@@ -44,16 +44,11 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
-  // DuckDB-side whitespace tokens matching Dedup.tokens (split on \s+,
-  // drop empties — leading/trailing whitespace yields empty fragments in
-  // both engines, filtered identically).
-  private val tsSqlExpr =
-    "[x for x in regexp_split_to_array(text, '\\s+') if len(x) > 0]"
-
-  // ts[i:i+n-1] is an n-element inclusive slice; range is end-exclusive, so
-  // the last shingle starts at len(ts)-n+1 → bound len(ts)-n+2.
-  private def shinglesSqlExpr(n: Int): String =
-    s"list_distinct([array_to_string(ts[i:i+${n - 1}], ' ') for i in range(1, len(ts) - $n + 2)])"
+  // tokenizer + shingle SQL fragments: the ONE cross-engine definition
+  // lives in DedupQueries (ToksSql / shinglesSql) — see its scaladoc for
+  // the parity contract and the \x0B residue
+  private val tsSqlExpr = DedupQueries.ToksSql
+  private def shinglesSqlExpr(n: Int): String = DedupQueries.shinglesSql("ts", n)
 
   val decontaminateSql: String = {
     val n = DecontamN
@@ -85,8 +80,13 @@ object CurationQueries {
 
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // plain Tables.apply, NOT wide: the md5 filter is too cheap to justify
+    // widen's repartition, and the registered query should carry the same
+    // zero-shuffle sampling plan the operator promises (the orderBy range
+    // exchange below is output-determinism for the oracle, not sampling
+    // cost)
     Curation.stratifiedSample(
-      Tables.wide(spark, dir, "documents"),
+      Tables(spark, dir, "documents"),
       $"lang", $"doc_id", SampleRates, SampleDefault, SampleSalt)
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")

@@ -16,6 +16,25 @@ import graft.operators.Dedup
   */
 object DedupQueries {
 
+  /** DuckDB twin of [[Dedup.tokens]] — THE one definition, shared by every
+    * oracle that tokenizes (near-dup pairs here, decontamination and
+    * repetition signals in [[CurationQueries]]): \S+ runs never produce
+    * empty fragments, so no explicit filter is needed. Known residue
+    * (same class as the documented \x1c-\x1f Python gap): Java's \s
+    * includes vertical tab \x0B where RE2's does not, so a token split
+    * ONLY diverges on \x0B-adjacent text — absent from every gate corpus.
+    */
+  private[queries] val ToksSql = "regexp_extract_all(text, '\\S+')"
+
+  /** DuckDB twin of [[Dedup.shinglesOfTokens]] over an aliased token-array
+    * column: distinct n-gram strings. `arr[i:i+n-1]` is an n-element
+    * INCLUSIVE slice; `range` is end-EXCLUSIVE, so the last shingle start
+    * len(arr)-n+1 needs bound len(arr)-n+2.
+    */
+  private[queries] def shinglesSql(arr: String, n: Int): String =
+    s"list_distinct([array_to_string($arr[i:i+${n - 1}], ' ') " +
+      s"for i in range(1, len($arr) - $n + 2)])"
+
   /** D1/D2 exact dedup as keyed last-write-wins representative selection:
     * one row per normalized-text key, lowest doc_id wins (the reference's
     * hash-set drop at src/resilient_scraper.py:352-358, made distributed
@@ -69,11 +88,11 @@ object DedupQueries {
   // tokens yield no shingles and are excluded. Same count-based identity
   // jaccard = c / (na + nb - c).
   val nearDupPairsSql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id, shingles, len(shingles) AS n FROM (
       |    SELECT doc_id,
-      |      list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
-      |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+      |      ${shinglesSql("toks", 3)} AS shingles
+      |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
       |    WHERE len(toks) >= 3)),
       |cand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
@@ -107,11 +126,11 @@ object DedupQueries {
   }
 
   val nearDupPairsCappedSql: String =
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id, shingles, len(shingles) AS n FROM (
       |    SELECT doc_id,
-      |      list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS shingles
-      |    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+      |      ${shinglesSql("toks", 3)} AS shingles
+      |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
       |    WHERE len(toks) >= 3)),
       |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sh),
       |dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),

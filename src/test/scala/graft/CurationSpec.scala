@@ -95,12 +95,17 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(sampleDf, $"lang", $"id", Map.empty, 1.0).count() === 2000L)
   }
 
-  test("rateThresholdHex is 8 lowercase hex chars, monotone in the rate") {
-    val ts = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0).map(Curation.rateThresholdHex)
+  test("rateThresholdHex is monotone; rate 1.0 is the above-all-hex sentinel") {
+    val ts = Seq(0.0, 0.1, 0.25, 0.5, 0.9).map(Curation.rateThresholdHex)
     assert(ts.forall(_.matches("[0-9a-f]{8}")))
     assert(ts === ts.sorted)
     assert(Curation.rateThresholdHex(0.0) === "00000000")
-    assert(Curation.rateThresholdHex(1.0) === "ffffffff")
+    // "g" > every hex prefix lexicographically, so rate 1.0 keeps even the
+    // key whose md5 prefix is exactly "ffffffff" (strict < would drop it
+    // against a clamped hex threshold)
+    assert(Curation.rateThresholdHex(1.0) === "g")
+    assert(ts.forall(_ < Curation.rateThresholdHex(1.0)))
+    assert("ffffffff" < Curation.rateThresholdHex(1.0))
   }
 
   // ------------------------------------------------ repetition signals

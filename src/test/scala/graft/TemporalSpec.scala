@@ -67,6 +67,22 @@ class TemporalSpec extends SparkSpec {
     assert(one.getLong(1) === 9L)
   }
 
+  test("asOfJoin matches SQL ASOF null semantics: null-ts right rows are never predecessors") {
+    val nullQuotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0, 10L),
+      (Some(1L), None, 999.0, 99L), // null ts: would sort FIRST and leak everywhere
+      (None, Some(ts("2024-01-01 09:00:00")), 888.0, 88L)) // null key: matches nothing in SQL
+      .toDF("k", "qts", "px", "qid")
+    val out = Temporal.asOfJoin(
+      trades, $"k", $"tts", Seq("tid"),
+      nullQuotes, $"k", $"qts", Seq("qid" -> $"qid"), $"qid")
+      .orderBy($"tid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(3L) === None,      // 09:59 trade: the null-ts quote must NOT appear
+      "null-ts right row leaked as a predecessor")
+    assert(out(1L) === Some(10L)) // real quotes still flow
+  }
+
   test("sessionize gap boundary: exactly +gap still merges, beyond it starts a NEW session") {
     // measured session_window semantics (the oracle's lag rule must use
     // STRICT >): the window end is last+gap INCLUSIVE for merging
