@@ -102,6 +102,49 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Token-budget sequence packing — the batch-construction step between
+    * a curated corpus and a trainer: assign documents to packs such that
+    * each pack's token total stays within `budget` (greedy first-fit in
+    * document order; a single document over budget gets a pack of its
+    * own). Returns (id, n_tokens, pack_id, pack_pos).
+    *
+    * Greedy packing is inherently sequential WITHIN a pack, so this is
+    * the library's one justified `mapPartitions` outside model/decode
+    * batching: ONE range exchange partitions documents into `partitions`
+    * contiguous id ranges, then each partition packs its range
+    * independently in a single linear pass. Packs never cross partition
+    * boundaries — the amortized waste is at most one underfull pack per
+    * partition, negligible when partitions carry millions of tokens, and
+    * the price of never coordinating across executors. pack_id =
+    * (partition << 32) | local index: globally unique with zero
+    * coordination, deterministic for a fixed (ordering key, partitions).
+    */
+  def packByTokenBudget(
+      df: DataFrame, id: Column, nTokens: Column,
+      budget: Long, partitions: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assigned = df
+      .select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
+      .repartitionByRange(partitions, col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        var pack = 0L
+        var used = 0L
+        var pos = 0
+        it.map { case (docId, n) =>
+          if (used > 0 && used + n > budget) { pack += 1; used = 0L; pos = 0 }
+          used += n
+          pos += 1
+          (docId, n, (part << 32) | pack, pos)
+        }
+      }
+    assigned.toDF("id", "n_tokens", "pack_id", "pack_pos")
+  }
+
   /** Duplicate-n-gram fraction — the repetition quality signal of the
     * Gopher/MassiveText filter family: the fraction of a document's n-token
     * shingles that are repeats of an earlier shingle

@@ -178,15 +178,63 @@ object CurationQueries {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language quality-quantile gate: keep the top 30 % of documents
+    * per language by token count (doc_id tiebreak keeps the cut
+    * deterministic) — the fraction-based sibling of top-k-per-group
+    * (SURVEY §2.8 O6): the keep set scales with each stratum instead of
+    * being a constant k. One hash exchange on lang, per-group sort.
+    */
+  def qualityQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val nt = TextFunctions.tokenCount($"text").cast("long")
+    val w = Window.partitionBy($"lang").orderBy($"n_tokens".desc, $"doc_id")
+    Tables.wide(spark, dir, "documents")
+      .select($"doc_id", $"lang", nt.as("n_tokens"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter($"pr" <= 0.3)
+      .select($"doc_id", $"lang", $"n_tokens", round($"pr", 4).as("pr"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityQuantileSql: String =
+    """SELECT doc_id, lang, n_tokens, round(pr, 4) AS pr FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    percent_rank() OVER (PARTITION BY lang
+      |      ORDER BY n_tokens DESC, doc_id) AS pr
+      |  FROM (SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |    FROM documents))
+      |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin
+
+  /** Token-budget sequence packing over the corpus
+    * ([[Curation.packByTokenBudget]], budget 2048, 8 range partitions).
+    * Registered rows-only: the greedy pack assignment is deterministic
+    * for a fixed partitioning but inherently sequential — no ANSI SQL
+    * reproduces it without a recursive CTE per partition; CurationSpec
+    * gates the invariants (budget respected, contiguity, determinism,
+    * oversized docs isolated) instead.
+    */
+  def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("nt"))
+    Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 8)
+      .orderBy($"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_repetition_signals" -> (repetitionSignals _),
-    "q_pii_redact" -> (piiRedact _))
+    "q_pii_redact" -> (piiRedact _),
+    "q_quality_quantile" -> (qualityQuantile _),
+    "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_repetition_signals" -> repetitionSignalsSql,
-    "q_pii_redact" -> piiRedactSql)
+    "q_pii_redact" -> piiRedactSql,
+    "q_quality_quantile" -> qualityQuantileSql)
 }

@@ -131,6 +131,48 @@ class CurationSpec extends SparkSpec {
     assert(f === 0.5)
   }
 
+  // ------------------------------------------------- sequence packing
+
+  test("packByTokenBudget respects the budget, packs contiguously, isolates oversized docs") {
+    val docs = Seq(
+      (1L, 800L), (2L, 800L), (3L, 800L), // 1+2 fit 2048, 3 spills
+      (4L, 3000L),                        // alone over budget → own pack
+      (5L, 100L), (6L, 100L)).toDF("doc_id", "nt")
+    val out = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 1)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val packs = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // every pack with more than one doc stays within budget
+    out.groupBy(_._3).foreach { case (p, rows) =>
+      if (rows.length > 1) assert(packs(p) <= 2048L, s"pack $p over budget: $packs")
+    }
+    // greedy first-fit in id order: [1,2], [3,4?]: 3 (800) then 4 (3000) exceeds → [3], [4], [5,6]
+    assert(out.map(_._3).distinct.length === 4)
+    assert(out.filter(_._1 <= 2L).map(_._3).distinct.length === 1) // 1,2 share
+    assert(out.find(_._1 == 4L).get._3 !== out.find(_._1 == 3L).get._3) // 4 isolated
+    // positions restart per pack and are contiguous in id order
+    assert(out.find(_._1 == 1L).get._4 === 1)
+    assert(out.find(_._1 == 2L).get._4 === 2)
+    assert(out.find(_._1 == 5L).get._4 === 1)
+  }
+
+  test("packByTokenBudget is deterministic and pack ids never collide across partitions") {
+    val docs = spark.range(0, 1000)
+      .select($"id".as("doc_id"), ($"id" % 700 + 1).as("nt"))
+    def run() = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.sameElements(b))
+    // every doc assigned exactly once; budget invariant holds globally
+    assert(a.length === 1000 && a.map(_._1).distinct.length === 1000)
+    val byPack = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 4)
+      .groupBy($"pack_id").agg(sum($"n_tokens").as("s"), count(lit(1)).as("n"))
+      .collect()
+    byPack.foreach { r =>
+      if (r.getLong(2) > 1) assert(r.getLong(1) <= 2048L, s"pack over budget: $r")
+    }
+  }
+
   // --------------------------------------------------- PII redaction
 
   test("redactPii replaces emails, IPv4s, and phones; counts match patterns") {
