@@ -57,6 +57,35 @@ object Embeddings {
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
     coalesce(dot(a, b) / nullif(normA * normB, lit(0.0)), lit(0.0))
 
+  // ------------------------------------------------ int8 quantization
+
+  /** Per-vector symmetric int8 scale: max|x| / 127. Callers MUST
+    * materialize this as its own projection before passing it to
+    * [[i8Quantize]] — the quantize lambda references the scale per
+    * element, and an inlined O(dim) scale expression would turn
+    * quantization O(dim²) per row (the HOF capture re-evaluation trap,
+    * same as [[graft.operators.Dedup.shinglesOfTokens]]).
+    */
+  def i8Scale(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double")))) / 127.0
+
+  /** Symmetric int8 quantization against a pre-materialized
+    * [[i8Scale]] column: q[i] = floor(x[i]/scale + 0.5), the explicit
+    * round-half-up formula — identical by construction in every engine,
+    * where native round() half-way modes differ (Java HALF_UP vs
+    * round-half-away). Zero vectors (scale 0) quantize to all-zeros
+    * instead of dividing by zero. The payoff at 100 TB: embeddings
+    * stored as int8 are 4× smaller on disk and in shuffle than float32,
+    * and cosine over quantized vectors needs NO dequantization — the
+    * per-vector scales cancel in the ratio, so ranking runs on integer
+    * dots (exact in doubles: |dot| <= 127²·dim « 2⁵³, making
+    * cross-engine comparison bit-exact rather than fold-order-dependent).
+    */
+  def i8Quantize(emb: Column, scale: Column): Column =
+    when(scale === 0.0, transform(emb, _ => lit(0)))
+      .otherwise(transform(emb, x =>
+        floor(x.cast("double") / scale + lit(0.5)).cast("int")))
+
   /** Exact top-k cosine neighbors for each probe row.
     *
     * @param corpus  (id, embedding) rows to search

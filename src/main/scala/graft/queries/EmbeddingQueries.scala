@@ -110,6 +110,55 @@ object EmbeddingQueries {
       .orderBy($"probe_id", $"rk")
   }
 
+  /** The all-pairs 5-NN graph over int8-QUANTIZED embeddings
+    * ([[Embeddings.i8Quantize]]) — the storage-scale variant of
+    * [[embeddingKnn]]: embeddings quantized to per-vector-scaled int8
+    * (4× smaller at rest and in motion), ranking on integer dots with
+    * the scales cancelling out of the cosine. Fully oracled — integer
+    * dot products are exact in doubles, so the two engines agree
+    * bit-for-bit rather than within fold-order noise.
+    * EmbeddingsSpec gates recall@5 vs the float exact graph.
+    */
+  def embeddingQ8Knn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+      .withColumn("__s", Embeddings.i8Scale($"embedding"))
+      .select($"vec_id",
+        Embeddings.i8Quantize($"embedding", $"__s").cast("array<double>").as("qe"))
+    Embeddings.knnBruteForce(
+      e, $"vec_id", $"qe",
+      e, $"vec_id", $"qe",
+      k = K)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val embeddingQ8KnnSql: String = {
+    val dotPC = dotSql("p.pe", "e.qe")
+    val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
+    val normC = s"sqrt(${dotSql("e.qe", "e.qe")})"
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN [0.0 for x in embedding]
+       |         ELSE [floor(CAST(x AS DOUBLE) / s + 0.5) for x in embedding]
+       |    END AS qe
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS s
+       |    FROM embeddings)),
+       |probes AS (SELECT vec_id AS probe_id, qe AS pe FROM q),
+       |scored AS (
+       |  SELECT p.probe_id, e.vec_id AS neighbor_id,
+       |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
+       |  FROM q e CROSS JOIN probes p
+       |  WHERE e.vec_id <> p.probe_id)
+       |SELECT probe_id, rk, neighbor_id, cosine FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
+  }
+
   /** Per-label centroid cohesion: average cosine of each vector to its
     * label's mean vector — a clustering-quality aggregate exercising
     * element-wise array aggregation (the `embeddings` analogue of A5 score
@@ -157,11 +206,13 @@ object EmbeddingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_knn" -> (embeddingKnn _),
+    "q_embedding_q8_knn" -> (embeddingQ8Knn _),
     "q_embedding_ann" -> (embeddingAnn _),
     "q_embedding_ivf" -> (embeddingIvf _),
     "q_label_cohesion" -> (labelCohesion _))
 
   val oracles: Map[String, String] = Map(
     "q_embedding_knn" -> embeddingKnnSql,
+    "q_embedding_q8_knn" -> embeddingQ8KnnSql,
     "q_label_cohesion" -> labelCohesionSql)
 }

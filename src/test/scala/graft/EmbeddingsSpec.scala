@@ -109,6 +109,38 @@ class EmbeddingsSpec extends SparkSpec {
     rs.sum / rs.size
   }
 
+  test("int8-quantized 5-NN graph keeps recall@5 >= 0.9 vs float exact (real sf0.01 table)") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val q = df.select($"vec_id", $"embedding")
+      .withColumn("__s", Embeddings.i8Scale($"embedding"))
+      .select($"vec_id",
+        Embeddings.i8Quantize($"embedding", $"__s").cast("array<double>").as("qe"))
+    val quant = Embeddings.knnBruteForce(
+      q, $"vec_id", $"qe", q, $"vec_id", $"qe", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val r = recallAt5(exact, quant)
+    info(f"int8 recall@5 vs float exact: $r%.3f")
+    assert(r >= 0.9, s"int8 quantization recall@5 $r < 0.9")
+  }
+
+  test("i8Quantize: values stay in [-127, 127]; zero vectors quantize to zeros, not NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "e")
+      .withColumn("__s", Embeddings.i8Scale($"e"))
+      .select($"id", Embeddings.i8Quantize($"e", $"__s").as("q"))
+      .orderBy($"id").collect()
+    val q1 = df(0).getSeq[Int](1)
+    assert(q1.max <= 127 && q1.min >= -127)
+    assert(q1(1) === -127) // the max-magnitude element maps to ±127 exactly
+    assert(df(1).getSeq[Int](1) === Seq(0, 0, 0))
+  }
+
   test("IVF recall@5 ladder on the real sf0.01 table: replicas raises recall") {
     import spark.implicits._
     val df = Tables(spark, "/root/testdata/sf0.01", "embeddings")
