@@ -110,36 +110,61 @@ object Curation {
     *
     * Greedy packing is inherently sequential WITHIN a pack, so this is
     * the library's one justified `mapPartitions` outside model/decode
-    * batching: ONE range exchange partitions documents into `partitions`
-    * contiguous id ranges, then each partition packs its range
-    * independently in a single linear pass. Packs never cross partition
-    * boundaries — the amortized waste is at most one underfull pack per
-    * partition, negligible when partitions carry millions of tokens, and
-    * the price of never coordinating across executors. pack_id =
-    * (partition << 32) | local index: globally unique with zero
-    * coordination, deterministic for a fixed (ordering key, partitions).
+    * batching: documents are split into `partitions` contiguous id ranges
+    * and each range packs independently in a single linear pass. Packs
+    * never cross range boundaries — the amortized waste is at most one
+    * underfull pack per range, negligible when ranges carry millions of
+    * tokens, and the price of never coordinating across executors.
+    * pack_id = (range << 32) | local index: globally unique with zero
+    * coordination.
+    *
+    * The range index is computed FROM THE DATA — (id − min) · partitions
+    * / span over one cheap min/max aggregate — NOT via
+    * `repartitionByRange`: Spark's RangePartitioner seeds its boundary
+    * reservoir sample from the rdd id, so range-partitioned boundaries
+    * (hence pack ids) SHIFT between executions of the same input once
+    * partitions exceed the full-sample floor. A trainer resuming from
+    * pack ids needs the assignment to be a pure function of
+    * (ids, budget, partitions), which this is: the physical shuffle is a
+    * hash exchange on the computed range index, and the per-range
+    * counters key on the index itself, not on task/partition placement.
     */
   def packByTokenBudget(
       df: DataFrame, id: Column, nTokens: Column,
       budget: Long, partitions: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(partitions > 0, s"partitions must be positive, got $partitions")
     val spark = df.sparkSession
     import spark.implicits._
-    val assigned = df
-      .select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
-      .repartitionByRange(partitions, col("id"))
-      .sortWithinPartitions(col("id"))
-      .as[(Long, Long)]
+    val keyed = df.select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
+    val boundsRow = keyed.agg(min(col("id")), max(col("id"))).head()
+    if (boundsRow.isNullAt(0)) {
+      // empty input: empty output, same schema
+      return spark.emptyDataset[(Long, Long, Long, Int)]
+        .toDF("id", "n_tokens", "pack_id", "pack_pos")
+    }
+    val (lo, hi) = (boundsRow.getLong(0), boundsRow.getLong(1))
+    val span = math.max(hi - lo + 1, 1L).toDouble
+    val rangeIdx = least(lit(partitions - 1),
+      (((col("id") - lo).cast("double") / span) * partitions).cast("int"))
+    val assigned = keyed
+      .withColumn("__r", rangeIdx)
+      .repartition(partitions, col("__r"))
+      .sortWithinPartitions(col("__r"), col("id"))
+      .as[(Long, Long, Int)]
       .mapPartitions { it =>
-        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        // several range indices can share a physical partition (hash
+        // placement); counters reset per RANGE so ids stay deterministic
+        var cur = Int.MinValue
         var pack = 0L
         var used = 0L
         var pos = 0
-        it.map { case (docId, n) =>
+        it.map { case (docId, n, r) =>
+          if (r != cur) { cur = r; pack = 0L; used = 0L; pos = 0 }
           if (used > 0 && used + n > budget) { pack += 1; used = 0L; pos = 0 }
           used += n
           pos += 1
-          (docId, n, (part << 32) | pack, pos)
+          (docId, n, (r.toLong << 32) | pack, pos)
         }
       }
     assigned.toDF("id", "n_tokens", "pack_id", "pack_pos")

@@ -47,16 +47,21 @@ object EmbeddingQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])"
 
-  val embeddingKnnSql: String = {
-    val dotPC = dotSql("p.pe", "e.embedding")
+  /** The ONE 5-NN-graph SQL skeleton (scored CTE + per-probe rank),
+    * shared by the float and int8 oracles over a prepared
+    * `src(vec_id, <vec>)` CTE — a change to the tie-break, rounding, or
+    * self-match rule lands in both or neither.
+    */
+  private def knnGraphSql(srcCte: String, vec: String): String = {
+    val dotPC = dotSql("p.pe", s"e.$vec")
     val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
-    val normC = s"sqrt(${dotSql("e.embedding", "e.embedding")})"
-    s"""WITH probes AS (
-       |  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+    val normC = s"sqrt(${dotSql(s"e.$vec", s"e.$vec")})"
+    s"""$srcCte,
+       |probes AS (SELECT vec_id AS probe_id, $vec AS pe FROM src),
        |scored AS (
        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
        |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
-       |  FROM embeddings e CROSS JOIN probes p
+       |  FROM src e CROSS JOIN probes p
        |  WHERE e.vec_id <> p.probe_id)
        |SELECT probe_id, rk, neighbor_id, cosine FROM (
        |  SELECT probe_id, neighbor_id, cosine,
@@ -64,6 +69,9 @@ object EmbeddingQueries {
        |  FROM scored)
        |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
   }
+
+  val embeddingKnnSql: String =
+    knnGraphSql("WITH src AS (SELECT vec_id, embedding FROM embeddings)", "embedding")
 
   /** Sketch-rank approximate top-5 ([[Embeddings.annTopK]]) — the 100 TB
     * scale path: 96-bit sparse-sign fingerprints, hamming-ball candidate
@@ -133,31 +141,17 @@ object EmbeddingQueries {
       .orderBy($"probe_id", $"rk")
   }
 
-  val embeddingQ8KnnSql: String = {
-    val dotPC = dotSql("p.pe", "e.qe")
-    val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
-    val normC = s"sqrt(${dotSql("e.qe", "e.qe")})"
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    CASE WHEN s = 0 THEN [0.0 for x in embedding]
-       |         ELSE [floor(CAST(x AS DOUBLE) / s + 0.5) for x in embedding]
-       |    END AS qe
-       |  FROM (
-       |    SELECT vec_id, embedding,
-       |      list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS s
-       |    FROM embeddings)),
-       |probes AS (SELECT vec_id AS probe_id, qe AS pe FROM q),
-       |scored AS (
-       |  SELECT p.probe_id, e.vec_id AS neighbor_id,
-       |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
-       |  FROM q e CROSS JOIN probes p
-       |  WHERE e.vec_id <> p.probe_id)
-       |SELECT probe_id, rk, neighbor_id, cosine FROM (
-       |  SELECT probe_id, neighbor_id, cosine,
-       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rk
-       |  FROM scored)
-       |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
-  }
+  val embeddingQ8KnnSql: String = knnGraphSql(
+    """WITH src AS (
+      |  SELECT vec_id,
+      |    CASE WHEN s = 0 THEN [0.0 for x in embedding]
+      |         ELSE [floor(CAST(x AS DOUBLE) / s + 0.5) for x in embedding]
+      |    END AS qe
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS s
+      |    FROM embeddings))""".stripMargin,
+    "qe")
 
   /** Per-label centroid cohesion: average cosine of each vector to its
     * label's mean vector — a clustering-quality aggregate exercising

@@ -156,21 +156,35 @@ class CurationSpec extends SparkSpec {
     assert(out.find(_._1 == 5L).get._4 === 1)
   }
 
-  test("packByTokenBudget is deterministic and pack ids never collide across partitions") {
-    val docs = spark.range(0, 1000)
-      .select($"id".as("doc_id"), ($"id" % 700 + 1).as("nt"))
-    def run() = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+  test("packByTokenBudget is deterministic on skewed ids and pack ids never collide") {
+    // 50k rows with a skewed id distribution — the regime where a
+    // repartitionByRange formulation is NOT reproducible (RangePartitioner
+    // seeds its boundary sample from the rdd id, so boundaries shift
+    // between executions once partitions exceed the full-sample floor);
+    // the closed-form (id−min)·p/span range index must not care
+    val docs = spark.range(0, 50000)
+      .select(
+        when($"id" < 45000, $"id").otherwise($"id" * 1000).as("doc_id"),
+        ($"id" % 700 + 1).as("nt"))
+    def run() = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
     val a = run(); val b = run()
-    assert(a.sameElements(b))
+    assert(a.sameElements(b), "pack assignment changed between identical executions")
     // every doc assigned exactly once; budget invariant holds globally
-    assert(a.length === 1000 && a.map(_._1).distinct.length === 1000)
-    val byPack = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 4)
+    assert(a.length === 50000 && a.map(_._1).distinct.length === 50000)
+    val byPack = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 8)
       .groupBy($"pack_id").agg(sum($"n_tokens").as("s"), count(lit(1)).as("n"))
       .collect()
     byPack.foreach { r =>
       if (r.getLong(2) > 1) assert(r.getLong(1) <= 2048L, s"pack over budget: $r")
     }
+  }
+
+  test("packByTokenBudget on empty input returns an empty frame with the contract schema") {
+    val empty = spark.range(0).select($"id".as("doc_id"), $"id".as("nt"))
+    val out = Curation.packByTokenBudget(empty, $"doc_id", $"nt", budget = 100, partitions = 4)
+    assert(out.columns.toSeq === Seq("id", "n_tokens", "pack_id", "pack_pos"))
+    assert(out.count() === 0L)
   }
 
   // --------------------------------------------------- PII redaction
