@@ -198,6 +198,15 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"events scanned $scans times:\n$finalPlan")
   }
 
+  test("quality-quantile gate: one documents scan, tokenization stays out of filters") {
+    val finalPlan = finalExecutedPlan(graft.queries.CurationQueries.qualityQuantile(spark, sf))
+    val scans = scanCount(finalPlan, "documents")
+    assert(scans == 1, s"documents scanned $scans times:\n$finalPlan")
+    // the percent_rank filter runs on the window output column — the
+    // token-count regex must never be inlined into a pushed filter
+    assertNoFilterTrees(finalPlan, "regexp_")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
