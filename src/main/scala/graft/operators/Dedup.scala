@@ -258,6 +258,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------ components / clusters
+
+  /** Connected components over an undirected pair list — the step that
+    * turns near-duplicate PAIRS into dedup CLUSTERS: every node gets the
+    * minimum node id reachable from it (`cluster_rep`), so "keep one per
+    * cluster" is the filter `node == cluster_rep`. This is the canonical
+    * final stage of MinHash/SimHash dedup (a pair list alone over-deletes:
+    * dropping the greater id of every pair can eliminate BOTH members of
+    * a triangle's edges — components make the keep-set decision
+    * per-cluster, exactly one survivor each).
+    *
+    * Algorithm: min-label propagation — each iteration every node adopts
+    * the minimum label among itself and its neighbors, a join + hash
+    * aggregate over the EDGE list per iteration, converging in
+    * diameter(G) iterations. Near-dup graphs are dense small clusters
+    * (diameter 1-2, a handful of iterations); `maxIterations` bounds the
+    * adversarial chain case and non-convergence RAISES rather than
+    * returning a silently half-merged clustering. Per-iteration
+    * `localCheckpoint` truncates the logical plan — without it the
+    * iterated self-reference grows the lineage exponentially and
+    * planning, not execution, becomes the bottleneck.
+    *
+    * Scale shape: each iteration shuffles (node, label) by node — the
+    * edge list never rebuilds, embeddings/text never enter; this is the
+    * join-based CC of GraphFrames minus the large-star/small-star
+    * optimization, the right trade while cluster diameters stay small.
+    */
+  def connectedComponents(
+      pairs: DataFrame, src: Column, dst: Column,
+      maxIterations: Int = 20): DataFrame = {
+    val sym = pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .unionByName(pairs.select(dst.cast("long").as("a"), src.cast("long").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIterations) {
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("nbrNode"))
+        .agg(min(col("label")).as("nbrLabel"))
+      val updated = labels
+        .join(neighborMin, labels("node") === col("nbrNode"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .filter(col("label") =!= col("__old"))
+        .isEmpty
+      labels = updated
+      it += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIterations iterations — " +
+          "a component's diameter exceeds the cap; raise maxIterations")
+    }
+    labels.select(col("node"), col("label").as("cluster_rep"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash fingerprint of a token-array column: per-token hash,

@@ -200,10 +200,53 @@ object DedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Near-dup CLUSTERS: the pair graph of [[nearDupPairs]] collapsed to
+    * connected components ([[Dedup.connectedComponents]]) with one
+    * representative (min doc_id) per cluster — the canonical final stage
+    * of MinHash/SimHash dedup. A pair list alone over-deletes (dropping
+    * the greater id of every pair can kill every member of a triangle);
+    * components make the keep decision per cluster, exactly one survivor
+    * each. The oracle computes the same transitive closure through a
+    * recursive CTE — a completely different algorithm (BFS fixpoint vs
+    * iterated min-label joins) agreeing on the exact clustering.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.nearDuplicatePairsExact(
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text", threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, $"id_a", $"id_b")
+    val sizes = comp.groupBy($"cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_rep"))
+      .select($"node".as("doc_id"), $"cluster_rep", $"cluster_size",
+        ($"node" === $"cluster_rep").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    // the pair CTE is the EXACT q_near_dup_pairs oracle (minus its final
+    // ORDER BY, harmless in a subquery) — the clustering is verified on
+    // the same pair set the pair query verifies
+    s"""WITH RECURSIVE pairs AS ($nearDupPairsSql),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node),
+       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
+       |          FROM comp GROUP BY cluster_rep)
+       |SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size,
+       |  c.node = c.cluster_rep AS keep
+       |FROM comp c JOIN sizes s USING (cluster_rep)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
     "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_simhash" -> (simHashFingerprints _),
     "q_simhash_pairs" -> (simHashPairs _))
 
@@ -211,5 +254,6 @@ object DedupQueries {
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,
     "q_near_dup_pairs_capped" -> nearDupPairsCappedSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_simhash" -> simHashSql)
 }

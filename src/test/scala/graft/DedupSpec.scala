@@ -323,4 +323,36 @@ class DedupSpec extends SparkSpec {
     val e = Seq("").toDF("t").select(Dedup.simHash(Dedup.tokens(col("t")))).as[Long].head()
     assert(e == 0L)
   }
+
+  test("connectedComponents merges chains, triangles, and keeps disjoint clusters apart") {
+    import spark.implicits._
+    // component A: a 5-node CHAIN 1-2-3-4-5 (diameter 4 — forces real
+    // iteration, a single propagation step cannot finish it);
+    // component B: triangle 10-11-12 (the over-delete case a pair list
+    // mishandles); component C: lone edge 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, $"id_a", $"id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    // keep-one-per-cluster: exactly the three representatives survive
+    assert(comp.count { case (n, r) => n == r } === 3)
+  }
+
+  test("connectedComponents raises loudly when a component's diameter exceeds the cap") {
+    import spark.implicits._
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 2).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // and the same graph converges with an adequate cap
+    val ok = Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 40)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq === Seq(1L))
+  }
 }
