@@ -206,6 +206,15 @@ object TextFunctions {
   def stopwordHits(text: Column): Column =
     wordHits(lower(text), LangStopwords.flatMap(_._2).filterNot(_.exists(_ > 127)))
 
+  /** Unicode NFC canonicalization (native codegen expression — see
+    * [[org.apache.spark.sql.graft.NfcNormalizeExpr]]): run this BEFORE
+    * any dedup key, shingle, or fingerprint on corpora that mix
+    * precomposed and combining-sequence text — byte-different renderings
+    * of the same glyphs silently under-deduplicate.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.NfcNormalizeExpr.nfc(text)
+
   /** PII patterns shared by [[redactPii]] and the DuckDB oracle generator —
     * one constant per category so the two engines can never drift. Each
     * pattern is restricted to the ASCII-class/RE2-compatible subset (no

@@ -178,6 +178,52 @@ object CurationQueries {
        |FROM red ORDER BY doc_id""".stripMargin
   }
 
+  /** Decomposed-Unicode suffix appended by BOTH engines before
+    * normalizing: combining acute, diaeresis, and ring sequences plus a
+    * precomposed é control glyph (U+00E9, already NFC — must survive
+    * unchanged) — the raw docs are ASCII (always NFC), so the suffix is
+    * what actually exercises composition. Written as escapes so no
+    * editor/toolchain can silently re-normalize the source file; no
+    * quotes, safe to inline into a SQL literal (UTF-8 both sides).
+    */
+  private val NfcSuffix =
+    " cafe\u0301 nai\u0308ve A\u030Angstro\u0308m caf\u00e9"
+
+  /** Unicode NFC canonicalization audit
+    * ([[TextFunctions.nfcNormalize]] — the native codegen expression):
+    * per-doc pre/post codepoint counts and the normalized tail. The char
+    * counts drop exactly by the number of combining sequences composed;
+    * the `changed` flag proves the expression fired. Run BEFORE dedup
+    * keys/shingles on mixed-normalization corpora — byte-different
+    * renderings of identical glyphs silently under-deduplicate.
+    */
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = concat(substring($"text", 1, 60), lit(NfcSuffix))
+    Tables.wide(spark, dir, "documents")
+      .select($"doc_id", raw.as("__raw"))
+      .select($"doc_id",
+        length($"__raw").as("n_chars_raw"),
+        TextFunctions.nfcNormalize($"__raw").as("__nfc"))
+      .select($"doc_id", $"n_chars_raw",
+        length($"__nfc").as("n_chars_nfc"),
+        ($"n_chars_raw" =!= length($"__nfc")).as("changed"),
+        // same slice formula as the oracle (a negative-pos substring has
+        // engine-specific short-string semantics; this form has one)
+        $"__nfc".substr(greatest(length($"__nfc") - 29, lit(1)), lit(30)).as("nfc_tail"))
+      .orderBy($"doc_id")
+  }
+
+  val nfcNormalizeSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, substr(text, 1, 60) || '$NfcSuffix' AS r FROM documents),
+       |n AS (
+       |  SELECT doc_id, length(r) AS n_chars_raw, nfc_normalize(r) AS x FROM raw)
+       |SELECT doc_id, n_chars_raw, length(x) AS n_chars_nfc,
+       |  n_chars_raw <> length(x) AS changed,
+       |  substr(x, greatest(length(x) - 29, 1), 30) AS nfc_tail
+       |FROM n ORDER BY doc_id""".stripMargin
+
   /** Per-language quality-quantile gate: keep the top 30 % of documents
     * per language by token count (doc_id tiebreak keeps the cut
     * deterministic) — the fraction-based sibling of top-k-per-group
@@ -229,6 +275,7 @@ object CurationQueries {
     "q_repetition_signals" -> (repetitionSignals _),
     "q_pii_redact" -> (piiRedact _),
     "q_quality_quantile" -> (qualityQuantile _),
+    "q_nfc_normalize" -> (nfcNormalize _),
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +283,6 @@ object CurationQueries {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_repetition_signals" -> repetitionSignalsSql,
     "q_pii_redact" -> piiRedactSql,
-    "q_quality_quantile" -> qualityQuantileSql)
+    "q_quality_quantile" -> qualityQuantileSql,
+    "q_nfc_normalize" -> nfcNormalizeSql)
 }

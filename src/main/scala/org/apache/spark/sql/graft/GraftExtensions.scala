@@ -36,6 +36,16 @@ object GraftFunctions {
       build(children.head, children(1))
     })
 
+  private def unary(
+      name: String, clazz: Class[_],
+      build: Expression => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      requireArity(name, 1, children)
+      build(children.head)
+    })
+
   /** Composed-expression functions: the builder assembles the SAME
     * Catalyst tree the Column API builds (no UDF, stays codegen'd), so
     * SQL users get the reference's callable text functions byte-identical
@@ -57,6 +67,7 @@ object GraftFunctions {
     binary("partial_ratio_fw", classOf[PartialRatioFwExpr], PartialRatioFwExpr(_, _)),
     binary("dot_f", classOf[DotFExpr], DotFExpr(_, _)),
     binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)),
+    unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr(_)),
     // the reference's two cleaning functions (utils.py:28-50;
     // src/resilient_scraper.py:868-889), its strip gate, and the
     // text-analysis scalars — a spark.sql user can run the whole cleaning

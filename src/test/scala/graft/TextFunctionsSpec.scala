@@ -182,6 +182,44 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("nfcNormalize composes combining sequences, is idempotent, preserves NFC input") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"            // e + COMBINING ACUTE
+    val precomposed = "caf\u00e9"            // é already NFC
+    val decomposedRing = "A\u030Angstro\u0308m"
+    val precomposedRing = "\u00c5ngstr\u00f6m"
+    val out = Seq(decomposed, precomposed, decomposedRing, "plain ascii", "").toDF("t")
+      .select(TextFunctions.nfcNormalize($"t").as("n"), length($"t").as("lr"),
+        length(TextFunctions.nfcNormalize($"t")).as("ln"))
+      .collect()
+    assert(out(0).getString(0) === precomposed && out(0).getInt(1) === 5 && out(0).getInt(2) === 4)
+    assert(out(1).getString(0) === precomposed && out(1).getInt(2) === 4)
+    assert(out(2).getString(0) === precomposedRing)
+    assert(out(3).getString(0) === "plain ascii")
+    assert(out(4).getString(0) === "")
+    // idempotence: the second pass is the identity
+    val twice = Seq(decomposed).toDF("t")
+      .select(TextFunctions.nfcNormalize(TextFunctions.nfcNormalize($"t"))).head().getString(0)
+    assert(twice === precomposed)
+  }
+
+  test("nfc_normalize registers as SQL, runs codegen'd, and nulls propagate") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val df = Seq(Some("cafe\u0301"), None).toDF("t")
+    val viaSql = df.selectExpr("nfc_normalize(t)").collect()
+    assert(viaSql(0).getString(0) === "caf\u00e9" && viaSql(1).isNullAt(0))
+    // native expression participates in whole-stage codegen (no UDF gap);
+    // must run over a FILE scan — a local Seq constant-folds into a
+    // LocalTableScan with nothing left to codegen
+    val q = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextFunctions.nfcNormalize(col("text")).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"nfc_normalize fell out of codegen:\n$plan")
+    assert(!plan.contains("ScalaUDF"))
+  }
+
   test("gate corpora are pure ASCII (precondition for the ASCII-class oracles)") {
     import spark.implicits._
     // The cleaning/dedup oracles keep RE2's ASCII classes while the Spark
