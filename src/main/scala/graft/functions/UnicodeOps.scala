@@ -11,13 +11,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UnicodeOps {
 
-  /** Unicode NFC (canonical composition). Fast path: already-normalized
-    * input (the overwhelmingly common case in real corpora — ASCII is
-    * always normalized) returns the SAME UTF8String, no decode and no
-    * re-allocation; only strings that actually contain decomposed
-    * sequences pay the String round-trip.
+  /** Unicode NFC (canonical composition). Two-tier fast path for the
+    * common cases of a real corpus:
+    *  - pure ASCII (numBytes == numChars — every UTF-8 multi-byte char
+    *    makes chars < bytes) is always NFC: return the SAME UTF8String
+    *    after one byte-length scan, no decode, no allocation;
+    *  - non-ASCII but already-normalized input passes the String decode
+    *    to isNormalized and still returns the original UTF8String;
+    * only strings actually containing decomposed sequences pay
+    * Normalizer.normalize.
     */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

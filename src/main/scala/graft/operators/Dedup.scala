@@ -276,24 +276,33 @@ object Dedup {
     * (diameter 1-2, a handful of iterations); `maxIterations` bounds the
     * adversarial chain case and non-convergence RAISES rather than
     * returning a silently half-merged clustering. Per-iteration
-    * `localCheckpoint` truncates the logical plan — without it the
-    * iterated self-reference grows the lineage exponentially and
-    * planning, not execution, becomes the bottleneck.
+    * [[Checkpoints.materialize]] truncates the logical plan (without it
+    * the iterated self-reference grows the lineage exponentially and
+    * planning, not execution, becomes the bottleneck; cluster
+    * deployments opt into reliable checkpoints — see Checkpoints) and
+    * the superseded iteration's blocks are freed eagerly, so the loop
+    * holds at most two label-set copies, not one per iteration.
     *
     * Scale shape: each iteration shuffles (node, label) by node — the
-    * edge list never rebuilds, embeddings/text never enter; this is the
-    * join-based CC of GraphFrames minus the large-star/small-star
-    * optimization, the right trade while cluster diameters stay small.
+    * edge list never rebuilds, embeddings/text never enter; convergence
+    * detection rides the SAME join that computes the update (the old
+    * label is carried beside the new one), no second join or action over
+    * the label set. This is the join-based CC of GraphFrames minus the
+    * large-star/small-star optimization, the right trade while cluster
+    * diameters stay small.
     */
   def connectedComponents(
       pairs: DataFrame, src: Column, dst: Column,
       maxIterations: Int = 20): DataFrame = {
-    val sym = pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
-      .unionByName(pairs.select(dst.cast("long").as("a"), src.cast("long").as("b")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    val sym = Checkpoints.materialize(
+      pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+        .unionByName(pairs.select(dst.cast("long").as("a"), src.cast("long").as("b"))))
+    // ck = the CHECKPOINTED frame backing the current labels (free() must
+    // see the LogicalRDD itself, not a projection over it)
+    var ck = Checkpoints.materialize(
+      sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var labels = ck
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
@@ -301,15 +310,14 @@ object Dedup {
         .join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("nbrNode"))
         .agg(min(col("label")).as("nbrLabel"))
-      val updated = labels
+      val joined = Checkpoints.materialize(labels
         .join(neighborMin, labels("node") === col("nbrNode"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .filter(col("label") =!= col("__old"))
-        .isEmpty
-      labels = updated
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("label")))
+      converged = joined.filter(col("label") =!= col("__old")).isEmpty
+      Checkpoints.free(ck)
+      ck = joined
+      labels = joined.select(col("node"), col("label"))
       it += 1
     }
     if (!converged) {
@@ -317,7 +325,9 @@ object Dedup {
         s"connectedComponents: not converged after $maxIterations iterations — " +
           "a component's diameter exceeds the cap; raise maxIterations")
     }
-    labels.select(col("node"), col("label").as("cluster_rep"))
+    val result = labels.select(col("node"), col("label").as("cluster_rep"))
+    Checkpoints.free(sym)
+    result
   }
 
   // ---------------------------------------------------------------- SimHash

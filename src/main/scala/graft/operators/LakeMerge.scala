@@ -32,12 +32,12 @@ object LakeMerge {
 
   /** Lineage-truncating materialization for the merge inputs (Spark
     * refuses to overwrite a path an active plan still reads from). Local
-    * by default; reliable behind [[ReliableCheckpointConf]] — see the
-    * executor-loss note there.
+    * by default; reliable behind [[ReliableCheckpointConf]] (this
+    * operator's historical key) or the shared
+    * [[Checkpoints.ReliableCheckpointConf]] — see the executor-loss note.
     */
   private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
-    if (spark.conf.getOption(ReliableCheckpointConf).contains("true")) df.checkpoint()
-    else df.localCheckpoint()
+    Checkpoints.materialize(df, ReliableCheckpointConf)
 
   /** Merge `incoming` canonical docs into the lake at `path`, partitioned
     * by event_date = to_date(metadata.created_at). Incoming beats existing

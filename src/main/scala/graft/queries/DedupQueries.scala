@@ -223,9 +223,11 @@ object DedupQueries {
   }
 
   val dedupClustersSql: String = {
-    // the pair CTE is the EXACT q_near_dup_pairs oracle (minus its final
-    // ORDER BY, harmless in a subquery) — the clustering is verified on
-    // the same pair set the pair query verifies
+    // the pair CTE is the q_near_dup_pairs oracle embedded VERBATIM —
+    // including its trailing ORDER BY, which DuckDB tolerates (and
+    // ignores) inside a CTE body; an engine that rejects ORDER BY in
+    // subqueries would need it stripped — so the clustering is verified
+    // on byte-identically the same pair SQL the pair query verifies
     s"""WITH RECURSIVE pairs AS ($nearDupPairsSql),
        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
        |          UNION ALL SELECT id_b, id_a FROM pairs),

@@ -18,10 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark has no built-in for this; a Scala UDF would break whole-stage
   * codegen on the hottest projection of a curation pipeline, so it is a
   * native expression like [[DotFExpr]]: the generated code is one static
-  * call into [[graft.functions.UnicodeOps]], whose fast path returns the
-  * input UTF8String untouched when it is already NFC (always true for
-  * ASCII) — the cost on a clean corpus is one verification scan per
-  * string, no allocation.
+  * call into [[graft.functions.UnicodeOps]], whose pure-ASCII fast path
+  * (numBytes == numChars) returns the input UTF8String untouched with no
+  * decode and no allocation — the cost on a clean ASCII corpus is one
+  * byte-length scan per string.
   *
   * Both java.text.Normalizer and DuckDB's nfc_normalize implement UAX #15
   * for the same Unicode version class, which is what lets the DuckDB

@@ -216,7 +216,12 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.nfcNormalize(col("text")).as("n"))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("*("), s"nfc_normalize fell out of codegen:\n$plan")
+    // the LINE carrying the expression must be inside a codegen span — a
+    // whole-plan contains("*(") check stays green off the scan's span
+    // even when the Project falls back to interpreted eval
+    val exprLine = plan.linesIterator.find(_.contains("nfc_normalize")).getOrElse("")
+    assert(exprLine.contains("*("),
+      s"nfc_normalize projection not codegen'd: '$exprLine'\n$plan")
     assert(!plan.contains("ScalaUDF"))
   }
 
