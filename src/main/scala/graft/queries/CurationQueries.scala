@@ -269,6 +269,114 @@ object CurationQueries {
       .orderBy($"id")
   }
 
+  /** The END-TO-END curation pipeline over the round-5 operator set — the
+    * prep run a corpus user actually chains, each stage an operator with
+    * its own verified query: NFC canonicalization → PII redaction →
+    * exact dedup on the Python-strip key → near-dup CLUSTER suppression
+    * (pairs → connected components, only representatives survive) →
+    * benchmark decontamination (bench slice = doc_id%23, n=5) → the
+    * quality keep rule (≥ 20 tokens, punct ≤ tokens). Output = the
+    * surviving (doc_id, lang, n_tokens) — row-level, so the oracle
+    * verifies every stage's drop set exactly. Shuffle shape: one
+    * exchange for the dedup key, the capped shingle self-join, the
+    * label-propagation iterations, one broadcast of the benchmark
+    * shingles — text never shuffles after the dedup.
+    *
+    * The oracle is generated from the SAME shared constants as each
+    * component query (PiiRes, PyWsRe2Class, toksSqlOf/shinglesSql,
+    * recursive-CTE closure), so the composition cannot drift from its
+    * parts.
+    */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val normed = Tables.wide(spark, dir, "documents")
+      .select($"doc_id", $"lang",
+        TextFunctions.redactPii(TextFunctions.nfcNormalize($"text")).as("r"))
+    val bench = normed.filter($"doc_id" % BenchMod === 0)
+    val corpus = normed.filter($"doc_id" % BenchMod =!= 0)
+    val deduped = Dedup.exact(corpus,
+      lower(TextFunctions.pyStrip($"r")), $"doc_id",
+      payload = Seq("doc_id", "lang", "r"))
+    val pairs = Dedup.nearDuplicatePairsExact(deduped, $"doc_id", $"r", threshold = 0.5)
+    val dupDrop = Dedup.connectedComponents(pairs, $"id_a", $"id_b")
+      .filter($"node" =!= $"cluster_rep")
+      .select($"node".as("doc_id"))
+    val afterDup = deduped.join(dupDrop, Seq("doc_id"), "left_anti")
+    val contaminatedIds = Curation
+      .contaminationMarks(afterDup, $"doc_id", $"r", bench, $"r", n = DecontamN)
+      .filter($"contaminated")
+      .select($"id".as("doc_id"))
+    val decon = afterDup.join(contaminatedIds, Seq("doc_id"), "left_anti")
+    val nt = TextFunctions.tokenCount($"r").cast("long")
+    decon
+      .select($"doc_id", $"lang", nt.as("n_tokens"),
+        TextFunctions.punctCount($"r").cast("long").as("__np"))
+      .filter($"n_tokens" >= 20 && $"__np" <= $"n_tokens")
+      .select($"doc_id", $"lang", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val curationE2eSql: String = {
+    val ws = TextFunctions.PyWsRe2Class
+    val redact = "regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text), " +
+      s"'${TextFunctions.PiiEmailRe}', '[EMAIL]', 'g'), " +
+      s"'${TextFunctions.PiiIpRe}', '[IP]', 'g'), " +
+      s"'${TextFunctions.PiiPhoneRe}', '[PHONE]', 'g')"
+    val rToks = DedupQueries.toksSqlOf("r")
+    s"""WITH RECURSIVE
+       |normed AS (
+       |  SELECT doc_id, lang, $redact AS r FROM documents),
+       |bench AS (SELECT * FROM normed WHERE doc_id % $BenchMod = 0),
+       |corpus AS (SELECT * FROM normed WHERE doc_id % $BenchMod <> 0),
+       |deduped AS (
+       |  SELECT doc_id, lang, r FROM corpus
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY lower(regexp_replace(r, '^$ws+|$ws+$$', '', 'g'))
+       |    ORDER BY doc_id) = 1),
+       |sh AS (
+       |  SELECT doc_id, shingles, len(shingles) AS n FROM (
+       |    SELECT doc_id, ${DedupQueries.shinglesSql("toks", 3)} AS shingles
+       |    FROM (SELECT doc_id, $rToks AS toks FROM deduped)
+       |    WHERE len(toks) >= 3)),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+       |  FROM (SELECT doc_id, n, unnest(shingles) AS s FROM sh) a
+       |  JOIN (SELECT doc_id, n, unnest(shingles) AS s FROM sh) b USING (s)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(node, rr) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.rr = e.a),
+       |dupdrop AS (
+       |  SELECT node AS doc_id FROM (
+       |    SELECT node, min(rr) AS rep FROM reach GROUP BY node)
+       |  WHERE node <> rep),
+       |afterdup AS (SELECT d.* FROM deduped d ANTI JOIN dupdrop USING (doc_id)),
+       |gsh AS (
+       |  SELECT doc_id, unnest(${DedupQueries.shinglesSql("toks", DecontamN)}) AS g
+       |  FROM (SELECT doc_id, $rToks AS toks FROM afterdup)
+       |  WHERE len(toks) >= $DecontamN),
+       |bsh AS (
+       |  SELECT DISTINCT unnest(${DedupQueries.shinglesSql("toks", DecontamN)}) AS g
+       |  FROM (SELECT $rToks AS toks FROM bench)
+       |  WHERE len(toks) >= $DecontamN),
+       |contaminated AS (SELECT DISTINCT gsh.doc_id FROM gsh JOIN bsh USING (g)),
+       |decon AS (SELECT a.* FROM afterdup a ANTI JOIN contaminated USING (doc_id)),
+       |final AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(r, '\\S+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(r, '[^A-Za-z0-9\\s]')) AS BIGINT) AS np
+       |  FROM decon)
+       |SELECT doc_id, lang, n_tokens FROM final
+       |WHERE n_tokens >= 20 AND np <= n_tokens
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -276,6 +384,7 @@ object CurationQueries {
     "q_pii_redact" -> (piiRedact _),
     "q_quality_quantile" -> (qualityQuantile _),
     "q_nfc_normalize" -> (nfcNormalize _),
+    "q_curation_e2e" -> (curationE2e _),
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +393,6 @@ object CurationQueries {
     "q_repetition_signals" -> repetitionSignalsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_quality_quantile" -> qualityQuantileSql,
-    "q_nfc_normalize" -> nfcNormalizeSql)
+    "q_nfc_normalize" -> nfcNormalizeSql,
+    "q_curation_e2e" -> curationE2eSql)
 }

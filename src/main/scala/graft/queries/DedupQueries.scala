@@ -24,7 +24,9 @@ object DedupQueries {
     * includes vertical tab \x0B where RE2's does not, so a token split
     * ONLY diverges on \x0B-adjacent text — absent from every gate corpus.
     */
-  private[queries] val ToksSql = "regexp_extract_all(text, '\\S+')"
+  private[queries] def toksSqlOf(col: String): String =
+    s"regexp_extract_all($col, '\\S+')"
+  private[queries] val ToksSql = toksSqlOf("text")
 
   /** DuckDB twin of [[Dedup.shinglesOfTokens]] over an aliased token-array
     * column: distinct n-gram strings. `arr[i:i+n-1]` is an n-element
