@@ -20,6 +20,11 @@ object Checkpoints {
     * their historical opt-in keys (LakeMerge shipped
     * `spark.graft.lake.reliableCheckpoint` before this helper existed).
     */
+  /** Public alias of [[materialize]] for query-layer callers that fan a
+    * frame into several downstream actions.
+    */
+  def materializeFrame(df: DataFrame): DataFrame = materialize(df)
+
   private[operators] def materialize(df: DataFrame, legacyConfKeys: String*): DataFrame = {
     val spark = df.sparkSession
     val reliable = (ReliableCheckpointConf +: legacyConfKeys)

@@ -294,9 +294,18 @@ object CurationQueries {
         TextFunctions.redactPii(TextFunctions.nfcNormalize($"text")).as("r"))
     val bench = normed.filter($"doc_id" % BenchMod === 0)
     val corpus = normed.filter($"doc_id" % BenchMod =!= 0)
-    val deduped = Dedup.exact(corpus,
-      lower(TextFunctions.pyStrip($"r")), $"doc_id",
-      payload = Seq("doc_id", "lang", "r"))
+    // materialize the dedup output ONCE: everything downstream branches
+    // from it (the pair self-join, every CC iteration's action, the
+    // contamination join, the final projection), and exchange reuse does
+    // not apply ACROSS actions — without the truncation each of the CC
+    // loop's per-iteration jobs re-runs the nfc+redact projections AND
+    // the dedup shuffle from the scan. Bench-neutral at sf0.1 (the chain
+    // is cheap on 5k rows); at corpus scale the repeated shuffle would
+    // dominate the query.
+    val deduped = graft.operators.Checkpoints.materializeFrame(
+      Dedup.exact(corpus,
+        lower(TextFunctions.pyStrip($"r")), $"doc_id",
+        payload = Seq("doc_id", "lang", "r")))
     val pairs = Dedup.nearDuplicatePairsExact(deduped, $"doc_id", $"r", threshold = 0.5)
     val dupDrop = Dedup.connectedComponents(pairs, $"id_a", $"id_b")
       .filter($"node" =!= $"cluster_rep")
