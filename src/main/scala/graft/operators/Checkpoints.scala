@@ -16,15 +16,25 @@ object Checkpoints {
 
   val ReliableCheckpointConf = "spark.graft.reliableCheckpoint"
 
+  /** Public alias of [[materialize]] for query-layer callers that fan a
+    * frame into several downstream actions. The localCheckpoint blocks
+    * live until the session ends or the RDD is GC'd — a long-lived
+    * pipeline driver that is DONE consuming every descendant of the
+    * returned frame should call [[freeFrame]] on it (a query that
+    * RETURNS a descendant, like q_curation_e2e, cannot: the caller's
+    * action still needs the blocks).
+    */
+  def materializeFrame(df: DataFrame): DataFrame = materialize(df)
+
+  /** Public alias of [[free]]: release a [[materializeFrame]] result's
+    * executor blocks once nothing derived from it will execute again.
+    */
+  def freeFrame(df: DataFrame): Unit = free(df)
+
   /** Truncate `df`'s lineage. `legacyConfKeys` lets call sites honor
     * their historical opt-in keys (LakeMerge shipped
     * `spark.graft.lake.reliableCheckpoint` before this helper existed).
     */
-  /** Public alias of [[materialize]] for query-layer callers that fan a
-    * frame into several downstream actions.
-    */
-  def materializeFrame(df: DataFrame): DataFrame = materialize(df)
-
   private[operators] def materialize(df: DataFrame, legacyConfKeys: String*): DataFrame = {
     val spark = df.sparkSession
     val reliable = (ReliableCheckpointConf +: legacyConfKeys)

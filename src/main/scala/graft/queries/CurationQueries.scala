@@ -157,6 +157,16 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** The DuckDB twin of [[TextFunctions.redactPii]] over any text
+    * expression — ONE definition of the three-stage cascade, shared by
+    * the redaction and end-to-end oracles.
+    */
+  private def redactSqlOf(col: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($col, " +
+      s"'${TextFunctions.PiiEmailRe}', '[EMAIL]', 'g'), " +
+      s"'${TextFunctions.PiiIpRe}', '[IP]', 'g'), " +
+      s"'${TextFunctions.PiiPhoneRe}', '[PHONE]', 'g')"
+
   val piiRedactSql: String = {
     val synth = "text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com'" +
       " || ' from 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)" +
@@ -170,8 +180,7 @@ object CurationQueries {
        |    CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
        |    CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
        |    CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
-       |    regexp_replace(regexp_replace(regexp_replace(t,
-       |      '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS r
+       |    ${redactSqlOf("t")} AS r
        |  FROM synth)
        |SELECT doc_id, n_emails, n_ips, n_phones,
        |  substr(r, greatest(length(r) - 59, 1), 60) AS redacted_tail
@@ -278,7 +287,10 @@ object CurationQueries {
     * quality keep rule (≥ 20 tokens, punct ≤ tokens). Output = the
     * surviving (doc_id, lang, n_tokens) — row-level, so the oracle
     * verifies every stage's drop set exactly. Shuffle shape: one
-    * exchange for the dedup key, the capped shingle self-join, the
+    * exchange for the dedup key, the df-quantile-CAPPED shingle
+    * self-join (maxShingleDfQuantile = 0.999, same hot-key guard as
+    * q_near_dup_pairs_capped — an uncapped self-join would reintroduce
+    * the quadratic this repo's cap exists to prevent), the
     * label-propagation iterations, one broadcast of the benchmark
     * shingles — text never shuffles after the dedup.
     *
@@ -306,7 +318,8 @@ object CurationQueries {
       Dedup.exact(corpus,
         lower(TextFunctions.pyStrip($"r")), $"doc_id",
         payload = Seq("doc_id", "lang", "r")))
-    val pairs = Dedup.nearDuplicatePairsExact(deduped, $"doc_id", $"r", threshold = 0.5)
+    val pairs = Dedup.nearDuplicatePairsExact(deduped, $"doc_id", $"r",
+      threshold = 0.5, maxShingleDfQuantile = Some(0.999))
     val dupDrop = Dedup.connectedComponents(pairs, $"id_a", $"id_b")
       .filter($"node" =!= $"cluster_rep")
       .select($"node".as("doc_id"))
@@ -327,14 +340,9 @@ object CurationQueries {
 
   val curationE2eSql: String = {
     val ws = TextFunctions.PyWsRe2Class
-    val redact = "regexp_replace(regexp_replace(regexp_replace(nfc_normalize(text), " +
-      s"'${TextFunctions.PiiEmailRe}', '[EMAIL]', 'g'), " +
-      s"'${TextFunctions.PiiIpRe}', '[IP]', 'g'), " +
-      s"'${TextFunctions.PiiPhoneRe}', '[PHONE]', 'g')"
-    val rToks = DedupQueries.toksSqlOf("r")
     s"""WITH RECURSIVE
        |normed AS (
-       |  SELECT doc_id, lang, $redact AS r FROM documents),
+       |  SELECT doc_id, lang, ${redactSqlOf("nfc_normalize(text)")} AS r FROM documents),
        |bench AS (SELECT * FROM normed WHERE doc_id % $BenchMod = 0),
        |corpus AS (SELECT * FROM normed WHERE doc_id % $BenchMod <> 0),
        |deduped AS (
@@ -342,37 +350,17 @@ object CurationQueries {
        |  QUALIFY row_number() OVER (
        |    PARTITION BY lower(regexp_replace(r, '^$ws+|$ws+$$', '', 'g'))
        |    ORDER BY doc_id) = 1),
-       |sh AS (
-       |  SELECT doc_id, shingles, len(shingles) AS n FROM (
-       |    SELECT doc_id, ${DedupQueries.shinglesSql("toks", 3)} AS shingles
-       |    FROM (SELECT doc_id, $rToks AS toks FROM deduped)
-       |    WHERE len(toks) >= 3)),
-       |cand AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
-       |  FROM (SELECT doc_id, n, unnest(shingles) AS s FROM sh) a
-       |  JOIN (SELECT doc_id, n, unnest(shingles) AS s FROM sh) b USING (s)
-       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-       |pairs AS (
-       |  SELECT id_a, id_b FROM cand
-       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5),
-       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(node, rr) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.rr = e.a),
-       |dupdrop AS (
-       |  SELECT node AS doc_id FROM (
-       |    SELECT node, min(rr) AS rep FROM reach GROUP BY node)
-       |  WHERE node <> rep),
+       |${DedupQueries.pairCtesSql("deduped", "r", 0.5, Some(0.999))},
+       |${DedupQueries.closureCtesSql},
+       |dupdrop AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_rep),
        |afterdup AS (SELECT d.* FROM deduped d ANTI JOIN dupdrop USING (doc_id)),
        |gsh AS (
        |  SELECT doc_id, unnest(${DedupQueries.shinglesSql("toks", DecontamN)}) AS g
-       |  FROM (SELECT doc_id, $rToks AS toks FROM afterdup)
+       |  FROM (SELECT doc_id, ${DedupQueries.toksSqlOf("r")} AS toks FROM afterdup)
        |  WHERE len(toks) >= $DecontamN),
        |bsh AS (
        |  SELECT DISTINCT unnest(${DedupQueries.shinglesSql("toks", DecontamN)}) AS g
-       |  FROM (SELECT $rToks AS toks FROM bench)
+       |  FROM (SELECT ${DedupQueries.toksSqlOf("r")} AS toks FROM bench)
        |  WHERE len(toks) >= $DecontamN),
        |contaminated AS (SELECT DISTINCT gsh.doc_id FROM gsh JOIN bsh USING (g)),
        |decon AS (SELECT a.* FROM afterdup a ANTI JOIN contaminated USING (doc_id)),

@@ -37,6 +37,62 @@ object DedupQueries {
     s"list_distinct([array_to_string($arr[i:i+${n - 1}], ' ') " +
       s"for i in range(1, len($arr) - $n + 2)])"
 
+  /** THE near-dup pair-CTE generator — one definition of the shingle /
+    * candidate / jaccard SQL shape, parameterized over the source
+    * relation, its text column, and the optional df-quantile stop-shingle
+    * cap, so the plain, capped, cluster, and end-to-end oracles all emit
+    * byte-identical structure from one place. Emits CTEs `sh`
+    * [, `ex`/`dfs`/`cap`/`kept`/`exk`], `cand`, and `pairs(id_a, id_b,
+    * jaccard)` (threshold applied); callers add `WITH [RECURSIVE]` and
+    * select from `pairs`.
+    */
+  private[queries] def pairCtesSql(
+      srcRel: String, textCol: String,
+      threshold: Double, dfQuantileCap: Option[Double]): String = {
+    val sh =
+      s"""sh AS (
+         |  SELECT doc_id, shingles, len(shingles) AS n FROM (
+         |    SELECT doc_id,
+         |      ${shinglesSql("toks", 3)} AS shingles
+         |    FROM (SELECT doc_id, ${toksSqlOf(textCol)} AS toks FROM $srcRel)
+         |    WHERE len(toks) >= 3))""".stripMargin
+    val (capCtes, exploded) = dfQuantileCap match {
+      case None =>
+        ("", "(SELECT doc_id, n, unnest(shingles) AS s FROM sh)")
+      case Some(q) =>
+        (s"""ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sh),
+            |dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+            |cap AS (SELECT quantile_cont(df, $q) AS cap FROM dfs),
+            |kept AS (SELECT s FROM dfs, cap WHERE CAST(df AS DOUBLE) <= cap),
+            |exk AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN kept USING (s)),
+            |""".stripMargin, "exk")
+    }
+    s"""$sh,
+       |${capCtes}cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
+       |  FROM $exploded a
+       |  JOIN $exploded b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+       |  FROM cand
+       |  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= $threshold)""".stripMargin
+  }
+
+  /** Connected-components closure over `pairs` — CTEs `edges`, `reach`,
+    * `comp(node, cluster_rep)`; requires the caller's WITH to be
+    * RECURSIVE. Shared by the cluster and end-to-end oracles.
+    */
+  private[queries] val closureCtesSql: String =
+    """edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(node, rr) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.rr = e.a),
+      |comp AS (SELECT node, min(rr) AS cluster_rep FROM reach GROUP BY node)""".stripMargin
+
   /** D1/D2 exact dedup as keyed last-write-wins representative selection:
     * one row per normalized-text key, lowest doc_id wins (the reference's
     * hash-set drop at src/resilient_scraper.py:352-358, made distributed
@@ -90,21 +146,8 @@ object DedupQueries {
   // tokens yield no shingles and are excluded. Same count-based identity
   // jaccard = c / (na + nb - c).
   val nearDupPairsSql: String =
-    s"""WITH sh AS (
-      |  SELECT doc_id, shingles, len(shingles) AS n FROM (
-      |    SELECT doc_id,
-      |      ${shinglesSql("toks", 3)} AS shingles
-      |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
-      |    WHERE len(toks) >= 3)),
-      |cand AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
-      |  FROM (SELECT doc_id, n, unnest(shingles) AS s FROM sh) a
-      |  JOIN (SELECT doc_id, n, unnest(shingles) AS s FROM sh) b USING (s)
-      |  WHERE a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-      |FROM cand
-      |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+    s"""WITH ${pairCtesSql("documents", "text", 0.5, None)}
+      |SELECT id_a, id_b, jaccard FROM pairs
       |ORDER BY id_a, id_b""".stripMargin
 
   /** The skew-capped production variant of [[nearDupPairs]]: shingles in
@@ -128,25 +171,8 @@ object DedupQueries {
   }
 
   val nearDupPairsCappedSql: String =
-    s"""WITH sh AS (
-      |  SELECT doc_id, shingles, len(shingles) AS n FROM (
-      |    SELECT doc_id,
-      |      ${shinglesSql("toks", 3)} AS shingles
-      |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
-      |    WHERE len(toks) >= 3)),
-      |ex AS (SELECT doc_id, n, unnest(shingles) AS s FROM sh),
-      |dfs AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
-      |cap AS (SELECT quantile_cont(df, 0.999) AS cap FROM dfs),
-      |kept AS (SELECT s FROM dfs, cap WHERE CAST(df AS DOUBLE) <= cap),
-      |exk AS (SELECT ex.doc_id, ex.n, ex.s FROM ex JOIN kept USING (s)),
-      |cand AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS c
-      |  FROM exk a JOIN exk b USING (s)
-      |  WHERE a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT id_a, id_b, round(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-      |FROM cand
-      |WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 4) >= 0.5
+    s"""WITH ${pairCtesSql("documents", "text", 0.5, Some(0.999))}
+      |SELECT id_a, id_b, jaccard FROM pairs
       |ORDER BY id_a, id_b""".stripMargin
 
   /** Per-document SimHash fingerprints, oracle-gated end to end: the token
@@ -224,27 +250,18 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
-  val dedupClustersSql: String = {
-    // the pair CTE is the q_near_dup_pairs oracle embedded VERBATIM —
-    // including its trailing ORDER BY, which DuckDB tolerates (and
-    // ignores) inside a CTE body; an engine that rejects ORDER BY in
-    // subqueries would need it stripped — so the clustering is verified
-    // on byte-identically the same pair SQL the pair query verifies
-    s"""WITH RECURSIVE pairs AS ($nearDupPairsSql),
-       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |          UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(node, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
-       |comp AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node),
-       |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
-       |          FROM comp GROUP BY cluster_rep)
-       |SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size,
-       |  c.node = c.cluster_rep AS keep
-       |FROM comp c JOIN sizes s USING (cluster_rep)
-       |ORDER BY doc_id""".stripMargin
-  }
+  val dedupClustersSql: String =
+    // pair CTEs and closure from the SAME generators as the pair oracle —
+    // the clustering is verified on byte-identically the same pair SQL
+    // structure the pair query verifies
+    s"""WITH RECURSIVE ${pairCtesSql("documents", "text", 0.5, None)},
+      |$closureCtesSql,
+      |sizes AS (SELECT cluster_rep, count(*) AS cluster_size
+      |          FROM comp GROUP BY cluster_rep)
+      |SELECT c.node AS doc_id, c.cluster_rep, s.cluster_size,
+      |  c.node = c.cluster_rep AS keep
+      |FROM comp c JOIN sizes s USING (cluster_rep)
+      |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> (exactDedup _),
