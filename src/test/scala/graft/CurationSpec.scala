@@ -54,7 +54,25 @@ class CurationSpec extends SparkSpec {
     assert(hit4.getBoolean(1) && !hit5.getBoolean(1))
   }
 
+  test("contaminationMarks at the n=13 production default: no false hits on short docs") {
+    // every doc here is shorter than 13 tokens → zero shingles on both
+    // sides → the empty-aggregate path must mark nothing and not error
+    val corpus = Seq((1L, "short doc"), (2L, "another brief one")).toDF("id", "text")
+    val out = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text")
+      .collect()
+    assert(out.length === 2 && out.forall(r => !r.getBoolean(1) && r.getLong(2) == 0L))
+  }
+
   // -------------------------------------------- stratified sampling
+
+  test("stratifiedSample applies the default rate to null strata") {
+    val df = spark.range(0, 400)
+      .select($"id", when($"id" % 2 === 0, "en").otherwise(lit(null)).as("lang"))
+    // en rate 0: every kept row must be a null-stratum row at default 1.0
+    val kept = Curation.stratifiedSample(df, $"lang", $"id", Map("en" -> 0.0), 1.0)
+      .collect()
+    assert(kept.length === 200 && kept.forall(_.isNullAt(1)))
+  }
 
   private def sampleDf = spark.range(0, 2000)
     .select($"id", (when($"id" % 4 === 0, "en").when($"id" % 4 === 1, "zh")

@@ -67,6 +67,15 @@ class TemporalSpec extends SparkSpec {
     assert(one.getLong(1) === 9L)
   }
 
+  test("asOfJoin with an empty right side keeps every left row with null payloads") {
+    val noQuotes = quotes.filter($"qid" < 0L)
+    val out = Temporal.asOfJoin(
+      trades, $"k", $"tts", Seq("tid"),
+      noQuotes, $"k", $"qts", Seq("px" -> $"px", "qid" -> $"qid"), $"qid")
+      .collect()
+    assert(out.length === 5 && out.forall(_.isNullAt(2)))
+  }
+
   test("asOfJoin matches SQL ASOF null semantics: null-ts right rows are never predecessors") {
     val nullQuotes = Seq(
       (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0, 10L),
