@@ -207,6 +207,12 @@ class PlanSpec extends SparkSpec {
     assertNoFilterTrees(finalPlan, "regexp_")
   }
 
+  test("sessionization is one events scan and no join (session merge is per-key state)") {
+    val finalPlan = finalExecutedPlan(graft.queries.TemporalQueries.sessionize(spark, sf))
+    assert(scanCount(finalPlan, "events") == 1)
+    assert(!finalPlan.contains("Join"), s"session grouping grew a join:\n$finalPlan")
+  }
+
   test("whole-stage codegen covers the text operators (no UDF interpreter gaps)") {
     val df = TextQueries.qualityScores(spark, sf)
     df.collect() // AQE only shows codegen spans in the FINAL executed plan
