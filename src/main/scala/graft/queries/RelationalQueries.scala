@@ -353,8 +353,36 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The 100 TB percentile path: `approx_percentile` (Greenwald–Khanna
+    * sketch, accuracy 10000 → rank error ≤ 1/10000·n) instead of
+    * [[priceQuantiles]]'s exact `percentile`, whose partial aggregate
+    * BUFFERS every group value — an exact percentile over a 100 TB fact
+    * table is a full per-group sort that cannot stream, while the GK
+    * sketch is bounded-memory and merges map-side. Registered rows-only:
+    * no external SQL engine reproduces Spark's sketch bit-for-bit; the
+    * SketchSpec gate bounds the approx values by the exact per-group
+    * value range on the real table instead (beside the HLL accuracy
+    * gates — the sketch-accuracy home).
+    */
+  def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D), 10000)")
+          .as("__q"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        round(element_at($"__q", 1), 4).as("p25"),
+        round(element_at($"__q", 2), 4).as("p50"),
+        round(element_at($"__q", 3), 4).as("p95"),
+        $"n")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_price_quantiles" -> (priceQuantiles _),
+    "q_price_quantiles_approx" -> (priceQuantilesApprox _),
     "q_distinct_users" -> (distinctUsers _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_region_revenue" -> (regionRevenue _),

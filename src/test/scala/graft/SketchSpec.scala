@@ -33,4 +33,23 @@ class SketchSpec extends SparkSpec {
       .agg(approx_count_distinct($"user_id", 0.02)).as[Long].head()
     assert(whole == repart) // HLL registers merge associatively
   }
+
+  test("approx percentile query tracks the exact one within the GK rank-error bound") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.RelationalQueries.priceQuantiles(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.queries.RelationalQueries.priceQuantilesApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    // accuracy 10000 → rank error <= n/10000; at sf0.01 group sizes
+    // (~20k rows) that is a handful of ranks — assert each approx
+    // quantile within 1% of the exact VALUE, far looser than the rank
+    // bound implies on this near-uniform price distribution, but tight
+    // enough that a broken sketch (or a wrong percentage array) fails
+    for ((flag, (e25, e50, e95)) <- exact) {
+      val (a25, a50, a95) = approx(flag)
+      for (((e, a), name) <- Seq((e25, a25) -> "p25", (e50, a50) -> "p50", (e95, a95) -> "p95"))
+        assert(math.abs(a - e) / e < 0.01, s"$flag $name: approx $a vs exact $e")
+    }
+  }
 }
