@@ -97,22 +97,42 @@ object Dedup {
 
   /** Deterministic permutation parameters (seeded — identical plan every
     * run, a requirement for the driver's reproducibility checks).
+    * `private[graft]` so the oracle-SQL generator embeds the SAME constants
+    * (shared-constant discipline — the engines cannot drift).
     */
-  private def perms(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+  private[graft] def perms(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val as = Array.fill(k)(1L + rnd.nextInt((1 << 30) - 1).toLong)
     val bs = Array.fill(k)(rnd.nextInt(1 << 30).toLong)
     (as, bs)
   }
 
+  /** The modulus, exposed for the oracle-SQL generator. */
+  private[graft] def minHashModulus: Long = MinHashP
+
+  /** The default (production) shingle hash: xxhash64 folded into [0, p).
+    * Full 64-bit spread before the fold — the right choice when nothing
+    * external needs to re-derive signatures.
+    */
+  private def defaultShingleHash(s: Column): Column = pmod(xxhash64(s), lit(MinHashP))
+
   /** MinHash signature (k longs) of a shingle-array column, computed in one
     * aggregate pass: sig[i] = min over shingles of (a_i * h(s) + b_i) mod p.
+    *
+    * `shingleHash` defaults to xxhash64 mod p (production). Pass
+    * [[graft.functions.TextFunctions.fingerprint]] for the portable
+    * Karp–Rabin variant: values stay below 2^30 (~30 bits of entropy per
+    * shingle — ample for min-selection), but every step is reproducible in
+    * ANSI SQL, so an external engine re-derives the signatures bit-for-bit
+    * (q_minhash_pairs' oracle does exactly that; same trade as
+    * [[simHash]]'s tokenHash).
     */
-  def minHashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+  def minHashSignature(shingles: Column, k: Int = 64, seed: Long = 42L,
+      shingleHash: Column => Column = defaultShingleHash): Column = {
     val (as, bs) = perms(k, seed)
     val pa = lit(as)
     val pb = lit(bs)
-    val hashes = transform(shingles, s => pmod(xxhash64(s), lit(MinHashP)))
+    val hashes = transform(shingles, s => shingleHash(s))
     aggregate(
       hashes,
       array_repeat(lit(Long.MaxValue), k),
@@ -132,15 +152,43 @@ object Dedup {
       b => xxhash64(b, slice(signature, b * r + 1, lit(r))))
   }
 
+  /** Portable LSH band keys: `"<band>:<v1>,<v2>,…"` strings instead of
+    * xxhash64 band hashes. Key equality is EXACTLY slice equality (decimal
+    * rendering of longs is injective; the band index prefix stops
+    * cross-band collisions), so the candidate set is identical to what a
+    * band-hash join yields minus hash collisions — and an external SQL
+    * engine reproduces it verbatim (`array_to_string(list_slice(sig…))`).
+    * The keys are wider than 8-byte hashes (~r·20 chars), acceptable
+    * shuffle overhead for the verifiable variant; production stays on
+    * [[lshBandHashes]].
+    */
+  def lshBandKeys(signature: Column, k: Int = 64, bands: Int = 16): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(":", b.cast("string"),
+        concat_ws(",", transform(slice(signature, b * r + 1, lit(r)), _.cast("string")))))
+  }
+
   /** End-to-end MinHash LSH near-duplicate pairs: signature → band buckets →
     * bucket self-join (the only shuffle, keyed on (band, hash)) → exact
     * Jaccard verification on the candidates. Returns (id_a, id_b, jaccard)
     * with id_a < id_b, deduplicated across bands.
+    *
+    * `portable = true` swaps the xxhash64 shingle hash for the Karp–Rabin
+    * fold and the band hashes for value-rendering string keys, making every
+    * step — tokenize, shingle, hash, permute, min, band, bucket-join,
+    * Jaccard — reproducible in ANSI SQL: the q_minhash_pairs oracle
+    * re-derives the signatures in DuckDB from the same `perms(k, seed)`
+    * constants and must agree on the full pair set bit-for-bit. The
+    * candidate-generation MECHANISM (banded bucket join) is identical in
+    * both modes; only the hash family differs, so the oracle genuinely
+    * gates the LSH machinery, not a parallel implementation.
     */
   def minHashNearDuplicates(
       df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
-      shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
+      shingleLen: Int = 3, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
     // Empty-shingle docs (shorter than shingleLen tokens) all hash to the
     // identity signature [Long.MaxValue]*k, i.e. the SAME band buckets — on a
     // real corpus (many short docs) that one bucket makes the self-join
@@ -150,11 +198,16 @@ object Dedup {
     // would be predicate-pushed below the projection and re-inline the
     // whole shingle expression into the scan filter (it more than tripled
     // this operator's runtime before the rewrite).
+    val shingleHash: Column => Column =
+      if (portable) graft.functions.TextFunctions.fingerprint(_) else defaultShingleHash
+    val bandCol =
+      if (portable) lshBandKeys(col("__sig"), k, bands)
+      else lshBandHashes(col("__sig"), k, bands)
     val base = df.select(id.as("__id"), tokens(text).as("__toks"))
       .filter(size(col("__toks")) >= shingleLen)
       .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
-      .withColumn("__sig", minHashSignature(col("__sh"), k, seed))
-      .withColumn("__band", explode_outer(lshBandHashes(col("__sig"), k, bands)))
+      .withColumn("__sig", minHashSignature(col("__sh"), k, seed, shingleHash))
+      .withColumn("__band", explode_outer(bandCol))
     val a = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
     val b = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
     a.join(b, Seq("__band"))
@@ -321,6 +374,11 @@ object Dedup {
       it += 1
     }
     if (!converged) {
+      // release the two live label/edge copies before raising — the error
+      // path must not leak executor storage (or reliable-checkpoint files)
+      // that only session teardown would otherwise reclaim
+      Checkpoints.free(ck)
+      Checkpoints.free(sym)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIterations iterations — " +
           "a component's diameter exceeds the cap; raise maxIterations")

@@ -28,6 +28,17 @@ object DedupQueries {
     s"regexp_extract_all($col, '\\S+')"
   private[queries] val ToksSql = toksSqlOf("text")
 
+  /** DuckDB twin of [[graft.functions.TextFunctions.fingerprint]] over a
+    * string expression: the Karp–Rabin character fold
+    * acc*31 + code mod 1e9+7, seeded by the first character
+    * (`list_reduce` uses element 1 as the initial accumulator — exactly
+    * Spark's `aggregate(slice(codes,2,…), element_at(codes,1), …)`). THE
+    * one definition; the simhash and minhash oracles both emit it.
+    */
+  private[queries] def krFoldSqlOf(s: String): String =
+    s"list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split($s, '')], " +
+      "(acc, x) -> (acc * 31 + x) % 1000000007)"
+
   /** DuckDB twin of [[Dedup.shinglesOfTokens]] over an aliased token-array
     * column: distinct n-gram strings. `arr[i:i+n-1]` is an n-element
     * INCLUSIVE slice; `range` is end-EXCLUSIVE, so the last shingle start
@@ -150,6 +161,69 @@ object DedupQueries {
       |SELECT id_a, id_b, jaccard FROM pairs
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash LSH near-duplicate pairs — the flagship probabilistic dedup
+    * operator ([[Dedup.minHashNearDuplicates]]), oracle-gated END TO END in
+    * its portable-hash mode: k=64 seeded universal-hash permutations over
+    * Karp–Rabin shingle hashes, 16 bands × 4 rows, banded bucket
+    * self-join, exact Jaccard verification. The DuckDB oracle re-derives
+    * the signatures from the SAME `Dedup.perms(64, 42)` constants
+    * (embedded as SQL literals below — shared-constant discipline) and
+    * must reproduce the identical pair set: candidate generation included,
+    * not just the final Jaccard check. The xxhash64 production hash is
+    * covered by DedupSpec's exactness-vs-brute-force and hot-bucket
+    * tests; the banding/bucketing MECHANISM is identical in both modes.
+    */
+  def minHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minHashNearDuplicates(
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
+      threshold = 0.5, k = 64, bands = 16, shingleLen = 3, seed = 42L,
+      portable = true)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // Signature re-derivation: per-shingle KR hash → k permutations
+  // (a_i·h + b_i) mod p with the engine's own constants → min per
+  // permutation → 4-long band slices rendered "<band>:<v1>,…" (decimal
+  // rendering is injective, so string equality == slice equality) →
+  // bucket self-join → distinct candidate pairs → exact Jaccard.
+  // The threshold is applied to the UNROUNDED double: c and (na+nb−c) are
+  // exact integers, so the IEEE quotient is bit-identical cross-engine.
+  val minHashPairsSql: String = {
+    val (as, bs) = Dedup.perms(64, 42L)
+    val aLit = as.mkString("[", ", ", "]")
+    val bLit = bs.mkString("[", ", ", "]")
+    val p = Dedup.minHashModulus
+    s"""WITH sh AS (
+       |  SELECT doc_id, shingles FROM (
+       |    SELECT doc_id, ${shinglesSql("toks", 3)} AS shingles
+       |    FROM (SELECT doc_id, $ToksSql AS toks FROM documents)
+       |    WHERE len(toks) >= 3)),
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([(($aLit)[i] * h + ($bLit)[i]) % $p for h in hv])
+       |     for i in range(1, 65)] AS sig
+       |  FROM (SELECT doc_id, [${krFoldSqlOf("s")} for s in shingles] AS hv FROM sh)),
+       |bnd AS (
+       |  SELECT doc_id, b,
+       |    CAST(b - 1 AS VARCHAR) || ':' ||
+       |      array_to_string(list_slice(sig, (b-1)*4 + 1, (b-1)*4 + 4), ',') AS bk
+       |  FROM sig, range(1, 17) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bnd x JOIN bnd y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(a.shingles, s -> list_contains(b.shingles, s))) AS DOUBLE)
+       |      / (len(a.shingles) + len(b.shingles)
+       |         - len(list_filter(a.shingles, s -> list_contains(b.shingles, s)))) AS j
+       |  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+       |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs
+       |WHERE j >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The skew-capped production variant of [[nearDupPairs]]: shingles in
     * the hot tail of the document-frequency distribution (above the
     * p99.9 df quantile, computed from the corpus itself) are dropped
@@ -200,14 +274,13 @@ object DedupQueries {
   // only bits 0-29 can vote positive; higher bits are provably 0), per-bit
   // +1/-1 vote via list_sum, sign -> bit, disjoint-bit sum = OR.
   val simHashSql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE list_sum(
       |    [CASE WHEN list_sum([CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0
       |          THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(0, 30)]) END AS BIGINT) AS simhash
       |FROM (
       |  SELECT doc_id,
-      |    [list_reduce([CAST(unicode(c) AS BIGINT) for c in string_split(t, '')],
-      |                 (acc, x) -> (acc * 31 + x) % 1000000007) for t in regexp_extract_all(lower(text), '\S+')] AS hs
+      |    [${krFoldSqlOf("t")} for t in ${toksSqlOf("lower(text)")}] AS hs
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -267,6 +340,7 @@ object DedupQueries {
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
     "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
+    "q_minhash_pairs" -> (minHashPairs _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_simhash" -> (simHashFingerprints _),
     "q_simhash_pairs" -> (simHashPairs _))
@@ -275,6 +349,7 @@ object DedupQueries {
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,
     "q_near_dup_pairs_capped" -> nearDupPairsCappedSql,
+    "q_minhash_pairs" -> minHashPairsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_simhash" -> simHashSql)
 }
