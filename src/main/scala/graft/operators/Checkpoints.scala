@@ -42,17 +42,35 @@ object Checkpoints {
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 
-  /** Free the executor blocks behind a frame [[materialize]] produced
-    * with localCheckpoint, once a newer frame supersedes it — without
-    * this an iterative loop holds one full copy per iteration until GC
-    * happens to run the ContextCleaner. `Dataset.unpersist` only talks
-    * to the cache manager, so this reaches through the LogicalRDD;
-    * reliable checkpoints (files) are untouched (unpersist on an
-    * unpersisted RDD is a no-op).
+  /** Free the storage behind a frame [[materialize]] produced, once a
+    * newer frame supersedes it — without this an iterative loop holds one
+    * full copy per iteration (localCheckpoint: executor blocks until GC
+    * happens to run the ContextCleaner; reliable checkpoint: one
+    * ReliableCheckpointRDD file-set per iteration on durable storage,
+    * which the ContextCleaner deletes only at GC time and only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`).
+    * `Dataset.unpersist` only talks to the cache manager, so this reaches
+    * through the LogicalRDD; the reliable file-set is deleted eagerly via
+    * the RDD's own checkpoint path. Only call once NOTHING derived from
+    * the frame will execute again — after deletion a re-execution of the
+    * frame fails (that is the contract, same as for freed blocks).
     */
   private[operators] def free(df: DataFrame): Unit =
     df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+        l.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+          } catch { case e: Throwable =>
+            // cleanup is best-effort; a failed delete must never fail the
+            // pipeline that no longer needs the data
+            System.err.println(s"[checkpoints] failed to delete $dir: ${e.getMessage}")
+          }
+        }
       case _ => ()
     }
 }

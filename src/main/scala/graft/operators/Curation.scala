@@ -118,16 +118,21 @@ object Curation {
     * pack_id = (range << 32) | local index: globally unique with zero
     * coordination.
     *
-    * The range index is computed FROM THE DATA — (id − min) · partitions
-    * / span over one cheap min/max aggregate — NOT via
-    * `repartitionByRange`: Spark's RangePartitioner seeds its boundary
-    * reservoir sample from the rdd id, so range-partitioned boundaries
-    * (hence pack ids) SHIFT between executions of the same input once
-    * partitions exceed the full-sample floor. A trainer resuming from
-    * pack ids needs the assignment to be a pure function of
-    * (ids, budget, partitions), which this is: the physical shuffle is a
-    * hash exchange on the computed range index, and the per-range
-    * counters key on the index itself, not on task/partition placement.
+    * The range index is computed FROM THE DATA — EXACT id quantiles at
+    * i/partitions (one percentile aggregate; deterministic, a pure
+    * function of the id multiset) — NOT via `repartitionByRange`:
+    * Spark's RangePartitioner seeds its boundary reservoir sample from
+    * the rdd id, so range-partitioned boundaries (hence pack ids) SHIFT
+    * between executions of the same input once partitions exceed the
+    * full-sample floor. A trainer resuming from pack ids needs the
+    * assignment to be a pure function of (ids, budget, partitions),
+    * which this is: the physical shuffle is a hash exchange on the
+    * computed range index, and the per-range counters key on the index
+    * itself, not on task/partition placement. Quantile boundaries (not
+    * (id−min)·p/span linear interpolation) also make the ranges
+    * CARDINALITY-balanced under skewed or sparse id distributions — a
+    * few outlier ids previously stretched the span until one range held
+    * nearly every row and the packing pass serialized on one task.
     */
   def packByTokenBudget(
       df: DataFrame, id: Column, nTokens: Column,
@@ -137,16 +142,30 @@ object Curation {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
-    val boundsRow = keyed.agg(min(col("id")), max(col("id"))).head()
+    // exact interpolated percentiles of the id distribution at
+    // i/partitions — one sort-based aggregate whose result is a pure
+    // function of the id multiset (no sampling, no rdd-id seed), collected
+    // as partitions−1 doubles (bounded by the parameter, not the data)
+    val ps = (1 until partitions).map(i => i.toDouble / partitions)
+    val boundsRow =
+      if (ps.isEmpty) keyed.agg(min(col("id")).cast("double")).head()
+      else keyed.agg(expr(s"percentile(id, array(${ps.mkString(",")}))")).head()
     if (boundsRow.isNullAt(0)) {
       // empty input: empty output, same schema
       return spark.emptyDataset[(Long, Long, Long, Int)]
         .toDF("id", "n_tokens", "pack_id", "pack_pos")
     }
-    val (lo, hi) = (boundsRow.getLong(0), boundsRow.getLong(1))
-    val span = math.max(hi - lo + 1, 1L).toDouble
-    val rangeIdx = least(lit(partitions - 1),
-      (((col("id") - lo).cast("double") / span) * partitions).cast("int"))
+    val bounds: Array[Double] =
+      if (ps.isEmpty) Array.empty
+      else boundsRow.getAs[scala.collection.Seq[Double]](0).toArray
+    // range = number of boundaries strictly below the id (ties go low —
+    // deterministic); ids are longs well inside double precision here,
+    // and even a lossy cast would only move a boundary row, never break
+    // determinism, because the comparison is the same pure expression
+    // for every execution
+    val rangeIdx =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(lit(bounds), b => b < col("id").cast("double"))).cast("int")
     val assigned = keyed
       .withColumn("__r", rangeIdx)
       .repartition(partitions, col("__r"))

@@ -55,6 +55,16 @@ object Temporal {
       rightPayload: Seq[(String, Column)], rightOrder: Column,
       strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    // fail HERE, not as an ambiguous-reference error three operators
+    // downstream: the output schema is leftCols ++ payload names, so any
+    // overlap (or payload-internal duplicate) produces duplicate columns
+    val payloadNames = rightPayload.map(_._1)
+    require(payloadNames.distinct.size == payloadNames.size,
+      s"asOfJoin: duplicate rightPayload names: ${
+        payloadNames.diff(payloadNames.distinct).distinct.mkString(", ")}")
+    val clash = payloadNames.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"asOfJoin: rightPayload names collide with leftCols: ${clash.mkString(", ")}")
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
     val payloadStruct = struct(rightPayload.map { case (n, c) => c.as(n) }: _*)
     // null-struct carriers for the other side's columns, typed from the

@@ -179,7 +179,7 @@ class CurationSpec extends SparkSpec {
     // repartitionByRange formulation is NOT reproducible (RangePartitioner
     // seeds its boundary sample from the rdd id, so boundaries shift
     // between executions once partitions exceed the full-sample floor);
-    // the closed-form (id−min)·p/span range index must not care
+    // the exact-quantile range index must not care
     val docs = spark.range(0, 50000)
       .select(
         when($"id" < 45000, $"id").otherwise($"id" * 1000).as("doc_id"),
@@ -190,6 +190,14 @@ class CurationSpec extends SparkSpec {
     assert(a.sameElements(b), "pack assignment changed between identical executions")
     // every doc assigned exactly once; budget invariant holds globally
     assert(a.length === 50000 && a.map(_._1).distinct.length === 50000)
+    // quantile boundaries keep the ranges CARDINALITY-balanced under this
+    // skew — the min/max-interpolation formulation put 45k of 50k rows in
+    // range 0 and serialized the packing pass on one task
+    val perRange = a.groupBy(_._2 >> 32).view.mapValues(_.length)
+    assert(perRange.size === 8, s"expected 8 populated ranges, got ${perRange.size}")
+    perRange.foreach { case (r, n) =>
+      assert(n >= 6000 && n <= 6500, s"range $r unbalanced: $n of 50000 rows")
+    }
     val byPack = Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 8)
       .groupBy($"pack_id").agg(sum($"n_tokens").as("s"), count(lit(1)).as("n"))
       .collect()

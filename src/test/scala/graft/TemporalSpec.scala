@@ -92,6 +92,66 @@ class TemporalSpec extends SparkSpec {
     assert(out(1L) === Some(10L)) // real quotes still flow
   }
 
+  test("asOfJoin rejects rightPayload names that collide with leftCols or each other") {
+    // without the guard a collision yields duplicate output columns that
+    // fail only later with ambiguous-reference errors downstream
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(
+        trades, $"k", $"tts", Seq("tid"),
+        quotes, $"k", $"qts", Seq("tid" -> $"px"), $"qid")
+    }
+    assert(e1.getMessage.contains("collide") && e1.getMessage.contains("tid"))
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(
+        trades, $"k", $"tts", Seq("tid"),
+        quotes, $"k", $"qts", Seq("px" -> $"px", "px" -> $"qid"), $"qid")
+    }
+    assert(e2.getMessage.contains("duplicate") && e2.getMessage.contains("px"))
+  }
+
+  test("asOfJoin and sessionize under heavy key skew: linear row growth, no pair blowup") {
+    // one user owns 20 % of a 50k-row corpus on BOTH sides — the regime
+    // where a pairwise range-join formulation generates |L_k|·|R_k| ≈ 10⁸
+    // candidate rows for that one key. The union-merge window processes
+    // exactly |L_k|+|R_k| rows for it, so skew degrades LINEARLY by
+    // construction; the invariants that pin that shape:
+    //   (1) output cardinality == left cardinality (one row per left row,
+    //       whatever the key distribution);
+    //   (2) the skewed key's outputs are correct, not just counted — every
+    //       trade matches the latest quote at-or-before it.
+    val n = 50000
+    val skewKey = lit(7L)
+    // ids 0,5,10,… → key 7 (20 %); others spread over 997 keys
+    val keyed = spark.range(n).select(
+      $"id",
+      when($"id" % 5 === 0, skewKey).otherwise(pmod($"id", lit(997L)) + 1000L).as("k"))
+    val left = keyed.select($"k",
+      timestamp_seconds(lit(1700000000L) + $"id" * 2 + 1).as("tts"), $"id".as("tid"))
+    val right = keyed.select($"k",
+      timestamp_seconds(lit(1700000000L) + $"id" * 2).as("qts"),
+      ($"id" * 2).as("px"), $"id".as("qid"))
+    val out = Temporal.asOfJoin(
+      left, $"k", $"tts", Seq("tid"),
+      right, $"k", $"qts", Seq("px" -> $"px"), $"qid")
+    assert(out.count() === n.toLong, "as-of output must stay one row per left row under skew")
+    // correctness on the skewed key: trade at 2t+1 sees the quote at 2t
+    // from the SAME key — its px is 2·qid where qid is the greatest
+    // same-key id ≤ tid; for key 7 ids step by 5, so qid == tid exactly
+    val bad = out.filter($"px".isNull || $"px" =!= $"tid" * 2).count()
+    assert(bad === 0L, s"$bad rows matched a stale or foreign quote")
+    // sessionize on the same skewed distribution: sessions PARTITION the
+    // events — per-key event totals are conserved exactly
+    val sessions = Temporal.sessionize(
+      left.select($"k", $"tts".as("ts")), $"k", $"ts", "10 seconds")
+      .agg(count(lit(1)).as("n_events"))
+    val conserved = sessions.groupBy($"k").agg(sum($"n_events").as("total"))
+      .join(left.groupBy($"k").agg(count(lit(1)).as("expected")), Seq("k"))
+      .filter($"total" =!= $"expected").count()
+    assert(conserved === 0L, "sessionization must conserve per-key event counts under skew")
+    // and the skewed key really is 20 % of the corpus (guards the fixture)
+    assert(left.filter($"k" === 7L).count() === (n / 5).toLong)
+  }
+
   test("sessionize gap boundary: exactly +gap still merges, beyond it starts a NEW session") {
     // measured session_window semantics (the oracle's lag rule must use
     // STRICT >): the window end is last+gap INCLUSIVE for merging
