@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object LexiconSentiment {
 
+  /** The reference's VERBATIM empty/error fallback label — uppercase
+    * 'NEUTRAL' (utils.py:82,92), unlike the model-vocabulary labels
+    * (lowercase positive/neutral/negative). One casing rule across the
+    * library: null/empty INPUT → 'NEUTRAL' 0.0 (the classify_sentiment
+    * fallback); a no-signal TIE on real text → lowercase 'neutral' (a
+    * vocabulary label). Kept verbatim so label distributions diff cleanly
+    * against a reference-produced store, where error rows bucket as
+    * 'NEUTRAL'.
+    */
+  val FallbackLabel = "NEUTRAL"
+
   /** A sentiment lexicon: ordered positive / negative word lists. */
   final case class Lexicon(positive: Seq[String], negative: Seq[String])
 
@@ -38,12 +49,14 @@ object LexiconSentiment {
     TextFunctions.wordHits(lower(text), lex.negative)
 
   /** Label: positive / negative by majority hit count, neutral on ties or
-    * no signal.
+    * no signal; null/empty input takes the reference's verbatim
+    * [[FallbackLabel]] ('NEUTRAL', utils.py:82,92).
     */
   def label(text: Column, lex: Lexicon): Column = {
     val p = positiveHits(text, lex)
     val n = negativeHits(text, lex)
-    when(p > n, "positive").when(n > p, "negative").otherwise("neutral")
+    when(text.isNull || length(text) === 0, FallbackLabel)
+      .when(p > n, "positive").when(n > p, "negative").otherwise("neutral")
   }
 
   /** Confidence: |p-n| / (p+n), 0.0 when no lexicon hits (the reference's

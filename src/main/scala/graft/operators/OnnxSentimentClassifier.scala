@@ -65,22 +65,7 @@ final case class OnnxSentimentClassifier(
           "ai.djl.huggingface:tokenizers on the classpath; add both jars to the " +
           "cluster deployment or use LexiconClassifier")
     }
-    // one padded [N, seq] inference call per batch — the batching the
-    // SentimentRunner trait exists to exploit; null/empty rows take the
-    // reference's neutral fallback without occupying a model slot
-    val live = texts.zipWithIndex.collect {
-      case (t, i) if t != null && t.nonEmpty =>
-        // reference truncates CHARACTERS before the model (utils.py:84-85)
-        (if (t.length > 512) t.substring(0, 512) else t, i)
-    }
-    val scored: Map[Int, (String, Double)] =
-      if (live.isEmpty) Map.empty
-      else live.map(_._2).zip(runtime.batchLogits(live.map(_._1)).map { logits =>
-        val probs = softmax(logits)
-        val arg = probs.indices.maxBy(probs)
-        (labels(arg), probs(arg))
-      }).toMap
-    texts.indices.map(i => scored.getOrElse(i, ("neutral", 0.0)))
+    scoreBatch(texts, labels, runtime.batchLogits)
   }
 }
 
@@ -94,6 +79,49 @@ object OnnxSentimentClassifier {
     Seq(OrtEnvClass, TokenizerClass).forall { c =>
       try { Class.forName(c); true } catch { case _: Throwable => false }
     }
+
+  /** The runtime-independent scoring core — everything between raw input
+    * texts and (label, confidence) pairs EXCEPT the model call itself:
+    * null/empty-row routing to the reference's verbatim ('NEUTRAL', 0.0)
+    * fallback (utils.py:82,92) without occupying a model slot, the
+    * reference's 512-CHARACTER pre-truncation (its `text[:512]`,
+    * utils.py:84-85), one batched `batchLogits` call for all live rows,
+    * softmax, and argmax → label-vocabulary mapping. Factored behind the
+    * `batchLogits` seam so ScalaTest covers it against a stubbed runtime
+    * (this container has no ONNX jars); the reflective bridge ([[Runtime]])
+    * stays a thin shell that only supplies real logits.
+    *
+    * Deployment-typo hardening: a runtime that returns the wrong number of
+    * logit rows, or logits whose width disagrees with the label
+    * vocabulary, is a HARD error here — not a silently misaligned or
+    * permuted label column discovered downstream.
+    */
+  private[graft] def scoreBatch(
+      texts: Seq[String],
+      labels: Seq[String],
+      batchLogits: Seq[String] => Seq[Array[Float]]): Seq[(String, Double)] = {
+    val live = texts.zipWithIndex.collect {
+      case (t, i) if t != null && t.nonEmpty =>
+        (if (t.length > 512) t.substring(0, 512) else t, i)
+    }
+    val scored: Map[Int, (String, Double)] =
+      if (live.isEmpty) Map.empty
+      else {
+        val logitRows = batchLogits(live.map(_._1))
+        require(logitRows.size == live.size,
+          s"model runtime returned ${logitRows.size} logit rows for ${live.size} inputs")
+        live.map(_._2).zip(logitRows.map { logits =>
+          require(logits.length == labels.size,
+            s"model emitted ${logits.length} logits but the label vocabulary has " +
+              s"${labels.size} entries — override `labels` to the exported model's id2label")
+          val probs = softmax(logits)
+          val arg = probs.indices.maxBy(probs)
+          (labels(arg), probs(arg))
+        }).toMap
+      }
+    texts.indices.map(i =>
+      scored.getOrElse(i, (graft.functions.LexiconSentiment.FallbackLabel, 0.0)))
+  }
 
   private[graft] def softmax(logits: Array[Float]): Array[Double] = {
     val max = logits.max.toDouble

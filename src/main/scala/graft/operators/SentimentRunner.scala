@@ -62,7 +62,7 @@ final case class LexiconClassifier(lexicon: LexiconSentiment.Lexicon)
         if (s0.codePointCount(0, s0.length) <= 512) s0.length
         else s0.offsetByCodePoints(0, 512)
       val s = s0.substring(0, end).toLowerCase(java.util.Locale.ROOT)
-      if (s.isEmpty) ("neutral", 0.0)
+      if (s.isEmpty) (LexiconSentiment.FallbackLabel, 0.0)
       else {
         val p = hits(posRe, s)
         val n = hits(negRe, s)

@@ -91,7 +91,8 @@ object PipelineQueries {
        |enriched AS (
        |  SELECT doc_id,
        |    coalesce(CASE $provWhens END, 'unknown') AS province,
-       |    CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
+       |    CASE WHEN clean IS NULL OR length(clean) = 0 THEN '${LexiconSentiment.FallbackLabel}'
+       |         WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
        |         ELSE 'neutral' END AS sentiment_label,
        |    coalesce(CAST(abs($p - $n) AS DOUBLE) / nullif(CAST(($p + $n) AS DOUBLE), 0.0), 0.0) AS conf,
        |    CASE WHEN clean IS NULL THEN 1 ELSE 0 END AS unproc
@@ -126,7 +127,8 @@ object PipelineQueries {
        |  'user' || doc_id AS author_handle,
        |  CAST(date_add(DATE'2025-05-01', CAST(doc_id % 28 AS INT)) AS TIMESTAMP) AS created_at,
        |  'https://x.com/u/status/' || doc_id AS tweet_url,
-       |  CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
+       |  CASE WHEN clean IS NULL OR length(clean) = 0 THEN '${LexiconSentiment.FallbackLabel}'
+       |       WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
        |       ELSE 'neutral' END AS sentiment_label,
        |  round(coalesce(CAST(abs($p - $n) AS DOUBLE) / nullif(CAST(($p + $n) AS DOUBLE), 0.0), 0.0), 4) AS sentiment_confidence,
        |  TRUE AS sentiment_analyzed
@@ -167,7 +169,8 @@ object PipelineQueries {
        |enriched AS (
        |  SELECT date_add(DATE'2025-05-01', CAST(doc_id % 28 AS INT)) AS event_date,
        |    coalesce(CASE $provWhens END, 'unknown') AS province,
-       |    CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
+       |    CASE WHEN clean IS NULL OR length(clean) = 0 THEN '${LexiconSentiment.FallbackLabel}'
+       |         WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative'
        |         ELSE 'neutral' END AS sentiment_label
        |  FROM cleaned),
        |counts AS (

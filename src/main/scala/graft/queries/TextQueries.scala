@@ -160,6 +160,15 @@ object TextQueries {
 
   /** Lexicon sentiment distribution with shares (SURVEY §2.6 A4+A8 over
     * §2.4 E4's deterministic stand-in).
+    *
+    * Label casing rule (reference parity, utils.py:82,92): null/empty
+    * text buckets as the VERBATIM uppercase 'NEUTRAL' — the reference's
+    * classify_sentiment empty/error fallback — distinct from the
+    * lowercase model-vocabulary tie label 'neutral'. A distribution
+    * diffed against a reference-produced store therefore buckets error
+    * rows identically. The gate corpus has no empty texts, so the
+    * 'NEUTRAL' row appears only on corpora that do (the oracle carries
+    * the same rule either way).
     */
   def sentimentDistribution(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -182,7 +191,8 @@ object TextQueries {
     val n = s"len(regexp_extract_all(lower(text), '\\b(${EngineWords.negative.mkString("|")})\\b'))"
     s"""SELECT sentiment_label, n, avg_confidence, round(n / sum(n) OVER (), 4) AS share FROM (
        |  SELECT sentiment_label, count(*) AS n, round(avg(conf), 4) AS avg_confidence FROM (
-       |    SELECT CASE WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative' ELSE 'neutral' END AS sentiment_label,
+       |    SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN '${LexiconSentiment.FallbackLabel}'
+       |                WHEN $p > $n THEN 'positive' WHEN $n > $p THEN 'negative' ELSE 'neutral' END AS sentiment_label,
        |      coalesce(CAST(abs($p - $n) AS DOUBLE) / nullif(CAST(($p + $n) AS DOUBLE), 0.0), 0.0) AS conf
        |    FROM documents)
        |  GROUP BY sentiment_label)
