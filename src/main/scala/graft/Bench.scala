@@ -106,7 +106,16 @@ object Bench {
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum
     val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}"""
+    // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
+    // a long run's head can scroll out of it (round 5 lost the JSON line
+    // head that way) — bench_out.json in the repo root survives regardless.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
+    println(line)
     spark.stop()
   }
 }
