@@ -230,6 +230,23 @@ object Embeddings {
   def deriveNlist(n: Long): Int =
     math.min(65536L, math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
+  /** One count job per DISTINCT corpus per session for nlist derivation,
+    * not one per [[ivfTopK]] call — an index-sizing heuristic tolerates a
+    * stale n if files change under the same plan, and repeated calls over
+    * the same corpus (every probe batch, every bench iteration) were
+    * paying a full scan each. Keyed on the canonicalized analyzed plan
+    * (structural equality — the same key `sameResult` uses).
+    */
+  private val nlistCounts =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+
+  private def cachedCount(corpus: DataFrame): Long =
+    nlistCounts.computeIfAbsent(
+      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized),
+      _ => corpus.count()).longValue()
+
   def ivfTopK(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       probes: DataFrame, probeId: Column, probeEmb: Column,
@@ -239,12 +256,12 @@ object Embeddings {
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(replicas >= 1, s"replicas must be >= 1, got $replicas")
-    // nlist = -1 (the default) derives ⌈√n⌉ from one metadata-cheap
+    // nlist = -1 (the default) derives ⌈√n⌉ from one per-corpus cached
     // count; the explicit parameter remains for planted-cluster tests
     // and callers that size the index themselves
     val lists =
       if (nlist > 0) nlist
-      else deriveNlist(corpus.count())
+      else deriveNlist(cachedCount(corpus))
     def normalize(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
