@@ -128,6 +128,86 @@ object StreamingIngest {
       .drop("__event_time", "__dedup_key", "__toks")
   }
 
+  /** Streaming CURATION slice — the batch curation stages that are
+    * per-row or keyed run unchanged under a micro-batch stream:
+    *
+    *  - quality gate: the per-row keep rule shared with the batch layer
+    *    (>= `minTokens` whitespace tokens, punctuation count <= token
+    *    count — the `quality_label = 'ok'` rule of q_quality_scores /
+    *    q_corpus_curation), a pure codegen'd filter;
+    *  - deterministic stratified sampling ([[graft.operators.Curation
+    *    .stratifiedSample]]): a pure md5-threshold filter — the SAME rows
+    *    survive whether they arrive in one batch or twenty;
+    *  - exact dedup ([[graft.operators.Dedup.exact]] on the Python-strip
+    *    normalized-text key): WITHIN a batch via the aggregate, ACROSS
+    *    batches via the keyed idempotent merge into the curated store —
+    *    not via unbounded in-memory state. Each micro-batch unions the
+    *    store with its survivors and re-selects one representative per
+    *    key (min doc_id tiebreak), so a duplicate text arriving ten
+    *    batches later collapses onto the original representative, a
+    *    REPLAYED batch after failure/restart changes nothing, and the
+    *    surviving row is independent of batch arrival order.
+    *
+    * Scale note: the merge rewrites the store per batch — the right shape
+    * while the curated store is date/stratum-partitionable (LakeMerge's
+    * touched-partition discipline applies verbatim); the spec-sized store
+    * here keeps the mechanism itself the thing under test.
+    */
+  def startCurated(
+      spark: SparkSession, landingDir: String, storePath: String,
+      checkpointDir: String,
+      rates: Map[String, Double], defaultRate: Double,
+      minTokens: Int = 20,
+      maxFilesPerTrigger: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          curatedMerge(spark, batch, storePath, rates, defaultRate, minTokens)
+        }
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[startCurated]]: gate → sample → keyed dedup
+    * merge. Package-visible so the spec can also drive it directly.
+    */
+  private[graft] def curatedMerge(
+      spark: SparkSession, batch: DataFrame, storePath: String,
+      rates: Map[String, Double], defaultRate: Double, minTokens: Int): Unit = {
+    import graft.operators.{Checkpoints, Curation, Dedup}
+    import graft.functions.TextFunctions
+    val cols = Seq("doc_id", "text", "lang")
+    val nt = size(Dedup.tokens(col("text")))
+    val kept = Curation.stratifiedSample(
+      batch.filter(col("text").isNotNull &&
+        nt >= minTokens && TextFunctions.punctCount(col("text")) <= nt),
+      col("lang"), col("doc_id"), rates, defaultRate)
+      .select(cols.map(col): _*)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (kept.isEmpty && !exists) return
+    val union =
+      if (exists) spark.read.parquet(storePath).select(cols.map(col): _*).unionByName(kept)
+      else kept
+    // one representative per normalized-text key, min doc_id — the same
+    // key and tiebreak as the batch q_exact_dedup, so stream and batch
+    // curation agree on WHICH duplicate survives
+    val merged = Checkpoints.materializeFrame(Dedup.exact(
+      union, lower(TextFunctions.pyStrip(col("text"))), col("doc_id"), payload = cols))
+    merged.write.mode("overwrite").parquet(storePath)
+    Checkpoints.freeFrame(merged)
+  }
+
   /** A7 streaming: running totals per key across micro-batches via
     * `mapGroupsWithState` — the reference's total_scraped / query_scraped
     * accumulators (src/resilient_scraper.py:1271-1283) as managed state.

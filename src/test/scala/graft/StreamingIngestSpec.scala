@@ -56,6 +56,55 @@ class StreamingIngestSpec extends SparkSpec {
     assert(lake.filter(col("processing_status.cleaning_completed")).count() == 3)
   }
 
+  test("streaming curation slice: gate + sample + cross-batch dedup survive checkpoint resume") {
+    val dir = tmpDir("stream-curate")
+    val landing = s"$dir/landing"
+    val store = s"$dir/store"
+    Files.createDirectories(Paths.get(landing))
+    def doc(id: Long, text: String, lang: String = "en"): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang"}"""
+    // lang 'xx' is sampled at rate 0.0 (always dropped), everything else
+    // kept at 1.0 — the sample stage is exercised deterministically
+    val rates = Map("xx" -> 0.0)
+    def run(): Unit = {
+      val q = StreamingIngest.startCurated(spark, landing, store, s"$dir/ck",
+        rates, defaultRate = 1.0, minTokens = 3)
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(s"$landing/b1.json"), Seq(
+      doc(10L, "the quick brown fox jumps"),
+      doc(11L, "too short"),                       // quality gate: < 3 tokens
+      doc(12L, "!!! ?? .. ;; ::"),                 // quality gate: punct > tokens
+      doc(13L, "dropped by the sampler entirely", "xx"), // sample rate 0.0
+      doc(14L, "  The Quick Brown Fox Jumps  "),   // dup of 10 after strip+lower
+      doc(15L, "a genuinely different document here")).mkString("\n").getBytes("UTF-8"))
+    run()
+    val s1 = spark.read.parquet(store).select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // 10 survives (min doc_id beats 14), 15 survives; 11/12 gated, 13 sampled out
+    assert(s1.toSeq === Seq(10L, 15L))
+
+    // batch 2 through the SAME checkpoint: a cross-batch duplicate of doc
+    // 10 (new id, same normalized text) must collapse onto 10 — the
+    // representative is stable across batch boundaries — plus one new doc
+    Files.write(Paths.get(s"$landing/b2.json"), Seq(
+      doc(20L, "THE QUICK BROWN FOX JUMPS"),
+      doc(21L, "brand new content in batch two")).mkString("\n").getBytes("UTF-8"))
+    run()
+    val s2 = spark.read.parquet(store).select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(s2.toSeq === Seq(10L, 15L, 21L))
+
+    // checkpoint resume with nothing new: a no-op, not a re-application
+    run()
+    val s3 = spark.read.parquet(store).select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(s3.toSeq === Seq(10L, 15L, 21L))
+
+    // and the store carries the representative's ORIGINAL payload (doc
+    // 10's casing, not the batch-2 duplicate's)
+    val kept10 = spark.read.parquet(store).filter(col("doc_id") === 10L)
+      .select(col("text")).head.getString(0)
+    assert(kept10 === "the quick brown fox jumps")
+  }
+
   test("watermarked daily sentiment counts over a processed stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
