@@ -245,7 +245,13 @@ object TextFunctions {
     * the first codepoint. Expressed with higher-order array functions so it
     * is a single codegen'd projection, distributable at any scale.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column = fingerprintWith(text, 31L)
+
+  /** [[fingerprint]] with an explicit fold multiplier — two coprime
+    * multipliers give two near-independent 30-bit hashes of the same
+    * string, the building block of [[fingerprint60]].
+    */
+  def fingerprintWith(text: Column, mult: Long): Column = {
     // Spark's split can emit empty trailing strings (Java split semantics);
     // drop them so the fold sees exactly one element per character.
     val codes = transform(
@@ -256,6 +262,19 @@ object TextFunctions {
       aggregate(
         slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
         element_at(codes, 1),
-        (acc, x) => (acc * 31L + x) % p))
+        (acc, x) => (acc * mult + x) % p))
   }
+
+  /** 60-bit portable string hash: fold31 · 2^30 + fold37. A single
+    * 30-bit KR fold is too narrow for Hamming-space fingerprinting — its
+    * high bits are also biased (values < 1e9+7 < 2^30, so bit 29 is set
+    * with p≈0.46 and every SimHash vote inherits the bias), which put
+    * thousands of unrelated sf0.01 documents within Hamming 3 of each
+    * other. Two coprime-multiplier folds are near-independent, the
+    * combination stays under 2^60 (no ANSI overflow, exact in any SQL
+    * engine's int64), and SimHash over it behaves like a real 60-bit
+    * hash while remaining fully re-derivable in ANSI SQL.
+    */
+  def fingerprint60(text: Column): Column =
+    fingerprintWith(text, 31L) * lit(1L << 30) + fingerprintWith(text, 37L)
 }
