@@ -247,13 +247,24 @@ object Embeddings {
       (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized),
       _ => corpus.count()).longValue()
 
+  /** `portableSample = true` orders the centroid sample by
+    * `md5('ivf:' || id)` instead of xxhash64 — same deterministic
+    * pseudo-random selection, but reproducible by any SQL engine (md5
+    * hex is lowercase fixed-width everywhere; the q_stratified_sample
+    * precedent). With `refineIterations = 0` the whole index —
+    * sample, normalize, assignment argmin, probing — becomes exact
+    * arithmetic an oracle re-derives bit-for-bit (q_embedding_ivf_flat);
+    * Lloyd refinement stays on the production path (its distributed avg
+    * has run-order float noise, inherently non-oracle-able).
+    */
   def ivfTopK(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       probes: DataFrame, probeId: Column, probeEmb: Column,
       k: Int = 5, nlist: Int = -1, nprobe: Int = 4,
       replicas: Int = 1,
       refineIterations: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      portableSample: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(replicas >= 1, s"replicas must be >= 1, got $replicas")
     // nlist = -1 (the default) derives ⌈√n⌉ from one per-corpus cached
@@ -286,9 +297,12 @@ object Embeddings {
     // sample vectors raise loudly — a silent bad centroid would skew
     // every assignment downstream
     val seedMat: Seq[Seq[Double]] = {
+      val sampleOrd =
+        if (portableSample) md5(concat(lit("ivf:"), col("__cid").cast("string")))
+        else xxhash64(col("__cid"), lit(seed))
       val rows = corpus
         .select(corpusId.as("__cid"), corpusEmb.cast("array<double>").as("__ce"))
-        .orderBy(xxhash64(col("__cid"), lit(seed)), col("__cid"))
+        .orderBy(sampleOrd, col("__cid"))
         .limit(lists)
         .collect()
       val vecs = rows.map { r =>

@@ -263,12 +263,19 @@ object CurationQueries {
       |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin
 
   /** Token-budget sequence packing over the corpus
-    * ([[Curation.packByTokenBudget]], budget 2048, 8 range partitions).
-    * Registered rows-only: the greedy pack assignment is deterministic
-    * for a fixed partitioning but inherently sequential — no ANSI SQL
-    * reproduces it without a recursive CTE per partition; CurationSpec
-    * gates the invariants (budget respected, contiguity, determinism,
-    * oversized docs isolated) instead.
+    * ([[Curation.packByTokenBudget]], budget 2048, 8 range partitions),
+    * FULLY oracle-gated since the range boundaries became exact id
+    * quantiles (a pure function of the id multiset — DuckDB's
+    * quantile_cont shares Spark percentile's type-7 definition, proven
+    * by q_price_quantiles): the oracle recomputes boundaries, range
+    * index, and the greedy first-fit fold itself via a LOCK-STEP
+    * recursive CTE — iteration k packs the k-th row of EVERY range
+    * simultaneously (state = one row per range), so the recursion depth
+    * is max-rows-per-range, not corpus size. Greedy packing stays
+    * inherently sequential to EXECUTE at scale (the mapPartitions pass);
+    * sequential-to-execute is not unverifiable-by-SQL — the CTE replays
+    * the same fold. CurationSpec keeps the structural invariants
+    * (budget, contiguity, determinism, oversized isolation, balance).
     */
   def tokenPacking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -276,6 +283,40 @@ object CurationQueries {
       .select($"doc_id", TextFunctions.tokenCount($"text").as("nt"))
     Curation.packByTokenBudget(docs, $"doc_id", $"nt", budget = 2048, partitions = 8)
       .orderBy($"id")
+  }
+
+  /** Generated from the same (budget, partitions) the query registers —
+    * shared-constant discipline. Column contract: (id, n_tokens,
+    * pack_id = range<<32 | local, pack_pos 1-based).
+    */
+  private[queries] def tokenPackingSqlOf(budget: Long, partitions: Int): String = {
+    val ps = (1 until partitions).map(i => i.toDouble / partitions).mkString(", ")
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id AS id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |bounds AS (
+       |  SELECT quantile_cont(CAST(id AS DOUBLE), [$ps]) AS bs FROM docs),
+       |ranged AS (
+       |  SELECT id, n,
+       |    len(list_filter(bs, b -> b < CAST(id AS DOUBLE))) AS r,
+       |    row_number() OVER (
+       |      PARTITION BY len(list_filter(bs, b -> b < CAST(id AS DOUBLE)))
+       |      ORDER BY id) AS rn
+       |  FROM docs, bounds),
+       |pk AS (
+       |  SELECT r, rn, id, n, CAST(0 AS BIGINT) AS pack, n AS used, 1 AS pos
+       |  FROM ranged WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.r, x.rn, x.id, x.n,
+       |    CASE WHEN p.used > 0 AND p.used + x.n > $budget THEN p.pack + 1 ELSE p.pack END,
+       |    CASE WHEN p.used > 0 AND p.used + x.n > $budget THEN x.n ELSE p.used + x.n END,
+       |    CASE WHEN p.used > 0 AND p.used + x.n > $budget THEN 1 ELSE p.pos + 1 END
+       |  FROM pk p JOIN ranged x ON x.r = p.r AND x.rn = p.rn + 1)
+       |SELECT id, n AS n_tokens,
+       |  (CAST(r AS BIGINT) << 32) | pack AS pack_id,
+       |  CAST(pos AS INT) AS pack_pos
+       |FROM pk ORDER BY id""".stripMargin
   }
 
   /** The END-TO-END curation pipeline over the round-5 operator set — the
@@ -391,5 +432,6 @@ object CurationQueries {
     "q_pii_redact" -> piiRedactSql,
     "q_quality_quantile" -> qualityQuantileSql,
     "q_nfc_normalize" -> nfcNormalizeSql,
-    "q_curation_e2e" -> curationE2eSql)
+    "q_curation_e2e" -> curationE2eSql,
+    "q_token_packing" -> tokenPackingSqlOf(budget = 2048L, partitions = 8))
 }

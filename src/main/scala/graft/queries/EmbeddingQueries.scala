@@ -48,26 +48,49 @@ object EmbeddingQueries {
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])"
 
   /** The ONE 5-NN-graph SQL skeleton (scored CTE + per-probe rank),
-    * shared by the float and int8 oracles over a prepared
+    * shared by the float, int8, and ANN oracles over a prepared
     * `src(vec_id, <vec>)` CTE — a change to the tie-break, rounding, or
-    * self-match rule lands in both or neither.
+    * self-match rule lands in all or none. `probeExtra` carries extra
+    * src columns into the probe alias (", s0 AS p0"); `extraPred` is
+    * ANDed into the candidate predicate (the ANN hamming ball).
     */
-  private def knnGraphSql(srcCte: String, vec: String): String = {
+  private def knnGraphSql(srcCte: String, vec: String,
+      probeExtra: String = "", extraPred: String = ""): String = {
     val dotPC = dotSql("p.pe", s"e.$vec")
     val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
     val normC = s"sqrt(${dotSql(s"e.$vec", s"e.$vec")})"
     s"""$srcCte,
-       |probes AS (SELECT vec_id AS probe_id, $vec AS pe FROM src),
+       |probes AS (SELECT vec_id AS probe_id, $vec AS pe$probeExtra FROM src),
        |scored AS (
        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
        |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
        |  FROM src e CROSS JOIN probes p
-       |  WHERE e.vec_id <> p.probe_id)
+       |  WHERE e.vec_id <> p.probe_id$extraPred)
        |SELECT probe_id, rk, neighbor_id, cosine FROM (
        |  SELECT probe_id, neighbor_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rk
        |  FROM scored)
        |WHERE rk <= $K ORDER BY probe_id, rk""".stripMargin
+  }
+
+  /** One packed sketch word ([[Embeddings.sparsePlanes]] bits lo until
+    * hi) as exact SQL: each plane's sum replays
+    * [[graft.functions.VectorOps.sparseSketch]]'s fold bit-for-bit —
+    * left-associated `0.0 ± CAST(e[i] AS DOUBLE) …` in plane order (the
+    * ±1 signs become + / −, exact in IEEE), sign rule `>= 0`, bit
+    * (j−lo) of the word. Terms sum in HUGEINT (bit 63's constant is
+    * Long.MinValue) and the word casts back to BIGINT — the same two's
+    * complement value Spark's long carries.
+    */
+  private def annSketchWordSql(e: String,
+      idx: Seq[Seq[Int]], sgn: Seq[Seq[Double]], lo: Int, hi: Int): String = {
+    val terms = (lo until hi).map { j =>
+      val sum = idx(j).zip(sgn(j)).map { case (i, s) =>
+        (if (s >= 0) "+" else "-") + s" CAST($e[${i + 1}] AS DOUBLE)"
+      }.mkString("0.0 ", " ", "")
+      s"CASE WHEN ($sum) >= 0 THEN CAST(${1L << (j - lo)} AS HUGEINT) ELSE 0 END"
+    }
+    s"CAST((${terms.mkString(" + ")}) AS BIGINT)"
   }
 
   val embeddingKnnSql: String =
@@ -79,9 +102,18 @@ object EmbeddingQueries {
     * library defaults ([[Embeddings.AnnH]]/[[Embeddings.AnnSparsity]]/
     * [[Embeddings.AnnHammingMax]]), the SAME geometry EmbeddingsSpec
     * gates at recall@5 >= 0.8 against [[embeddingKnn]] on this table.
-    * Deterministic (seeded planes) but approximate, so registered
-    * rows-only; the spec also proves exact-top-k recovery on planted
-    * clusters.
+    * FULLY oracle-gated: approximate w.r.t. the true top-k, but
+    * deterministic in (planes, embeddings) — and every step is exact
+    * arithmetic an external engine reproduces bit-for-bit. The DuckDB
+    * oracle re-derives the 96 sparse-sign plane sums from the SAME
+    * seeded [[Embeddings.sparsePlanes]] constants (left-associated IEEE
+    * fold, `>= 0` sign rule — see [[annSketchWordSql]]), packs them into
+    * the same two sketch words, applies the identical
+    * `bit_count(xor) <= hammingMax` ball, and rescores survivors through
+    * the shared knn skeleton (rounded-cosine rank, neighbor_id
+    * tie-break). So the INDEX MECHANISM — sketching, packing, ranking,
+    * ball pruning — is cross-engine verified, not just the final
+    * cosines; the recall property stays spec-gated.
     */
   def embeddingAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -116,6 +148,85 @@ object EmbeddingQueries {
       e, $"vec_id", $"embedding",
       k = K, nprobe = 12, replicas = 2)
       .orderBy($"probe_id", $"rk")
+  }
+
+  /** The ORACLE-GATED flat IVF variant: identical cell machinery to
+    * [[embeddingIvf]] — ⌈√n⌉ cells, nprobe=12, replicas=2 — but
+    * refineIterations=0 (centroids are the normalized md5-ordered
+    * sample, no Lloyd pass) and a portable sample hash, which makes the
+    * ENTIRE index deterministic EXACT arithmetic: the DuckDB oracle
+    * re-derives nlist from the corpus count, selects the same sample
+    * rows (md5 hex ordering — the q_stratified_sample portability
+    * precedent), normalizes them with the same left-associated
+    * sum-of-squares fold, replays the assignment argmin bit-for-bit
+    * (explicit left-associated dot expansions — no list_sum, whose fold
+    * order is not contractual), applies the same replicas/nprobe ranks
+    * with the same (negDot, cell) tie rule, and scores candidates
+    * through the shared knn skeleton via an EXISTS over the two
+    * assignment tables. Cell selection, multi-assignment, probing, and
+    * rescoring — the IVF mechanism itself — are cross-engine verified;
+    * the Lloyd-refined production variant stays rows-only (its
+    * distributed averages carry run-order float noise by nature) with
+    * its recall spec-gates.
+    */
+  def embeddingIvfFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.ivfTopK(
+      e, $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
+      k = K, nprobe = 12, replicas = 2, refineIterations = 0,
+      portableSample = true)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  /** Explicit left-associated expansions replaying the engine's exact
+    * fold order ([[graft.functions.VectorOps]] / Scala `Seq#sum`):
+    * `0.0 + t1 + t2 + …`. Used where UNROUNDED doubles feed a
+    * comparison (the assignment argmin); the final cosine stays on
+    * [[dotSql]] + round(_, 4), which is fold-order tolerant.
+    */
+  private def sumSqExplicitSql(arr: String, dim: Int): String =
+    (0 until dim).map(i =>
+      s"CAST($arr[${i + 1}] AS DOUBLE) * CAST($arr[${i + 1}] AS DOUBLE)")
+      .mkString("0.0 + ", " + ", "")
+
+  private def dotCentroidExplicitSql(e: String, c: String, dim: Int): String =
+    (0 until dim).map(i => s"CAST($e[${i + 1}] AS DOUBLE) * $c[${i + 1}]")
+      .mkString("0.0 + ", " + ", "")
+
+  /** Generated from the registered (nprobe=12, replicas=2, dim=64)
+    * parameters; nlist is derived from the data inside the SQL exactly
+    * as [[Embeddings.deriveNlist]] does.
+    */
+  private[queries] def embeddingIvfFlatSql(
+      dim: Int, nprobe: Int, replicas: Int): String = {
+    val negDot = s"-(${dotCentroidExplicitSql("e.embedding", "c.cvec", dim)})"
+    val srcCte =
+      s"""WITH nl AS (
+         |  SELECT CAST(least(65536, greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS BIGINT) AS nlist
+         |  FROM embeddings),
+         |cent AS MATERIALIZED (
+         |  SELECT cell,
+         |    [CASE WHEN cn = 0 THEN CAST(ce[i] AS DOUBLE)
+         |          ELSE CAST(ce[i] AS DOUBLE) / cn END for i in range(1, ${dim + 1})] AS cvec
+         |  FROM (
+         |    SELECT cell, ce, sqrt(${sumSqExplicitSql("ce", dim)}) AS cn
+         |    FROM (SELECT embedding AS ce,
+         |            row_number() OVER (
+         |              ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+         |          FROM embeddings), nl
+         |    WHERE cell < nlist)),
+         |asg AS MATERIALIZED (
+         |  SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY nd, cell) AS rn
+         |  FROM (SELECT e.vec_id AS id, c.cell, $negDot AS nd
+         |        FROM embeddings e CROSS JOIN cent c)),
+         |ca AS (SELECT id, cell FROM asg WHERE rn <= $replicas),
+         |pa AS (SELECT id, cell FROM asg WHERE rn <= $nprobe),
+         |src AS (SELECT vec_id, embedding FROM embeddings)""".stripMargin
+    knnGraphSql(srcCte, "embedding",
+      extraPred = "\n    AND EXISTS (SELECT 1 FROM ca JOIN pa USING (cell) " +
+        "WHERE ca.id = e.vec_id AND pa.id = p.probe_id)")
   }
 
   /** The all-pairs 5-NN graph over int8-QUANTIZED embeddings
@@ -203,10 +314,31 @@ object EmbeddingQueries {
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),
     "q_embedding_ann" -> (embeddingAnn _),
     "q_embedding_ivf" -> (embeddingIvf _),
+    "q_embedding_ivf_flat" -> (embeddingIvfFlat _),
     "q_label_cohesion" -> (labelCohesion _))
+
+  /** Generated from the SAME sparsePlanes(dim=64, h, s, seed=42) call the
+    * operator makes — shared-constant discipline; `AS MATERIALIZED`
+    * forces DuckDB to compute each row's sketch once (inlining would
+    * re-derive 96 plane sums per candidate PAIR).
+    */
+  val embeddingAnnSql: String = {
+    val (idx, sgn) = graft.operators.Embeddings.sparsePlanes(
+      64, graft.operators.Embeddings.AnnH, graft.operators.Embeddings.AnnSparsity, 42L)
+    val w0 = annSketchWordSql("embedding", idx, sgn, 0, 64)
+    val w1 = annSketchWordSql("embedding", idx, sgn, 64, graft.operators.Embeddings.AnnH)
+    knnGraphSql(
+      s"WITH src AS MATERIALIZED (SELECT vec_id, embedding, $w0 AS s0, $w1 AS s1 FROM embeddings)",
+      "embedding",
+      probeExtra = ", s0 AS p0, s1 AS p1",
+      extraPred = "\n    AND bit_count(xor(e.s0, p.p0)) + bit_count(xor(e.s1, p.p1)) <= " +
+        graft.operators.Embeddings.AnnHammingMax)
+  }
 
   val oracles: Map[String, String] = Map(
     "q_embedding_knn" -> embeddingKnnSql,
     "q_embedding_q8_knn" -> embeddingQ8KnnSql,
+    "q_embedding_ann" -> embeddingAnnSql,
+    "q_embedding_ivf_flat" -> embeddingIvfFlatSql(dim = 64, nprobe = 12, replicas = 2),
     "q_label_cohesion" -> labelCohesionSql)
 }
