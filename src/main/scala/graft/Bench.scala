@@ -112,7 +112,7 @@ object Bench {
     // head that way) — bench_out.json in the repo root survives regardless.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     println(line)

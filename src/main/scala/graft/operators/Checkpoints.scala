@@ -65,9 +65,10 @@ object Checkpoints {
             val fs = p.getFileSystem(
               df.sparkSession.sparkContext.hadoopConfiguration)
             fs.delete(p, true)
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             // cleanup is best-effort; a failed delete must never fail the
-            // pipeline that no longer needs the data
+            // pipeline that no longer needs the data — but fatal errors
+            // (OOM, interrupts) must propagate, not be swallowed here
             System.err.println(s"[checkpoints] failed to delete $dir: ${e.getMessage}")
           }
         }

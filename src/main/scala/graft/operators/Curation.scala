@@ -133,31 +133,41 @@ object Curation {
     * CARDINALITY-balanced under skewed or sparse id distributions — a
     * few outlier ids previously stretched the span until one range held
     * nearly every row and the packing pass serialized on one task.
+    *
+    * Aggregation-state ceiling: the default EXACT percentile buffers one
+    * (id → count) entry per DISTINCT id in its partial aggregates, merged
+    * into a single final buffer — the RESULT is bounded by `partitions`,
+    * the STATE is O(distinct ids). Fine at oracle-gated sizes; at
+    * billions of distinct ids that single merged buffer is the
+    * bottleneck. `boundedStateBoundaries = true` derives the boundaries
+    * from a fixed 8192-bucket id histogram instead — two constant-state
+    * aggregates (min/max, then per-bucket counts), same determinism
+    * guarantee (exact integer counts over a bucket layout that is a pure
+    * function of min/max, so boundaries are a pure function of the id
+    * multiset), boundaries land on bucket edges so ranges are
+    * cardinality-balanced to within one bucket's mass. Pack VALIDITY
+    * (budget, contiguity, isolation) is identical on both paths; only
+    * WHERE the range cuts fall may differ, so resuming trainers must not
+    * flip the flag mid-run.
     */
   def packByTokenBudget(
       df: DataFrame, id: Column, nTokens: Column,
-      budget: Long, partitions: Int): DataFrame = {
+      budget: Long, partitions: Int,
+      boundedStateBoundaries: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(partitions > 0, s"partitions must be positive, got $partitions")
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(id.cast("long").as("id"), nTokens.cast("long").as("n"))
-    // exact interpolated percentiles of the id distribution at
-    // i/partitions — one sort-based aggregate whose result is a pure
-    // function of the id multiset (no sampling, no rdd-id seed), collected
-    // as partitions−1 doubles (bounded by the parameter, not the data)
-    val ps = (1 until partitions).map(i => i.toDouble / partitions)
-    val boundsRow =
-      if (ps.isEmpty) keyed.agg(min(col("id")).cast("double")).head()
-      else keyed.agg(expr(s"percentile(id, array(${ps.mkString(",")}))")).head()
-    if (boundsRow.isNullAt(0)) {
+    val boundsOpt =
+      if (boundedStateBoundaries) histogramBounds(keyed, partitions)
+      else exactBounds(keyed, partitions)
+    if (boundsOpt.isEmpty) {
       // empty input: empty output, same schema
       return spark.emptyDataset[(Long, Long, Long, Int)]
         .toDF("id", "n_tokens", "pack_id", "pack_pos")
     }
-    val bounds: Array[Double] =
-      if (ps.isEmpty) Array.empty
-      else boundsRow.getAs[scala.collection.Seq[Double]](0).toArray
+    val bounds: Array[Double] = boundsOpt.get
     // range = number of boundaries strictly below the id (ties go low —
     // deterministic); ids are longs well inside double precision here,
     // and even a lossy cast would only move a boundary row, never break
@@ -187,6 +197,68 @@ object Curation {
         }
       }
     assigned.toDF("id", "n_tokens", "pack_id", "pack_pos")
+  }
+
+  /** Range boundaries as EXACT interpolated percentiles of the id
+    * distribution at i/partitions — one sort-based aggregate whose result
+    * is a pure function of the id multiset (no sampling, no rdd-id seed),
+    * collected as partitions−1 doubles. State is O(distinct ids) — see
+    * the ceiling note on [[packByTokenBudget]]. None = empty input.
+    */
+  private def exactBounds(keyed: DataFrame, partitions: Int): Option[Array[Double]] = {
+    val ps = (1 until partitions).map(i => i.toDouble / partitions)
+    val boundsRow =
+      if (ps.isEmpty) keyed.agg(min(col("id")).cast("double")).head()
+      else keyed.agg(expr(s"percentile(id, array(${ps.mkString(",")}))")).head()
+    if (boundsRow.isNullAt(0)) None
+    else if (ps.isEmpty) Some(Array.empty)
+    else Some(boundsRow.getAs[scala.collection.Seq[Double]](0).toArray)
+  }
+
+  /** Bounded-state alternative to [[exactBounds]]: a fixed-width id
+    * histogram (8192 buckets laid out from exact min/max), cumulative
+    * counts walked on the driver, boundary i placed at the upper edge of
+    * the first bucket whose cumulative mass reaches i·n/partitions.
+    * Aggregation state is O(1) per task (min/max) plus ≤ 8192 groups;
+    * the driver collects ≤ 8192 (bucket, count) rows regardless of data
+    * size. Deterministic: exact integer counts over a bucket layout that
+    * is a pure function of (min, max), so the boundaries — hence pack
+    * ids — are a pure function of the id multiset, same as the exact
+    * path. Bucket arithmetic runs in doubles (deterministic even when a
+    * >2^53 id rounds: the same pure expression evaluates identically on
+    * every execution). None = empty input.
+    */
+  private def histogramBounds(keyed: DataFrame, partitions: Int): Option[Array[Double]] = {
+    val histBuckets = 8192
+    val mm = keyed.agg(
+      min(col("id")), max(col("id")), count(lit(1))).head()
+    if (mm.isNullAt(0)) return None
+    val lo = mm.getLong(0)
+    val hi = mm.getLong(1)
+    val n = mm.getLong(2)
+    if (partitions == 1 || lo == hi) return Some(Array.fill(partitions - 1)(hi.toDouble + 0.5))
+    // BigInt sidesteps hi−lo overflow across the full long range; width
+    // fits comfortably back in a Long (≤ 2^64/8192 + 1)
+    val width = ((BigInt(hi) - BigInt(lo)) / histBuckets + 1).toLong
+    val bucketCol = floor((col("id").cast("double") - lo.toDouble) / width.toDouble).cast("int")
+    val counts = keyed.groupBy(bucketCol.as("b")).agg(count(lit(1)).as("c"))
+      .orderBy(col("b")).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bounds = new Array[Double](partitions - 1)
+    var bi = 0
+    var cum = 0L
+    counts.foreach { case (b, c) =>
+      cum += c
+      // cum ≥ (bi+1)·n/partitions without division: cum·partitions ≥
+      // (bi+1)·n — both sides < 2^63 for any realistic n·partitions
+      while (bi < partitions - 1 && cum * partitions >= (bi + 1).toLong * n) {
+        // upper edge of bucket b: strictly above every integer id in
+        // buckets ≤ b, strictly below every id in buckets > b
+        bounds(bi) = lo.toDouble + (b + 1).toDouble * width - 0.5
+        bi += 1
+      }
+    }
+    while (bi < partitions - 1) { bounds(bi) = hi.toDouble + 0.5; bi += 1 }
+    Some(bounds)
   }
 
   /** Duplicate-n-gram fraction — the repetition quality signal of the

@@ -237,15 +237,36 @@ object Embeddings {
     * paying a full scan each. Keyed on the canonicalized analyzed plan
     * (structural equality — the same key `sameResult` uses).
     */
-  private val nlistCounts =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession,
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), java.lang.Long]()
+  private val MaxCachedCounts = 64
 
-  private def cachedCount(corpus: DataFrame): Long =
-    nlistCounts.computeIfAbsent(
-      (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized),
-      _ => corpus.count()).longValue()
+  // Access-order LRU bounded at MaxCachedCounts so stale plans (and the
+  // SparkSessions / file indexes their keys strongly reference) become
+  // reclaimable instead of accumulating for the JVM lifetime. All map
+  // access is under the map's own lock, but the count() JOB runs OUTSIDE
+  // it — a Spark job inside a map lock would serialize every concurrent
+  // ivfTopK call on an unrelated corpus. Two threads racing the same cold
+  // corpus may both count once; an index-sizing heuristic tolerates that.
+  private val nlistCounts =
+    new java.util.LinkedHashMap[
+      (org.apache.spark.sql.SparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.SparkSession,
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+            java.lang.Long]): Boolean = size() > MaxCachedCounts
+    }
+
+  private def cachedCount(corpus: DataFrame): Long = {
+    val key = (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized)
+    val hit = nlistCounts.synchronized(Option(nlistCounts.get(key)))
+    hit.map(_.longValue()).getOrElse {
+      val n = corpus.count()
+      nlistCounts.synchronized(nlistCounts.put(key, java.lang.Long.valueOf(n)))
+      n
+    }
+  }
 
   /** `portableSample = true` orders the centroid sample by
     * `md5('ivf:' || id)` instead of xxhash64 — same deterministic

@@ -340,7 +340,8 @@ object DedupQueries {
   /** The global-rule oracle of [[simHashPairs]], generated from the same
     * (rotations, window, maxHamming) parameters the operator runs.
     * Rotation r of a 64-bit fingerprint as exact integer arithmetic
-    * (fp is non-negative — KR fingerprints live in [0, 2^30)):
+    * (fp is non-negative — fingerprint60 SimHash values live in
+    * [0, 2^60), so the sign bit is never set):
     * rv_unsigned = (fp · 2^(step·r)) mod 2^64 + fp div 2^(64−step·r),
     * then two's-complement-mapped to signed BIGINT so ORDER BY matches
     * Spark's signed-long sort.

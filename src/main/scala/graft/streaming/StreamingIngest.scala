@@ -148,6 +148,12 @@ object StreamingIngest {
     *    REPLAYED batch after failure/restart changes nothing, and the
     *    surviving row is independent of batch arrival order.
     *
+    * Crash safety: the store is replaced by write-beside-then-swap, never
+    * overwritten in place — a crash mid-write leaves either the old store
+    * or (between delete and rename) the complete replacement at `__next`,
+    * which the next merge adopts before reading. Empty batches never
+    * rewrite the store.
+    *
     * Scale note: the merge rewrites the store per batch — the right shape
     * while the curated store is date/stratum-partitionable (LakeMerge's
     * touched-partition discipline applies verbatim); the spec-sized store
@@ -183,7 +189,7 @@ object StreamingIngest {
   private[graft] def curatedMerge(
       spark: SparkSession, batch: DataFrame, storePath: String,
       rates: Map[String, Double], defaultRate: Double, minTokens: Int): Unit = {
-    import graft.operators.{Checkpoints, Curation, Dedup}
+    import graft.operators.{Curation, Dedup}
     import graft.functions.TextFunctions
     val cols = Seq("doc_id", "text", "lang")
     val nt = size(Dedup.tokens(col("text")))
@@ -193,19 +199,35 @@ object StreamingIngest {
       col("lang"), col("doc_id"), rates, defaultRate)
       .select(cols.map(col): _*)
     val p = new org.apache.hadoop.fs.Path(storePath)
+    val next = new org.apache.hadoop.fs.Path(storePath + "__next")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
-    if (kept.isEmpty && !exists) return
+    def liveStore = fs.exists(p) && fs.listStatus(p).nonEmpty
+    // self-heal: a crash between the old store's delete and the rename
+    // below leaves the ONLY copy at __next — adopt it before merging, so
+    // the replayed batch sees every previously curated row
+    if (!liveStore && fs.exists(next)) fs.rename(next, p)
+    val exists = liveStore
+    // a batch that contributes nothing must not rewrite the store: the
+    // store is already deduped, so re-merging it alone is a no-op — and
+    // rewriting the only copy is pure risk
+    if (kept.isEmpty) return
     val union =
       if (exists) spark.read.parquet(storePath).select(cols.map(col): _*).unionByName(kept)
       else kept
     // one representative per normalized-text key, min doc_id — the same
     // key and tiebreak as the batch q_exact_dedup, so stream and batch
     // curation agree on WHICH duplicate survives
-    val merged = Checkpoints.materializeFrame(Dedup.exact(
-      union, lower(TextFunctions.pyStrip(col("text"))), col("doc_id"), payload = cols))
-    merged.write.mode("overwrite").parquet(storePath)
-    Checkpoints.freeFrame(merged)
+    val merged = Dedup.exact(
+      union, lower(TextFunctions.pyStrip(col("text"))), col("doc_id"), payload = cols)
+    // never overwrite the only copy in place (mode=overwrite deletes the
+    // target BEFORE the job commits — a crash mid-write would lose every
+    // previously curated row, and the stream checkpoint replays only the
+    // current batch): write the replacement beside the store, then swap.
+    // The write reads the OLD store files, so no materialization needed.
+    fs.delete(next, true) // stale leftover from an interrupted attempt
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(p, true)
+    fs.rename(next, p)
   }
 
   /** A7 streaming: running totals per key across micro-batches via

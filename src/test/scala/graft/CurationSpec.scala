@@ -206,6 +206,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packByTokenBudget bounded-state boundaries: deterministic, valid, balanced within a bucket") {
+    // same skewed corpus as the exact-path test; the histogram path must
+    // give the same GUARANTEES (pure function of the id multiset, budget
+    // validity, no serializing mega-range) with O(1)-per-task state
+    val docs = spark.range(0, 50000)
+      .select(
+        when($"id" < 45000, $"id").otherwise($"id" * 1000).as("doc_id"),
+        ($"id" % 700 + 1).as("nt"))
+    def run() = Curation.packByTokenBudget(docs, $"doc_id", $"nt",
+      budget = 2048, partitions = 8, boundedStateBoundaries = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    val a = run(); val b = run()
+    assert(a.sameElements(b), "bounded-state pack assignment changed between executions")
+    assert(a.length === 50000 && a.map(_._1).distinct.length === 50000)
+    // boundaries land on bucket edges: every range's cardinality is the
+    // n/partitions target plus at most one bucket's mass — nothing close
+    // to the 45k/50k mega-range the linear-interpolation scheme produced
+    val perRange = a.groupBy(_._2 >> 32).view.mapValues(_.length)
+    assert(perRange.size === 8, s"expected 8 populated ranges, got ${perRange.size}")
+    assert(perRange.values.max <= 2 * 50000 / 8, s"range overshoot beyond a bucket: $perRange")
+    val byPack = Curation.packByTokenBudget(docs, $"doc_id", $"nt",
+      budget = 2048, partitions = 8, boundedStateBoundaries = true)
+      .groupBy($"pack_id").agg(sum($"n_tokens").as("s"), count(lit(1)).as("n"))
+      .collect()
+    byPack.foreach { r =>
+      if (r.getLong(2) > 1) assert(r.getLong(1) <= 2048L, s"pack over budget: $r")
+    }
+  }
+
   test("packByTokenBudget on empty input returns an empty frame with the contract schema") {
     val empty = spark.range(0).select($"id".as("doc_id"), $"id".as("nt"))
     val out = Curation.packByTokenBudget(empty, $"doc_id", $"nt", budget = 100, partitions = 4)

@@ -105,6 +105,52 @@ class StreamingIngestSpec extends SparkSpec {
     assert(kept10 === "the quick brown fox jumps")
   }
 
+  test("curated store: empty batches never rewrite it; a crash between delete and rename self-heals") {
+    val dir = tmpDir("stream-curate-atomic")
+    val landing = s"$dir/landing"
+    val store = s"$dir/store"
+    Files.createDirectories(Paths.get(landing))
+    def doc(id: Long, text: String, lang: String = "en"): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"$lang"}"""
+    def run(): Unit = {
+      val q = StreamingIngest.startCurated(spark, landing, store, s"$dir/ck",
+        Map.empty, defaultRate = 1.0, minTokens = 3)
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(s"$landing/b1.json"), Seq(
+      doc(1L, "first document with enough tokens"),
+      doc(2L, "second document with enough tokens")).mkString("\n").getBytes("UTF-8"))
+    run()
+    def listing(): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq
+        .map(s => (s.getPath.getName, s.getModificationTime)).sortBy(_._1)
+    }
+    val before = listing()
+
+    // a batch whose every row is gated out contributes nothing — the
+    // store's files must be byte-for-byte the ones already there, not a
+    // rewrite of identical content (rewriting the only copy is pure risk)
+    Files.write(Paths.get(s"$landing/b2.json"), Seq(
+      doc(3L, "nope"), doc(4L, "!!! ?? ;;")).mkString("\n").getBytes("UTF-8"))
+    run()
+    assert(listing() === before, "empty-contribution batch rewrote the store")
+
+    // crash simulation: the swap's delete landed but the rename did not —
+    // the ONLY copy of the store now sits at __next. The next merge must
+    // adopt it, so nothing previously curated is lost.
+    assert(new java.io.File(store).renameTo(new java.io.File(store + "__next")))
+    Files.write(Paths.get(s"$landing/b3.json"), Seq(
+      doc(5L, "a fresh document after the crash")).mkString("\n").getBytes("UTF-8"))
+    run()
+    val ids = spark.read.parquet(store).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 5L))
+    // and the adopted temp location is gone after the successful swap
+    assert(!new java.io.File(store + "__next").exists())
+  }
+
   test("watermarked daily sentiment counts over a processed stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
