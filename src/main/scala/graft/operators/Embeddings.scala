@@ -162,9 +162,11 @@ object Embeddings {
     * vectors agree on almost every sign bit, so any tight near-dup pair
     * shares a band with overwhelming probability.
     *
-    * (Not oracle-registered: the synthetic embeddings table has no pairs
-    * above any meaningful threshold — max cosine ~0.6; EmbeddingsSpec
-    * proves exactness against brute force on planted near-dups.)
+    * Oracle-registered as q_cosine_dedup at threshold 0.45 (the densest
+    * the synthetic table supports — max pair cosine ~0.6): the DuckDB
+    * oracle replays sketch, banding, candidate join, and rescore from
+    * the shared hyperplane constants. EmbeddingsSpec proves exactness
+    * against brute force on planted near-dups at the production 0.9.
     */
   def cosineNearDuplicates(
       df: DataFrame, id: Column, emb: Column,

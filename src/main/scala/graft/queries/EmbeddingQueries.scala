@@ -309,7 +309,77 @@ object EmbeddingQueries {
        |GROUP BY e.label ORDER BY e.label""".stripMargin
   }
 
+  /** Embedding-cosine near-duplicate PAIRS
+    * ([[Embeddings.cosineNearDuplicates]]) — the brief's fifth dedup
+    * family member, FULLY oracle-gated at the operator defaults
+    * (h=16, bands=4, seed 42). The synthetic corpus has no true
+    * near-dups (max pair cosine ~0.6), so the query registers at the
+    * densest threshold the table supports (0.45: 14 ground-truth pairs
+    * at sf0.01, ~140 at sf0.1) — the MECHANISM under the gate is exactly
+    * the production one: sign sketch over shared gaussian hyperplanes,
+    * banded bucket self-join, exact rescore of candidates only. The
+    * DuckDB oracle re-derives every step from the SAME
+    * [[Embeddings.hyperplanes]] constants (left-associated IEEE fold,
+    * `>= 0` sign rule, identical bit packing per band), so sketching,
+    * banding, candidate generation, and rescoring are cross-engine
+    * verified; the recall-vs-all-pairs property at the production 0.9
+    * threshold stays spec-gated on planted near-dups (EmbeddingsSpec).
+    */
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.cosineNearDuplicates(e, $"vec_id", $"embedding", threshold = 0.45)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** One band key of [[Embeddings.signSketch]]+[[Embeddings.sketchBands]]
+    * as exact SQL: bit jj of band `b` is plane `b·r+jj`'s dot sign
+    * (explicit left-associated `0.0 + CAST(e[i] AS DOUBLE)·p_i` fold —
+    * [[org.apache.spark.sql.graft.DotFExpr]]'s order — with the plane
+    * constants inlined from the shared generator), packed exactly as the
+    * engine's `(sketch >>> b·r) & mask`.
+    */
+  private def bandKeySql(
+      e: String, planes: Array[Array[Double]], b: Int, r: Int): String = {
+    val terms = (0 until r).map { jj =>
+      val p = planes(b * r + jj)
+      val sum = p.indices.map(i => s"CAST($e[${i + 1}] AS DOUBLE) * (${p(i)})")
+        .mkString("0.0 + ", " + ", "")
+      s"CASE WHEN ($sum) >= 0 THEN ${1L << jj} ELSE 0 END"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** Generated from the SAME hyperplanes(dim, h, seed) call the operator
+    * makes. The banded candidate rule becomes a per-band key-equality OR
+    * (one row per surviving pair — same set as the engine's
+    * explode/join/distinct); the rescore reuses [[dotSql]] + round(_, 4)
+    * with the zero-norm coalesce, the [[knnGraphSql]] cosine formula.
+    */
+  private[queries] def cosineDedupSql(
+      dim: Int, h: Int, bands: Int, seed: Long, threshold: Double): String = {
+    val planes = graft.operators.Embeddings.hyperplanes(dim, h, seed)
+    val r = h / bands
+    val keys = (0 until bands)
+      .map(b => s"${bandKeySql("embedding", planes, b, r)} AS k$b")
+      .mkString(",\n    ")
+    val bandEq = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    val dotAB = dotSql("a.embedding", "b.embedding")
+    val nA = s"sqrt(${dotSql("a.embedding", "a.embedding")})"
+    val nB = s"sqrt(${dotSql("b.embedding", "b.embedding")})"
+    s"""WITH sk AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    $keys
+       |  FROM embeddings)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(coalesce($dotAB / nullif($nA * $nB, 0.0), 0.0), 4) AS cosine
+       |  FROM sk a JOIN sk b ON a.vec_id < b.vec_id AND ($bandEq))
+       |WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cosine_dedup" -> (cosineDedup _),
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),
     "q_embedding_ann" -> (embeddingAnn _),
@@ -336,6 +406,8 @@ object EmbeddingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_cosine_dedup" -> cosineDedupSql(
+      dim = 64, h = 16, bands = 4, seed = 42L, threshold = 0.45),
     "q_embedding_knn" -> embeddingKnnSql,
     "q_embedding_q8_knn" -> embeddingQ8KnnSql,
     "q_embedding_ann" -> embeddingAnnSql,
