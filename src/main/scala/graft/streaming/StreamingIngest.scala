@@ -230,6 +230,43 @@ object StreamingIngest {
     fs.rename(next, p)
   }
 
+  /** Streaming MinHash-LSH near-dup suppression against the persistent
+    * signature store — [[graft.operators.IncrementalDedup.lshDedupBatch]]
+    * per micro-batch. Unlike [[nearDupSuppressStream]] (exact-fingerprint
+    * key equality, watermark-bounded state), this suppresses TRUE
+    * near-duplicates (banded MinHash + estimated-Jaccard verify) against
+    * EVERYTHING ever accepted, with no state horizon: the store is the
+    * state, and a replayed micro-batch rewrites its own `batch=<id>`
+    * partition idempotently (the foreachBatch batchId is stable across
+    * checkpoint-resumed replays).
+    */
+  def startLshDedup(
+      spark: SparkSession, landingDir: String, storePath: String,
+      checkpointDir: String,
+      threshold: Double = 0.5,
+      k: Int = 64, bands: Int = 16,
+      maxFilesPerTrigger: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.IncrementalDedup.lshDedupBatch(
+            spark, batch, col("doc_id"), col("text"), storePath, batchId,
+            threshold = threshold, k = k, bands = bands)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** A7 streaming: running totals per key across micro-batches via
     * `mapGroupsWithState` — the reference's total_scraped / query_scraped
     * accumulators (src/resilient_scraper.py:1271-1283) as managed state.

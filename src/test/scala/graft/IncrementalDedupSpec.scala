@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalDedup}
+import graft.streaming.StreamingIngest
+
+/** Cross-batch MinHash-LSH suppression against the persistent signature
+  * store. The planted corpus is a sliding 40-token window over 60 shared
+  * tokens: A = t1..t40, B = t11..t50, G = t21..t60 — so adjacent windows
+  * overlap 30 tokens (exact shingle Jaccard 28/48 ≈ 0.583, above the 0.45
+  * test threshold) while the outer pair overlaps 20 (18/58 ≈ 0.31,
+  * below). G therefore near-matches ONLY B; suppressing G under A's
+  * cluster requires the chain through suppressed B — the transitivity
+  * the store's suppressed-row signatures exist to provide.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Threshold = 0.45
+
+  // r = 64/32 = 2 signature rows per band: P(a true pair shares no band)
+  // = (1 - J^2)^32 — ~2e-6 at the planted J ≈ 0.58, so candidate
+  // generation is effectively certain and the estimated-Jaccard filter is
+  // the only semantic gate. The production default (16 bands, r = 4) is
+  // tuned for threshold ~0.6+ corpora; at the planted geometry its
+  // miss probability (~0.45 at est J ≈ 0.5) is a coin flip per pair —
+  // the spec pins SEMANTICS, so it buys certainty with more bands.
+  private val TestBands = 32
+
+  private def toksText(lo: Int, hi: Int): String =
+    (lo to hi).map(i => f"tok$i%02d").mkString(" ")
+
+  private val textA = toksText(1, 40)
+  private val textB = toksText(11, 50)
+  private val textG = toksText(21, 60)
+  private val textC = (1 to 40).map(i => f"other$i%02d").mkString(" ")
+  private val textE = (1 to 40).map(i => f"fresh$i%02d").mkString(" ")
+
+  private def tmpDir(name: String): String = {
+    val d = s"target/tmp/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def sigOf(text: String): Array[Long] =
+    Seq(text).toDF("t")
+      .select(Dedup.minHashSignature(
+        Dedup.wordShingles(col("t")), 64, 42L).as("s"))
+      .head().getAs[scala.collection.Seq[Long]](0).toArray
+
+  private def est(a: Array[Long], b: Array[Long]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(IncrementalDedup.estimatedJaccard(col("a"), col("b"), 64).as("e"))
+      .head().getDouble(0)
+
+  private def exactJ(x: String, y: String): Double =
+    Seq((x, y)).toDF("x", "y")
+      .select(Dedup.jaccard(
+        Dedup.wordShingles(col("x")), Dedup.wordShingles(col("y"))).as("j"))
+      .head().getDouble(0)
+
+  test("estimated Jaccard tracks exact Jaccard within estimator tolerance; planted geometry holds") {
+    val (sa, sb, sg) = (sigOf(textA), sigOf(textB), sigOf(textG))
+    for ((x, y, nx, ny) <- Seq(
+        (textA, textB, sa, sb), (textB, textG, sb, sg), (textA, textG, sa, sg))) {
+      val e = est(nx, ny)
+      val j = exactJ(x, y)
+      // k=64 → estimator σ = sqrt(J(1−J)/64) ≤ 0.063; 0.15 ≈ 2.4σ
+      assert(math.abs(e - j) <= 0.15, s"estimator drift: est=$e exact=$j")
+    }
+    // the geometry every other test in this suite depends on — fail HERE,
+    // loudly, if the planted construction ever stops separating
+    assert(est(sa, sb) >= Threshold, s"A~B must match: ${est(sa, sb)}")
+    assert(est(sb, sg) >= Threshold, s"B~G must match: ${est(sb, sg)}")
+    assert(est(sa, sg) < Threshold, s"A~G must NOT match directly: ${est(sa, sg)}")
+  }
+
+  test("cross-batch suppression: direct, transitive through a suppressed doc, in-batch, short docs") {
+    val store = tmpDir("inc-dedup")
+    def run(batchId: Long, rows: (Long, String)*): Map[Long, (Long, Boolean)] =
+      IncrementalDedup.lshDedupBatch(
+        spark, rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        store, batchId, threshold = Threshold, bands = TestBands)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+
+    // batch 0: A and an unrelated doc and a shingle-less short doc
+    val b0 = run(0L, 10L -> textA, 11L -> textC, 12L -> "hi")
+    assert(b0 === Map(10L -> ((10L, true)), 11L -> ((11L, true)), 12L -> ((12L, true))))
+
+    // batch 1: B near-matches stored A → suppressed under 10; E is fresh
+    val b1 = run(1L, 20L -> textB, 21L -> textE)
+    assert(b1 === Map(20L -> ((10L, false)), 21L -> ((21L, true))))
+
+    // batch 2: G near-matches ONLY the SUPPRESSED B (geometry test above)
+    // → still suppressed, under B's rep 10: cross-batch transitivity.
+    // Plus an in-batch identical pair: min id survives.
+    val b2 = run(2L, 30L -> textG, 31L -> textE.replace("fresh", "novel"),
+      32L -> textE.replace("fresh", "novel"))
+    assert(b2(30L) === ((10L, false)), s"chain through suppressed doc broken: ${b2(30L)}")
+    assert(b2(31L) === ((31L, true)))
+    assert(b2(32L) === ((31L, false)))
+
+    val surv = IncrementalDedup.survivors(spark, store)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === Seq(10L, 11L, 12L, 21L, 31L))
+
+    // one-shot equivalence: the same nine docs in ONE batch on a fresh
+    // store give the same survivor set (no bridge doc in this corpus)
+    val fresh = tmpDir("inc-dedup-oneshot")
+    val all = IncrementalDedup.lshDedupBatch(
+      spark, Seq(10L -> textA, 11L -> textC, 12L -> "hi", 20L -> textB,
+        21L -> textE, 30L -> textG, 31L -> textE.replace("fresh", "novel"),
+        32L -> textE.replace("fresh", "novel")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), fresh, 0L, threshold = Threshold, bands = TestBands)
+    val oneShot = all.filter($"survivor").select($"doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(oneShot.toSeq === Seq(10L, 11L, 12L, 21L, 31L))
+  }
+
+  test("replayed batch rewrites its partition idempotently") {
+    val store = tmpDir("inc-dedup-replay")
+    def content(): Seq[(Long, Long, Boolean, Long)] =
+      spark.read.parquet(store)
+        .select($"doc_id", $"rep_id", $"survivor", $"batch".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+        .toSeq.sorted
+    IncrementalDedup.lshDedupBatch(spark, Seq(10L -> textA, 11L -> textC).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 0L, threshold = Threshold, bands = TestBands)
+    IncrementalDedup.lshDedupBatch(spark, Seq(20L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 1L, threshold = Threshold, bands = TestBands)
+    val before = content()
+    // the failure-replay path: batch 1 runs again with the same batchId
+    // and payload — the store's ROW SET must not change (the partition is
+    // rewritten, never appended)
+    IncrementalDedup.lshDedupBatch(spark, Seq(20L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 1L, threshold = Threshold, bands = TestBands)
+    assert(content() === before, "replay changed the store's content")
+  }
+
+  test("monotonicity: a late bridge doc never retracts emitted survivors") {
+    // H = t1..t40 and I = t21..t60 are NOT near-dups of each other; the
+    // bridge K = t11..t50 matches both. Sequentially H and I are both
+    // emitted before K arrives — K is suppressed under the smaller rep
+    // and both stay. One-shot closure over the union merges all three.
+    val store = tmpDir("inc-dedup-bridge")
+    IncrementalDedup.lshDedupBatch(spark, Seq(1L -> textA, 2L -> textG).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 0L, threshold = Threshold, bands = TestBands)
+    val b1 = IncrementalDedup.lshDedupBatch(spark, Seq(3L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 1L, threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(b1.toSeq === Seq((3L, 1L, false)))
+    val seq = IncrementalDedup.survivors(spark, store)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(seq.toSeq === Seq(1L, 2L), "emitted survivors were retracted")
+
+    val fresh = tmpDir("inc-dedup-bridge-oneshot")
+    val oneShot = IncrementalDedup.lshDedupBatch(
+      spark, Seq(1L -> textA, 2L -> textG, 3L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), fresh, 0L, threshold = Threshold, bands = TestBands)
+      .filter($"survivor").select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(oneShot.toSeq === Seq(1L), "one-shot closure should merge the bridged clusters")
+  }
+
+  test("streaming wrapper: LSH dedup store survives checkpoint resume") {
+    val dir = tmpDir("inc-dedup-stream")
+    val landing = s"$dir/landing"
+    val store = s"$dir/store"
+    Files.createDirectories(Paths.get(landing))
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    def run(): Unit = {
+      val q = StreamingIngest.startLshDedup(spark, landing, store, s"$dir/ck",
+        threshold = Threshold, bands = TestBands)
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(s"$landing/b1.json"),
+      Seq(doc(10L, textA), doc(11L, textC)).mkString("\n").getBytes("UTF-8"))
+    run()
+    Files.write(Paths.get(s"$landing/b2.json"),
+      Seq(doc(20L, textB)).mkString("\n").getBytes("UTF-8"))
+    run()
+    val surv = IncrementalDedup.survivors(spark, store)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === Seq(10L, 11L))
+    // resume with nothing new: a no-op
+    run()
+    assert(IncrementalDedup.survivors(spark, store).count() === 2L)
+  }
+}
