@@ -68,10 +68,10 @@ import org.apache.spark.sql.functions._
   * suppression passed the estimator gate.
   *
   * Scale shape: the only wide operations are the band-bucket joins
-  * (keyed on 8-byte band hashes) and the component loop over the
-  * batch-internal edge list. The store is read as (sig, bands, rep_id)
-  * — no text — and its exploded band view is one narrow projection;
-  * batch text never shuffles. Store growth is one row per doc ever
+  * (keyed on 8-byte band hashes), the component loop over the
+  * batch-internal edge list, and the final label join — so STORE text is
+  * never read at all, and BATCH text moves through exactly one exchange
+  * (batch-sized, not corpus-sized). Store growth is one row per doc ever
   * seen; at trillions of docs the band join becomes a bucketed/sorted
   * join on a band-hash-partitioned store layout, which this layout
   * (top-level `bands` array, stable schema) supports without rewriting

@@ -1,0 +1,134 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalDedup
+
+/** One-off measurement main: what does the PERSISTENT signature store of
+  * [[IncrementalDedup.lshDedupBatch]] buy over the naive alternative —
+  * re-running one-shot dedup over the accumulated corpus every time a
+  * new crawl batch lands?
+  *
+  * Corpus: n synthetic 40-token docs from pure hash-derived expressions
+  * (deterministic, no driver-side data). Every 7th doc is a planted
+  * near-dup of its predecessor: 35 leading tokens shared in order + 5
+  * own tokens (shingle Jaccard 33/43 ≈ 0.767, comfortably above the 0.5
+  * production threshold; adjacent-only pairs, so no bridge docs and the
+  * incremental and one-shot survivor sets must agree EXACTLY — the tool
+  * asserts it).
+  *
+  * Both modes run the SAME operator (same signatures, banding,
+  * estimator, closure): incremental = B sequential batches against one
+  * store; naive = for each prefix 0..b, one-shot over the accumulated
+  * union on a throwaway store. The delta is therefore pure architecture:
+  * the store amortizes signature computation and candidate generation
+  * over arrivals (per-batch work ~ batch × store-candidates), while the
+  * naive loop re-signs and re-self-joins the whole corpus per batch
+  * (Σ prefix costs ~ quadratic in B).
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.IncrementalDedupBench"
+  * (optional args: docCounts csv, batches). Results are committed to
+  * SURVEY.md §12.
+  */
+object IncrementalDedupBench {
+
+  /** Deterministic token: ~2^30 distinct values keyed on (salt, a, b). */
+  private def tok(salt: String, a: Column, b: Column): Column =
+    concat(lit("w"), pmod(xxhash64(lit(salt), a, b), lit(1073741824L)).cast("string"))
+
+  /** n docs, 40 tokens each; doc d with d%7==0 (d>0) copies doc d-1's
+    * first 35 tokens and owns its last 5 — a planted adjacent near-dup.
+    */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val src = when(col("id") % 7 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(
+            transform(sequence(lit(0), lit(34)), j => tok("base", src, j)),
+            transform(sequence(lit(35), lit(39)), j => tok("own", col("id"), j)))
+        ).as("text"))
+  }
+
+  private def rmrf(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-incremental-dedup-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sizes = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(20000L, 50000L))
+    val batches = args.lift(1).map(_.toInt).getOrElse(5)
+    val base = s"target/tmp/inc-bench-${System.nanoTime()}"
+
+    // warmup: one throwaway run pays the whole-stage-codegen cost so the
+    // first measured row isn't charged for janino (the incremental path
+    // runs first and was ~5 s slower than steady-state without this)
+    IncrementalDedup.lshDedupBatch(spark, corpus(spark, 2000L),
+      col("doc_id"), col("text"), s"$base/warmup", 0L)
+    rmrf(spark, s"$base/warmup")
+
+    println(f"${"n"}%9s ${"batches"}%7s ${"incr s"}%8s ${"naive s"}%8s " +
+      f"${"speedup"}%8s ${"survivors"}%9s")
+    sizes.foreach { n =>
+      val docs = corpus(spark, n)
+      docs.cache().count() // generation cost out of both measured paths
+      val per = (n + batches - 1) / batches
+      val slices = (0 until batches).map { b =>
+        docs.filter(col("doc_id") >= b * per && col("doc_id") < (b + 1) * per)
+      }
+
+      // min of 2 full repetitions per path (fresh stores each rep):
+      // single runs swing tens of percent with GC/compaction luck
+      val incT = (0 until 2).map { rep =>
+        val incStore = s"$base/incr-$n-$rep"
+        timed {
+          slices.zipWithIndex.foreach { case (s, b) =>
+            IncrementalDedup.lshDedupBatch(spark, s, col("doc_id"), col("text"),
+              incStore, b.toLong)
+          }
+        }._2
+      }.min
+      val incSurv = IncrementalDedup.survivors(spark, s"$base/incr-$n-1")
+        .count()
+
+      val naiveT = (0 until 2).map { rep =>
+        timed {
+          (0 until batches).foreach { b =>
+            val acc = slices.take(b + 1).reduce(_.unionByName(_))
+            IncrementalDedup.lshDedupBatch(spark, acc, col("doc_id"), col("text"),
+              s"$base/naive-$n-$rep-$b", 0L)
+          }
+        }._2
+      }.min
+      val naiveSurv = IncrementalDedup.survivors(
+        spark, s"$base/naive-$n-1-${batches - 1}").count()
+      require(incSurv == naiveSurv,
+        s"survivor sets diverged: incremental $incSurv vs one-shot $naiveSurv")
+
+      println(f"$n%9d $batches%7d $incT%8.2f $naiveT%8.2f " +
+        f"${naiveT / incT}%7.2fx $incSurv%9d")
+      docs.unpersist()
+      rmrf(spark, base)
+    }
+    spark.stop()
+  }
+}
