@@ -91,6 +91,18 @@ object IncrementalDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, sig ARRAY<BIGINT>, bands ARRAY<BIGINT>, rep_id BIGINT, survivor BOOLEAN")
 
+  /** Self-heal for [[compactStore]]'s swap: a crash between the old
+    * store's delete and the rename leaves the ONLY copy at `__next` —
+    * adopt it before any read. The same discipline as the curated-store
+    * merge ([[graft.streaming.StreamingIngest]]).
+    */
+  private def adoptNext(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
+    val next = new org.apache.hadoop.fs.Path(p.toString + "__next")
+    val live = fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (!live && fs.exists(next)) { fs.rename(next, p); () }
+  }
+
   /** Suppress one batch against the store at `storePath`, then persist
     * the labeled batch into `batch=<batchId>`. Returns the labeled batch
     * (doc_id, text, rep_id, survivor). See the object doc for semantics.
@@ -119,6 +131,7 @@ object IncrementalDedup {
 
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptNext(fs, p)
     val store =
       if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
         spark.read.parquet(storePath)
@@ -173,8 +186,64 @@ object IncrementalDedup {
   }
 
   /** Read a store's accepted (surviving) corpus. */
-  def survivors(spark: SparkSession, storePath: String): DataFrame =
+  def survivors(spark: SparkSession, storePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    adoptNext(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     spark.read.parquet(storePath)
       .filter(col("survivor"))
       .select(col("doc_id"), col("text"))
+  }
+
+  /** Compact the store: consolidate every `batch=<id>` partition with
+    * id <= `upToBatch` into a single `batch=<upToBatch>` partition of
+    * `targetFiles` files, preserving later partitions verbatim. A store
+    * fed hourly for months carries thousands of tiny partitions whose
+    * listing and open costs come to dominate every batch's read — the
+    * standard small-files decay of any append-only layout.
+    *
+    * SAFETY CONTRACT: only compact batches the stream's checkpoint has
+    * committed past. foreachBatch replays AT MOST the last uncommitted
+    * batch after a crash, so `upToBatch = lastBatchId - 1` is always
+    * safe while the stream is live (a replay of a COMPACTED id would
+    * recreate its partition beside the consolidated copy and duplicate
+    * its rows). Row content is untouched — doc_id, sig, bands, rep_id,
+    * survivor all survive byte-identical, only physical layout changes,
+    * so suppression semantics before and after compaction are equal
+    * (spec-pinned).
+    *
+    * Crash safety: the replacement store is fully written BESIDE the
+    * live one (`__next`), then swapped (delete + rename). A crash
+    * mid-write leaves the live store untouched; a crash between delete
+    * and rename strands the only copy at `__next`, which every reader
+    * ([[lshDedupBatch]], [[survivors]], this method) adopts on entry.
+    */
+  def compactStore(
+      spark: SparkSession, storePath: String, upToBatch: Long,
+      targetFiles: Int = 8): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    adoptNext(fs, p)
+    if (!fs.exists(p)) return
+    val batchIds = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (!batchIds.exists(_ <= upToBatch)) return
+    // consolidate under the LARGEST EXISTING id <= upToBatch, never a
+    // fresh id: the stream hands out ids past its last committed batch,
+    // and a future batch landing on a fresh consolidated id would
+    // overwrite-replace the consolidated partition wholesale
+    val target = batchIds.filter(_ <= upToBatch).max
+    val next = new org.apache.hadoop.fs.Path(storePath + "__next")
+    fs.delete(next, true) // stale leftover from an interrupted attempt
+    spark.read.parquet(storePath)
+      .filter(col("batch") <= upToBatch).drop("batch")
+      .coalesce(targetFiles)
+      .write.parquet(s"$next/batch=$target")
+    batchIds.filter(_ > upToBatch).foreach { b =>
+      spark.read.parquet(s"$storePath/batch=$b")
+        .write.parquet(s"$next/batch=$b")
+    }
+    fs.delete(p, true)
+    fs.rename(next, p)
+    ()
+  }
 }

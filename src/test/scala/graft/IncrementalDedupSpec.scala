@@ -165,6 +165,56 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(oneShot.toSeq === Seq(1L), "one-shot closure should merge the bridged clusters")
   }
 
+  test("compactStore consolidates committed partitions; semantics and crash-swap both hold") {
+    val store = tmpDir("inc-dedup-compact")
+    IncrementalDedup.lshDedupBatch(spark, Seq(10L -> textA, 11L -> textC).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 0L, threshold = Threshold, bands = TestBands)
+    IncrementalDedup.lshDedupBatch(spark, Seq(20L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 1L, threshold = Threshold, bands = TestBands)
+    IncrementalDedup.lshDedupBatch(spark, Seq(21L -> textE).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 2L, threshold = Threshold, bands = TestBands)
+    def rows(): Seq[(Long, Long, Boolean)] =
+      spark.read.parquet(store).select($"doc_id", $"rep_id", $"survivor")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    def dirs(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    }
+    val before = rows()
+    assert(dirs() === Seq("batch=0", "batch=1", "batch=2"))
+
+    // compact the committed prefix: batches 0 and 1 fold into batch=1;
+    // the (possibly in-flight) batch 2 keeps its partition identity —
+    // row content must be byte-identical
+    IncrementalDedup.compactStore(spark, store, upToBatch = 1L)
+    assert(dirs() === Seq("batch=1", "batch=2"))
+    assert(rows() === before, "compaction changed store content")
+
+    // suppression against compacted history still works, reps intact:
+    // G chains to A (rep 10) through suppressed B, both now consolidated
+    val b3 = IncrementalDedup.lshDedupBatch(spark, Seq(30L -> textG).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 3L, threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(b3.toSeq === Seq((30L, 10L, false)))
+
+    // a target id above every existing partition must clamp to an
+    // EXISTING id — a fresh consolidated id would collide with the
+    // stream's next batch and be overwrite-replaced
+    IncrementalDedup.compactStore(spark, store, upToBatch = 99L)
+    assert(dirs() === Seq("batch=3"))
+    val after = rows()
+
+    // crash between delete and rename: the only copy sits at __next —
+    // the next reader adopts it
+    assert(new java.io.File(store).renameTo(new java.io.File(store + "__next")))
+    val sv = IncrementalDedup.survivors(spark, store)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(sv.toSeq === Seq(10L, 11L, 21L))
+    assert(rows() === after, "adopted store content differs")
+    assert(!new java.io.File(store + "__next").exists())
+  }
+
   test("streaming wrapper: LSH dedup store survives checkpoint resume") {
     val dir = tmpDir("inc-dedup-stream")
     val landing = s"$dir/landing"

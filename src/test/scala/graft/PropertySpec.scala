@@ -126,6 +126,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("estimated Jaccard from signatures: bounded, 1.0 on self, tracks exact (arbitrary docs)") {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    // documents long enough to shingle; random words with repeated draws
+    // so Jaccard spans (0, 1), not just the endpoints
+    val w = Gen.choose(0, 29).map(i => s"w$i")
+    val doc = Gen.listOfN(25, w).map(_.mkString(" "))
+    val pairs = samples(Gen.zip(doc, doc), 40)
+    val k = 64
+    val got = pairs.toDF("x", "y")
+      .select(
+        Dedup.minHashSignature(Dedup.wordShingles(col("x")), k, 42L).as("sx"),
+        Dedup.minHashSignature(Dedup.wordShingles(col("y")), k, 42L).as("sy"),
+        Dedup.jaccard(Dedup.wordShingles(col("x")), Dedup.wordShingles(col("y"))).as("j"))
+      .select(
+        IncrementalDedup.estimatedJaccard(col("sx"), col("sy"), k).as("exy"),
+        IncrementalDedup.estimatedJaccard(col("sy"), col("sx"), k).as("eyx"),
+        IncrementalDedup.estimatedJaccard(col("sx"), col("sx"), k).as("exx"),
+        col("j"))
+      .collect()
+    assert(got.length == pairs.length)
+    got.foreach { r =>
+      val (exy, eyx, exx, j) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(exy == eyx)                      // symmetric
+      assert(exy >= 0.0 && exy <= 1.0)
+      assert(exx == 1.0)                      // self-signature agrees everywhere
+      // k=64 → σ = sqrt(J(1−J)/64) ≤ 0.0625; 0.25 = 4σ — a per-pair
+      // bound loose enough to never flake under the fixed seeds, tight
+      // enough that a broken permutation family cannot pass
+      assert(math.abs(exy - j) <= 0.25, s"estimator drift: est=$exy exact=$j")
+    }
+  }
+
   test("jaccard is symmetric, bounded, and 1.0 on self") {
     import spark.implicits._
     val arr = Gen.listOf(Gen.alphaStr.map(_.take(4))).map(_.take(6))
