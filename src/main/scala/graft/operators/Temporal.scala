@@ -114,4 +114,21 @@ object Temporal {
   def sessionize(df: DataFrame, key: Column, ts: Column, gap: String)
       : org.apache.spark.sql.RelationalGroupedDataset =
     df.groupBy(key, session_window(ts, gap).as("session"))
+
+  /** Trailing calendar-day RANGE frame: for each row, the frame holds
+    * every partition row whose `day` lies in [day − (days−1), day] — a
+    * CALENDAR distance, so absent days are simply missing from the frame
+    * rather than stretching it the way a ROWS frame stretches across
+    * gaps. Spark's `rangeBetween` needs a numeric order key, so the
+    * frame runs over the epoch-day index (`datediff` from 1970-01-01);
+    * the partition is one hash exchange + sort, and callers windowing a
+    * pre-aggregated (key, day) relation keep it tiny at any input scale.
+    */
+  def trailingDayWindow(partition: Column, day: Column, days: Int)
+      : org.apache.spark.sql.expressions.WindowSpec = {
+    require(days >= 1, s"days must be >= 1, got $days")
+    Window.partitionBy(partition)
+      .orderBy(datediff(day, to_date(lit("1970-01-01"))))
+      .rangeBetween(-(days - 1).toLong, 0L)
+  }
 }

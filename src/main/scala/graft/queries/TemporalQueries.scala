@@ -101,11 +101,52 @@ object TemporalQueries {
       |FROM sessioned GROUP BY user_id, sess
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** 7-day trailing moving average and sum of daily event volume per
+    * event type — a RANGE frame over CALENDAR distance, not row count:
+    * a day with no events contributes nothing AND shrinks no window
+    * (missing days are simply absent from the frame), which a
+    * ROWS-6-PRECEDING frame gets wrong over sparse dailies. Spark lacks
+    * interval RANGE frames on date order, so the frame runs over an
+    * epoch-day index (`rangeBetween(-6, 0)` on datediff-from-epoch) —
+    * identical calendar semantics, and the window stays a single
+    * hash-partitioned sort per event_type: at 100 TB the pre-aggregation
+    * to (type, day) rows makes the windowed relation tiny regardless of
+    * input size.
+    */
+  def rollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Temporal.trailingDayWindow($"event_type", $"day", days = 7)
+    daily.select($"event_type", $"day", $"n",
+        round(avg($"n").over(w), 4).as("avg_7d"),
+        sum($"n").over(w).as("sum_7d"))
+      .orderBy($"event_type", $"day")
+  }
+
+  // DuckDB has the native interval RANGE frame the Spark side emulates
+  // with the epoch-day index — same calendar rule via different
+  // mechanisms, so the engines cross-check the frame semantics.
+  val rollingDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  round(avg(n) OVER w, 4) AS avg_7d,
+      |  CAST(sum(n) OVER w AS BIGINT) AS sum_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofClickView _),
-    "q_sessionize" -> (sessionize _))
+    "q_sessionize" -> (sessionize _),
+    "q_rolling_daily" -> (rollingDaily _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClickViewSql,
-    "q_sessionize" -> sessionizeSql)
+    "q_sessionize" -> sessionizeSql,
+    "q_rolling_daily" -> rollingDailySql)
 }

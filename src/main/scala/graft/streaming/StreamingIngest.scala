@@ -239,6 +239,15 @@ object StreamingIngest {
     * state, and a replayed micro-batch rewrites its own `batch=<id>`
     * partition idempotently (the foreachBatch batchId is stable across
     * checkpoint-resumed replays).
+    *
+    * `compactEvery` (0 = off) folds the store's committed prefix into a
+    * single partition every N batches, inside foreachBatch — the one
+    * place `batchId - 1` is KNOWN checkpoint-committed (foreachBatch
+    * replays at most the current id after a crash), so the compaction
+    * honors [[graft.operators.IncrementalDedup.compactStore]]'s safety
+    * contract without coordinating with an external maintenance job.
+    * A months-long hourly stream otherwise accrues thousands of tiny
+    * `batch=` partitions whose listing cost dominates every read.
     */
   def startLshDedup(
       spark: SparkSession, landingDir: String, storePath: String,
@@ -246,7 +255,8 @@ object StreamingIngest {
       threshold: Double = 0.5,
       k: Int = 64, bands: Int = 16,
       maxFilesPerTrigger: Int = 10,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string")
     val raw = spark.readStream
@@ -261,6 +271,9 @@ object StreamingIngest {
           graft.operators.IncrementalDedup.lshDedupBatch(
             spark, batch, col("doc_id"), col("text"), storePath, batchId,
             threshold = threshold, k = k, bands = bands)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.IncrementalDedup.compactStore(
+              spark, storePath, upToBatch = batchId - 1)
           ()
         }
       }

@@ -240,4 +240,44 @@ class IncrementalDedupSpec extends SparkSpec {
     run()
     assert(IncrementalDedup.survivors(spark, store).count() === 2L)
   }
+
+  test("streaming wrapper: in-stream compaction folds committed prefix, same survivors") {
+    val dir = tmpDir("inc-dedup-stream-compact")
+    val landing = s"$dir/landing"
+    val store = s"$dir/store"
+    Files.createDirectories(Paths.get(landing))
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // maxFilesPerTrigger=1 → one micro-batch per landed file, so batch
+    // ids advance 0,1,2,... and compactEvery=2 fires inside batch 2
+    def run(): Unit = {
+      val q = StreamingIngest.startLshDedup(spark, landing, store, s"$dir/ck",
+        threshold = Threshold, bands = TestBands,
+        maxFilesPerTrigger = 1, compactEvery = 2)
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(s"$landing/b1.json"),
+      Seq(doc(10L, textA), doc(11L, textC)).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$landing/b2.json"),
+      Seq(doc(20L, textB)).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(s"$landing/b3.json"),
+      Seq(doc(21L, textE)).mkString("\n").getBytes("UTF-8"))
+    run()
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSeq.sorted
+    // batch 2's trigger compacted 0..1 into batch=1, then wrote batch=2
+    assert(dirs === Seq("batch=1", "batch=2"))
+    val surv = IncrementalDedup.survivors(spark, store)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === Seq(10L, 11L, 21L))
+    // transitive suppression against the compacted store still holds
+    val b = IncrementalDedup.lshDedupBatch(spark,
+      Seq(30L -> textG).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 3L,
+      threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(b.toSeq === Seq((30L, 10L, false)))
+  }
 }

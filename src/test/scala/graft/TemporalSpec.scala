@@ -173,6 +173,28 @@ class TemporalSpec extends SparkSpec {
       (2L, "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("trailingDayWindow frames by CALENDAR distance, not row count") {
+    // sparse dailies: a burst (days 1-3), a long gap, a second burst
+    // (days 20-21); type "y" guards the partition boundary
+    val daily = Seq(
+      ("x", "2024-01-01", 10L), ("x", "2024-01-02", 20L),
+      ("x", "2024-01-03", 30L), ("x", "2024-01-20", 40L),
+      ("x", "2024-01-21", 50L), ("y", "2024-01-02", 7L))
+      .toDF("k", "d", "n").select($"k", to_date($"d").as("day"), $"n")
+    val w = Temporal.trailingDayWindow($"k", $"day", days = 7)
+    val got = daily.select($"k", $"day", sum($"n").over(w).as("s"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .toSeq.sorted
+    assert(got === Seq(
+      ("x", "2024-01-01", 10L),        // alone
+      ("x", "2024-01-02", 30L),        // 01+02
+      ("x", "2024-01-03", 60L),        // 01+02+03
+      ("x", "2024-01-20", 40L),        // the gap EMPTIES the frame —
+      ("x", "2024-01-21", 90L),        //   a ROWS(-6,0) frame would
+                                       //   still see days 1-3 here
+      ("y", "2024-01-02", 7L)))        // partitions don't leak
+  }
+
   test("sessionize session end is last event + gap") {
     val ev = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
     val s = Temporal.sessionize(ev, $"user_id", $"ts", "30 minutes")
