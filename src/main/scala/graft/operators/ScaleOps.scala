@@ -58,4 +58,99 @@ object ScaleOps {
     val plan = df.queryExecution.executedPlan.toString
     plan.linesIterator.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
   }
+
+  /** Misra–Gries candidate pass for heavy hitters: each partition keeps at
+    * most `k` counters (insert if present or space; else decrement ALL and
+    * drop zeros — amortized O(1) per row, every decrement retires k+1
+    * units of stream mass), then the per-partition summaries aggregate by
+    * key. Returns `(key STRING, mg_count, rows)` plus one null-key
+    * `is_size` row per partition carrying its row count, so callers get
+    * the corpus total without a second scan.
+    *
+    * GUARANTEE (no false negatives): within partition p, any key with
+    * count_p > N_p/k ends with a live counter; a key with GLOBAL count
+    * > N/k must exceed N_p/k in at least one partition (else summing the
+    * per-partition bounds caps its total at N/k) — so every global heavy
+    * hitter above share 1/k appears in the output. False positives are
+    * expected and cheap: the summary is at most k·partitions rows
+    * (key-independent, bounded state — the entire point at corpus scale,
+    * where the naive groupBy shuffles one partial per DISTINCT key per
+    * partition: vocabulary-sized state for token streams).
+    */
+  def heavyHitterSummary(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null keys are excluded (SQL null-equality would drop them at the
+    // rescore join anyway) — coalesce upstream to count them as a value
+    df.select(key.cast("string").as("k")).filter(col("k").isNotNull).as[String]
+      .mapPartitions { it =>
+        // boxed values: a Long-valued map would UNBOX absent-key null to
+        // 0L and the presence check could never fire
+        val counters = new java.util.HashMap[String, java.lang.Long](k * 2)
+        var rows = 0L
+        it.foreach { s =>
+          rows += 1
+          val cur = counters.get(s)
+          if (cur ne null) counters.put(s, java.lang.Long.valueOf(cur.longValue + 1))
+          else if (counters.size < k) counters.put(s, java.lang.Long.valueOf(1L))
+          else {
+            val e = counters.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue.longValue == 1L) e.remove()
+              else kv.setValue(java.lang.Long.valueOf(kv.getValue.longValue - 1))
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counters.asScala.iterator.map { case (s, c) => (s, c.longValue, 0L, false) } ++
+          Iterator.single((null: String, 0L, rows, true))
+      }
+      .toDF("key", "mg_count", "rows", "is_size")
+  }
+
+  /** Exact heavy hitters (keys with count >= ceil(minShare · N)) without
+    * ever shuffling per-distinct-key state: a [[heavyHitterSummary]]
+    * candidate pass (k = ⌈1/minShare⌉ + 1 ⇒ candidates ⊇ true heavies),
+    * then one rescore scan that counts ONLY candidate keys — the
+    * broadcast semi-join prunes the map side, and map-side combine bounds
+    * the rescore shuffle at candidates × partitions. Two scans total; the
+    * same candidates-then-exact-rescore shape as the LSH dedup pipeline,
+    * so the approximate pass affects COST, never the answer. Returns
+    * `(key, n, share)` exactly equal to the naive
+    * `groupBy.count.filter(n >= ceil(minShare·N))` over non-null keys
+    * (oracle-gated on the token corpus). The candidate set is collected
+    * to the driver — the SAME bytes a broadcast join ships there anyway —
+    * so the returned frame's lineage is df + a local relation, freely
+    * re-executable with no cached state to pin.
+    */
+  def heavyHitters(df: DataFrame, key: Column, minShare: Double): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0,
+      s"minShare must be in (0, 1], got $minShare")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = math.ceil(1.0 / minShare).toLong.toInt + 1
+    // one pass: per-partition MG counters + partition sizes, both read
+    // from the one materialized summary (k·partitions rows at most)
+    val summary = Checkpoints.materializeFrame(heavyHitterSummary(df, key, k))
+    val total = summary.filter(col("is_size"))
+      .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+    val candidates = summary.filter(!col("is_size"))
+      .select(col("key")).distinct().as[String].collect()
+    Checkpoints.freeFrame(summary)
+    val threshold = math.ceil(minShare * total).toLong
+    if (total == 0L)
+      return spark.emptyDataFrame
+        .select(lit("").as("key"), lit(0L).as("n"), lit(0.0).as("share"))
+    // rescore pass: count ONLY candidate keys — the broadcast semi-join
+    // prunes the scan and map-side combine bounds the shuffle at
+    // candidates × partitions, never distinct-keys × partitions
+    df.select(key.cast("string").as("key"))
+      .join(broadcast(candidates.toSeq.toDF("key")), Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .withColumn("share", col("n") / lit(total))
+  }
 }

@@ -73,6 +73,115 @@ object TextQueries {
       |  CAST(max(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Corpus-wide heavy-hitter share threshold: tokens at >= 0.5 % of the
+    * stream. The SQL threshold is generated from this constant and CAST
+    * to DOUBLE so both engines run the identical IEEE multiply before
+    * CEIL — decimal-vs-binary arithmetic at an integer boundary would
+    * otherwise shift the cutoff by one.
+    */
+  private val HeavyHitterShare = 0.005
+
+  /** Vocabulary heavy hitters: tokens holding >= [[HeavyHitterShare]] of
+    * all token occurrences, via [[graft.operators.ScaleOps.heavyHitters]]
+    * — a bounded-state Misra–Gries candidate pass plus an exact rescore
+    * of candidates only, so the result is EXACT (hash-matched against the
+    * naive group-count oracle) while per-executor state stays k counters
+    * instead of vocabulary-sized aggregation state.
+    */
+  def tokenHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.wide(spark, dir, "documents")
+      .select(explode(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("token"))
+    graft.operators.ScaleOps.heavyHitters(toks, $"token", HeavyHitterShare)
+      .select($"key".as("token"), $"n", round($"share", 6).as("share"))
+      .orderBy($"n".desc, $"token")
+  }
+
+  val tokenHeavyHittersSql: String =
+    s"""WITH t AS (
+       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
+       |tot AS (SELECT count(*) AS total FROM t),
+       |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+       |SELECT token, n, round(n / (SELECT total FROM tot), 6) AS share
+       |FROM c
+       |WHERE n >= CEIL(CAST($HeavyHitterShare AS DOUBLE) * (SELECT total FROM tot))
+       |ORDER BY n DESC, token""".stripMargin
+
+  /** Terms for [[tfidfTerms]]: lowercase alphanumeric runs of >= 3 chars —
+    * a deliberately simple lexer both engines express as one regex, long
+    * enough to skip particles that would tie at idf ~ 0.
+    */
+  private val TfidfTermRegex = "[a-z0-9]{3,}"
+
+  /** Top distinctive terms per source kept by [[tfidfTerms]]. */
+  private val TfidfTopK = 5
+
+  /** Top-k distinctive terms per source by TF-IDF (tf · ln(N/df), the
+    * classic raw-idf form): tf = occurrences of the term in the source's
+    * documents, df = number of distinct documents containing the term,
+    * N = corpus document count.
+    *
+    * Scale shape: ONE tokenize pass feeds a per-(term, doc, source) count
+    * (first and only wide exchange over token data); tf and df are narrow
+    * re-aggregations of that pre-aggregate, joined on term (both sides
+    * vocabulary-sized, not corpus-sized); N arrives as a broadcast 1-row
+    * cross join, never a driver collect. The top-k window sorts
+    * per-source vocabulary slices, not documents.
+    *
+    * Cross-engine float discipline: ln is the one operation here that is
+    * NOT bit-identical across engines (JVM Math.log vs libm differ by
+    * 1 ulp on ~1e-4 of inputs — measured), so the score is rounded to 6
+    * decimals BEFORE ranking and ties break on the term; mathematically
+    * equal scores computed via different ln calls (e.g. 2·ln4 vs 4·ln2)
+    * therefore rank identically in both engines instead of by ulp noise.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.wide(spark, dir, "documents")
+    val toks = docs.select($"doc_id", $"source",
+      explode(regexp_extract_all(lower($"text"), lit(TfidfTermRegex), lit(0))).as("term"))
+    // one exchange over token-grain data; everything downstream is
+    // vocabulary-grain
+    val grain = toks.groupBy($"term", $"doc_id", $"source")
+      .agg(count(lit(1)).as("c"))
+    val tf = grain.groupBy($"source", $"term").agg(sum($"c").cast("long").as("tf"))
+    val df = grain.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select($"source", $"term", $"tf", $"df",
+        round($"tf".cast("double") *
+          log($"n_docs".cast("double") / $"df".cast("double")), 6).as("tfidf"))
+    val rk = row_number().over(
+      Window.partitionBy($"source").orderBy($"tfidf".desc, $"term"))
+    scored.withColumn("rk", rk).filter($"rk" <= TfidfTopK).drop("rk")
+      .orderBy($"source", $"tfidf".desc, $"term")
+  }
+
+  val tfidfTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    unnest(regexp_extract_all(lower(text), '$TfidfTermRegex')) AS term
+       |  FROM documents),
+       |grain AS (
+       |  SELECT term, doc_id, source, count(*) AS c
+       |  FROM toks GROUP BY term, doc_id, source),
+       |tf AS (SELECT source, term, CAST(sum(c) AS BIGINT) AS tf
+       |       FROM grain GROUP BY source, term),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM grain GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT source, term, tf, df,
+       |    round(CAST(tf AS DOUBLE) *
+       |      ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+       |  FROM tf JOIN df USING (term)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT source, term, tf, df, tfidf FROM ranked WHERE rk <= $TfidfTopK
+       |ORDER BY source, tfidf DESC, term""".stripMargin
+
   /** Language-ID confusion matrix: labeled lang vs stopword-heuristic
     * prediction.
     *
@@ -487,6 +596,8 @@ object TextQueries {
     "q_fuzzy_partial_ratio" -> (fuzzyPartialRatio _),
     "q_clean_text" -> (cleanText _),
     "q_token_stats" -> (tokenStats _),
+    "q_token_heavy_hitters" -> (tokenHeavyHitters _),
+    "q_tfidf_terms" -> (tfidfTerms _),
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_sentiment_distribution" -> (sentimentDistribution _),
@@ -501,6 +612,8 @@ object TextQueries {
     "q_fuzzy_partial_ratio" -> fuzzyPartialRatioSql,
     "q_clean_text" -> cleanTextSql,
     "q_token_stats" -> tokenStatsSql,
+    "q_token_heavy_hitters" -> tokenHeavyHittersSql,
+    "q_tfidf_terms" -> tfidfTermsSql,
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_sentiment_distribution" -> sentimentDistributionSql,

@@ -52,4 +52,48 @@ class ScaleOpsSpec extends SparkSpec {
       assert(ScaleOps.hasShuffleExchange(a.join(b, "k")))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // Zipf-ish stream: key i appears ~C/i times — real heavy head, long
+  // tail, far more distinct keys than MG counters
+  private def zipfKeys: Seq[String] =
+    (1 to 400).flatMap(i => Seq.fill(2000 / i)(s"key$i"))
+
+  test("heavyHitterSummary: bounded state, no false negatives under adversarial partitioning") {
+    import spark.implicits._
+    val k = 21
+    val n = zipfKeys.length
+    val exact = zipfKeys.groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    // round-robin repartition spreads every key across all partitions —
+    // the layout LEAST favorable to per-partition counters
+    val df = zipfKeys.toDF("tok").repartition(13)
+    val summary = ScaleOps.heavyHitterSummary(df, col("tok"), k)
+    val cand = summary.filter(!$"is_size").select($"key").as[String].collect().toSet
+    // every key above share 1/k must be a candidate (the MG guarantee)
+    val mustHave = exact.collect { case (s, c) if c > n.toDouble / k => s }.toSet
+    assert(mustHave.subsetOf(cand),
+      s"missed heavy hitters: ${mustHave -- cand}")
+    // bounded state: at most k counters per partition survive
+    assert(cand.size <= k * 13)
+    // the size rows carry the corpus total
+    val total = summary.filter($"is_size").agg(sum($"rows")).head.getLong(0)
+    assert(total === n.toLong)
+  }
+
+  test("heavyHitters equals the naive group-count exactly; nulls excluded; empty input empty") {
+    import spark.implicits._
+    val withNulls = zipfKeys.map(Option(_)) ++ Seq.fill(50)(Option.empty[String])
+    val df = withNulls.toDF("tok").repartition(7)
+    val minShare = 0.02
+    val got = ScaleOps.heavyHitters(df, col("tok"), minShare)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val nonNull = zipfKeys.length
+    val threshold = math.ceil(minShare * nonNull).toLong
+    val expected = zipfKeys.groupBy(identity)
+      .collect { case (s, xs) if xs.length >= threshold =>
+        (s, xs.length.toLong, xs.length.toDouble / nonNull) }
+      .toSet
+    assert(got === expected)
+    assert(ScaleOps.heavyHitters(Seq.empty[String].toDF("tok"), col("tok"), 0.1)
+      .count() === 0L)
+  }
 }
