@@ -56,6 +56,55 @@ object Curation {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** [[contaminationMarks]] for benchmark sets too large to broadcast as
+    * raw strings: the distinct benchmark shingles build a Bloom filter
+    * (distributed `df.stat.bloomFilter` build — partitions fold locally,
+    * bit arrays OR-merge on the driver), the corpus shingle stream is
+    * pre-filtered through the broadcast sketch, and an exact shuffle join
+    * against the benchmark shingles confirms the survivors. EXACT by
+    * construction — Bloom filters have no false negatives, and the
+    * confirm join removes every false positive — so `fpp` tunes COST,
+    * never the answer (oracle-gated against the same SQL as the
+    * broadcast path).
+    *
+    * Why this exists at 100 TB: a 10⁹-shingle contamination list is tens
+    * of GB of raw strings — over any broadcast budget — but ~1.2 GB of
+    * Bloom bits at 1 % fpp. The confirm join then shuffles only true
+    * hits + fpp · misses of the corpus stream instead of every corpus
+    * shingle, and the corpus text itself still never shuffles. The sketch
+    * check is a broadcast-variable UDF (two xxhash probes per shingle; a
+    * plan-embedded native expression would inline the multi-MB bit array
+    * into the plan tree — strictly worse).
+    */
+  def contaminationMarksBloom(
+      corpus: DataFrame, id: Column, text: Column,
+      benchmark: DataFrame, benchmarkText: Column,
+      n: Int = 13,
+      expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.wordShingles(benchmarkText, n)).as("__g"))
+      .distinct()
+    val bloom = benchShingles.stat.bloomFilter("__g", expectedShingles, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { g: String => g != null && bc.value.mightContainString(g) }
+    val survivors = corpus
+      .select(id.as("id"), Dedup.tokens(text).as("__toks"))
+      .select(col("id"), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+      .filter(mightContain(col("__g")))
+    // exact confirm: no broadcast hint — the benchmark side of THIS join
+    // is exactly the set that outgrew the broadcast budget
+    val hits = survivors
+      .join(benchShingles.hint("shuffle_hash"), Seq("__g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc already
+    corpus.select(id.as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        col("n_shared").isNotNull.as("contaminated"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Threshold for [[stratifiedSample]]: the 8-hex-digit lowercase prefix
     * of floor(rate · 2³²), zero-padded. md5 hex output is lowercase and
     * fixed-width in every engine, so `substr(md5(key), 1, 8) < threshold`

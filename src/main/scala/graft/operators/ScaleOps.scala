@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shuffle-discipline utilities for the 100 TB posture (SURVEY §7.4 risk
@@ -152,5 +152,117 @@ object ScaleOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
       .withColumn("share", col("n") / lit(total))
+  }
+
+  /** Rank comparator over external Row values for [[topKPerGroup]]:
+    * negative iff row `a` ranks STRICTLY BEFORE row `b` under the final
+    * window order (order column desc-or-asc with Spark's null placement —
+    * desc ⇒ nulls last, asc ⇒ nulls first — then tie column asc, nulls
+    * first). Numeric columns only: integral types compare as long,
+    * floating as IEEE double, decimals as BigDecimal — each the same
+    * total order Catalyst's SortOrder uses for that type, which is what
+    * makes per-partition pruning under this comparator a sound superset
+    * of the window's top k.
+    */
+  private def rankComparator(
+      schema: org.apache.spark.sql.types.StructType,
+      orderIdx: Int, tieIdx: Int, descending: Boolean): java.util.Comparator[Row] = {
+    import org.apache.spark.sql.types._
+    def cmpFor(dt: DataType, name: String): (Any, Any) => Int = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        (a, b) => java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue, b.asInstanceOf[Number].doubleValue)
+      case _: DecimalType =>
+        (a, b) => a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal])
+      case other => throw new IllegalArgumentException(
+        s"topKPerGroup order/tie columns must be numeric; '$name' is $other")
+    }
+    val cmpO = cmpFor(schema(orderIdx).dataType, schema(orderIdx).name)
+    val cmpT = cmpFor(schema(tieIdx).dataType, schema(tieIdx).name)
+    // task closures capture this comparator — it must survive serialization
+    new java.util.Comparator[Row] with Serializable {
+      override def compare(a: Row, b: Row): Int = {
+        val ao = a.get(orderIdx); val bo = b.get(orderIdx)
+        val c =
+          if ((ao == null) && (bo == null)) 0
+          else if (ao == null) { if (descending) 1 else -1 } // desc: null last
+          else if (bo == null) { if (descending) -1 else 1 }
+          else { val v = cmpO(ao, bo); if (descending) -v else v }
+        if (c != 0) c
+        else {
+          val at = a.get(tieIdx); val bt = b.get(tieIdx)
+          if ((at == null) && (bt == null)) 0
+          else if (at == null) -1 // tie is asc ⇒ nulls first
+          else if (bt == null) 1
+          else cmpT(at, bt)
+        }
+      }
+    }
+  }
+
+  /** Per-partition candidate pass for [[topKPerGroup]]: each partition
+    * keeps a bounded worst-out heap of at most `k` rows PER GROUP it
+    * sees, so at most k · (groups in partition) rows survive to the
+    * shuffle — the same state class as a hash-aggregate partial (one
+    * bounded buffer per local group), where the window formulation ships
+    * and sorts EVERY row of the relation through the group exchange.
+    * Soundness: the global top k of a group under a total order is a
+    * subset of the union of per-partition top k's under the SAME order
+    * (any row displaced from a partition heap has k rows of its own
+    * partition ranked before it, so it cannot be in the global top k).
+    */
+  private[graft] def partialTopKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, tieCol: String, k: Int, descending: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val rankCmp = rankComparator(
+      schema, schema.fieldIndex(orderCol), schema.fieldIndex(tieCol), descending)
+    val worstFirst = rankCmp.reversed() // heap head = currently worst-ranked
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    df.mapPartitions { it =>
+      val heaps = new java.util.HashMap[Seq[Any], java.util.PriorityQueue[Row]]()
+      it.foreach { r =>
+        val key: Seq[Any] = gIdx.map(i => r.get(i)).toSeq
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[Row](k + 1, worstFirst)
+          heaps.put(key, pq)
+        }
+        pq.add(r)
+        if (pq.size > k) pq.poll()
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.asScala.iterator.flatMap(_.iterator().asScala)
+    }
+  }
+
+  /** Exact top-k rows per group WITHOUT sorting the whole relation
+    * through the group shuffle: a [[partialTopKPerGroup]] bounded-heap
+    * pass prunes each partition to ≤ k rows per local group, then the
+    * authoritative `row_number` window ranks only the ≤ k · partitions
+    * survivors per group — the candidates-then-exact-rescore shape again
+    * (cf. [[heavyHitters]]), the approximate pass affecting cost, never
+    * the answer. Output = the input rows ranked 1..k per group plus an
+    * `rk` column, equal to the plain window formulation whenever
+    * `(orderCol, tieCol)` is unique within a group (the same condition
+    * the window query itself needs to be deterministic).
+    *
+    * Ordering contract: `orderCol` descending (default) or ascending
+    * with Spark's null placement, ties broken by `tieCol` ascending;
+    * both must be numeric.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pruned = partialTopKPerGroup(df, groupCols, orderCol, tieCol, k, descending)
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(ord, col(tieCol).asc)
+    pruned.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 }

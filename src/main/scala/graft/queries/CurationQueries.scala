@@ -44,6 +44,26 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** [[decontaminate]] through the Bloom-prefilter path
+    * ([[Curation.contaminationMarksBloom]]) — the variant for benchmark
+    * sets over the broadcast budget. Registered against the SAME oracle
+    * SQL as q_decontaminate: the sketch prunes cost only, so the two
+    * paths must hash-match row for row. The tiny `expectedShingles` is
+    * deliberate — at sf scale it yields a saturated, high-fpp filter,
+    * making the oracle ALSO a regression gate on the exact-confirm join
+    * (a dropped confirm would let false positives through and mismatch).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % BenchMod === 0)
+    val corpus = docs.filter($"doc_id" % BenchMod =!= 0)
+    Curation.contaminationMarksBloom(corpus, $"doc_id", $"text", bench, $"text",
+        n = DecontamN, expectedShingles = 5000L, fpp = 0.05)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   // tokenizer + shingle SQL fragments: the ONE cross-engine definition
   // lives in DedupQueries (ToksSql / shinglesSql) — see its scaladoc for
   // the parity contract and the \x0B residue
@@ -417,6 +437,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_repetition_signals" -> (repetitionSignals _),
     "q_pii_redact" -> (piiRedact _),
@@ -427,6 +448,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateSql, // bloom path: cost differs, answer must not
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_repetition_signals" -> repetitionSignalsSql,
     "q_pii_redact" -> piiRedactSql,

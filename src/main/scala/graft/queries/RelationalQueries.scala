@@ -118,6 +118,21 @@ object RelationalQueries {
       |    p_partkey, round(p_retailprice, 2) AS price
       |  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin
 
+  /** [[topPartsPerBrand]] through the bounded-heap path
+    * ([[graft.operators.ScaleOps.topKPerGroup]]): a per-partition k-row
+    * heap per group prunes the relation BEFORE the group shuffle, then
+    * the window ranks only survivors — registered against the SAME
+    * oracle SQL as q_top_parts_per_brand, so the prune must change cost
+    * only, never the answer.
+    */
+  def topKBounded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.ScaleOps.topKPerGroup(Tables(spark, dir, "part"),
+        Seq("p_brand"), orderCol = "p_retailprice", tieCol = "p_partkey", k = 3)
+      .select($"p_brand", $"rk", $"p_partkey", round($"p_retailprice", 2).as("price"))
+      .orderBy($"p_brand", $"rk")
+  }
+
   /** Last-write-wins upsert emulation (SURVEY §2.5 D3: the reference's Mongo
     * `UpdateOne({_id},{$set},upsert=True)` at resilient_scraper.py:944-956
     * becomes newest-wins selection over the key). Deterministic tiebreak
@@ -387,6 +402,7 @@ object RelationalQueries {
     "q_pricing_summary" -> (pricingSummary _),
     "q_region_revenue" -> (regionRevenue _),
     "q_top_parts_per_brand" -> (topPartsPerBrand _),
+    "q_topk_bounded" -> (topKBounded _),
     "q_latest_event_per_user" -> (latestEventPerUser _),
     "q_daily_event_counts" -> (dailyEventCounts _),
     "q_customers_without_orders" -> (customersWithoutOrders _),
@@ -402,6 +418,7 @@ object RelationalQueries {
     "q_pricing_summary" -> pricingSummarySql,
     "q_region_revenue" -> regionRevenueSql,
     "q_top_parts_per_brand" -> topPartsPerBrandSql,
+    "q_topk_bounded" -> topPartsPerBrandSql, // bounded-heap path: cost differs, answer must not
     "q_latest_event_per_user" -> latestEventPerUserSql,
     "q_daily_event_counts" -> dailyEventCountsSql,
     "q_customers_without_orders" -> customersWithoutOrdersSql,

@@ -182,6 +182,71 @@ object TextQueries {
        |SELECT source, term, tf, df, tfidf FROM ranked WHERE rk <= $TfidfTopK
        |ORDER BY source, tfidf DESC, term""".stripMargin
 
+  /** Minimum document-frequency SHARE for a term to earn an inverted-index
+    * row — share-based so the output stays vocabulary-bounded at every
+    * scale factor (an absolute cutoff tuned at sf0.01 would explode the
+    * row count at sf0.1; the round-4 stop-shingle incident, generalized).
+    */
+  private val IndexMinDfShare = 0.02
+
+  /** Posting-page size: each index row carries the first
+    * [[IndexPostingsCap]] doc ids ascending — a bounded index PAGE, the
+    * unit a search layer would actually store, not the unbounded full
+    * posting list.
+    */
+  private val IndexPostingsCap = 20
+
+  /** Inverted index over the document corpus: one row per term appearing
+    * in >= [[IndexMinDfShare]] of documents, with its exact document
+    * frequency and first posting page (doc ids ascending, comma-joined —
+    * a STRING so the oracle compare is representation-stable).
+    *
+    * Scale shape: per-document term sets dedup LOCALLY (`array_distinct`
+    * before explode — no shuffle spent de-duplicating within a doc); the
+    * exact df is a map-side-combined count (one counter per term per
+    * partition); the posting page routes through
+    * [[graft.operators.ScaleOps.topKPerGroup]] ascending, so each
+    * partition ships at most [[IndexPostingsCap]] (term, doc_id) pairs
+    * per local term instead of every pair, and the page-assembling
+    * collect_list aggregates only window survivors (<= cap · partitions
+    * rows per term, never df rows). The df count and page then join at
+    * vocabulary grain. The corpus threshold arrives as a broadcast 1-row
+    * cross join, never a driver collect.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val grain = docs.select($"doc_id",
+      explode(array_distinct(
+        regexp_extract_all(lower($"text"), lit(TfidfTermRegex), lit(0)))).as("term"))
+    val dfCounts = grain.groupBy($"term").agg(count(lit(1)).as("df"))
+    val page = graft.operators.ScaleOps
+      .topKPerGroup(grain, Seq("term"), orderCol = "doc_id", tieCol = "doc_id",
+        k = IndexPostingsCap, descending = false)
+      .groupBy($"term")
+      .agg(array_join(sort_array(collect_list($"doc_id")), ",").as("postings"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    dfCounts.join(page, Seq("term")).crossJoin(broadcast(n))
+      .filter($"df" >= ceil(lit(IndexMinDfShare).cast("double") * $"n_docs"))
+      .select($"term", $"df", $"postings")
+      .orderBy($"df".desc, $"term")
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH grain AS (
+       |  SELECT DISTINCT doc_id, term FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '$TfidfTermRegex')) AS term
+       |    FROM documents)),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |agg AS (
+       |  SELECT term, count(*) AS df,
+       |    array_to_string(list_sort(list(doc_id))[1:$IndexPostingsCap], ',') AS postings
+       |  FROM grain GROUP BY term)
+       |SELECT term, df, postings FROM agg
+       |WHERE df >= CEIL(CAST($IndexMinDfShare AS DOUBLE) * (SELECT n_docs FROM n))
+       |ORDER BY df DESC, term""".stripMargin
+
   /** Language-ID confusion matrix: labeled lang vs stopword-heuristic
     * prediction.
     *
@@ -598,6 +663,7 @@ object TextQueries {
     "q_token_stats" -> (tokenStats _),
     "q_token_heavy_hitters" -> (tokenHeavyHitters _),
     "q_tfidf_terms" -> (tfidfTerms _),
+    "q_inverted_index" -> (invertedIndex _),
     "q_langid_confusion" -> (langIdConfusion _),
     "q_quality_scores" -> (qualityScores _),
     "q_sentiment_distribution" -> (sentimentDistribution _),
@@ -614,6 +680,7 @@ object TextQueries {
     "q_token_stats" -> tokenStatsSql,
     "q_token_heavy_hitters" -> tokenHeavyHittersSql,
     "q_tfidf_terms" -> tfidfTermsSql,
+    "q_inverted_index" -> invertedIndexSql,
     "q_langid_confusion" -> langIdConfusionSql,
     "q_quality_scores" -> qualityScoresSql,
     "q_sentiment_distribution" -> sentimentDistributionSql,

@@ -44,6 +44,29 @@ class CurationSpec extends SparkSpec {
     assert(out.length === 1 && !out(0).getBoolean(1) && out(0).getLong(2) === 0L)
   }
 
+  test("contaminationMarksBloom equals the broadcast path, even with a saturated high-fpp sketch") {
+    val corpus = Seq(
+      (1L, "note the quick brown fox jumps over a fence"),
+      (2L, "fox brown quick the jumps dog lazy over tonight the"),
+      (3L, "pack my box with five dozen liquor jugs"),
+      (4L, "completely unrelated text about spark catalyst planning rules")).toDF("id", "text")
+    val want = Curation.contaminationMarks(corpus, $"id", $"text", benchDocs, $"text", n = 5)
+      .orderBy($"id").collect().toSeq
+    // undersized filter at 30% fpp: plenty of false positives reach the
+    // confirm join, which must remove every one of them
+    val got = Curation.contaminationMarksBloom(corpus, $"id", $"text", benchDocs, $"text",
+        n = 5, expectedShingles = 4L, fpp = 0.3)
+      .orderBy($"id").collect().toSeq
+    assert(got === want)
+  }
+
+  test("contaminationMarksBloom on a clean corpus marks nothing") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val out = Curation.contaminationMarksBloom(corpus, $"id", $"text", benchDocs, $"text", n = 5)
+      .collect()
+    assert(out.length === 1 && !out(0).getBoolean(1) && out(0).getLong(2) === 0L)
+  }
+
   test("contaminationMarks respects n: a shared 4-gram is not a 13-gram hit") {
     // 4 shared tokens ("quick brown fox jumps") but no shared 5-gram
     val corpus = Seq((1L, "a quick brown fox jumps happily away")).toDF("id", "text")

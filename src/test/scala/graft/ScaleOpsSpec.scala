@@ -96,4 +96,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.heavyHitters(Seq.empty[String].toDF("tok"), col("tok"), 0.1)
       .count() === 0L)
   }
+
+  // skewed ranking fixture: group sizes 1..40 (some below k), duplicate
+  // order values inside every group (tiebreak must decide), unique ids
+  private def rankRows: Seq[(String, Double, Long, String)] =
+    (1 to 8).flatMap { g =>
+      (1 to g * 5).map { i =>
+        (s"g$g", (i % 7).toDouble, (g * 1000 + i).toLong, s"payload$i")
+      }
+    }
+
+  test("topKPerGroup equals the window formulation on skewed groups, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = rankRows.toDF("grp", "score", "id", "payload").repartition(7)
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) $"score".desc else $"score".asc
+      val w = Window.partitionBy($"grp").orderBy(ord, $"id".asc)
+      val want = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getString(3), r.getInt(4))).toSet
+      val got = ScaleOps.topKPerGroup(df, Seq("grp"), "score", "id", 4, desc)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getString(3), r.getInt(4))).toSet
+      assert(got === want, s"descending=$desc")
+    }
+  }
+
+  test("partialTopKPerGroup ships at most k rows per group per partition") {
+    import spark.implicits._
+    val df = rankRows.toDF("grp", "score", "id", "payload").repartition(7)
+    val survivors = ScaleOps.partialTopKPerGroup(df, Seq("grp"), "score", "id",
+      k = 4, descending = true)
+    // global bound: <= k * groups * partitions; the big group (200 rows)
+    // must be pruned hard
+    assert(survivors.count() <= 4L * 8 * 7)
+    assert(survivors.filter($"grp" === "g8").count() <= 4L * 7)
+  }
+
+  test("topKPerGroup ranks null order values last under desc, first under asc") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      ("a", Some(1.0), 1L), ("a", None, 2L), ("a", Some(3.0), 3L), ("a", None, 4L),
+      ("b", Option.empty[Double], 5L)).toDF("grp", "score", "id").repartition(3)
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) $"score".desc else $"score".asc
+      val w = Window.partitionBy($"grp").orderBy(ord, $"id".asc)
+      val want = rows.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+        .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2), r.getInt(3))).toSet
+      val got = ScaleOps.topKPerGroup(rows, Seq("grp"), "score", "id", 2, desc)
+        .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2), r.getInt(3))).toSet
+      assert(got === want, s"descending=$desc")
+    }
+  }
 }
