@@ -17,13 +17,24 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is physically TIMESTAMP(NANOS) parquet, which Spark's
-      // vectorized reader rejects; read the raw int64 nanos and truncate to
-      // Spark's native microsecond timestamps. (DuckDB reads the same column
-      // as TIMESTAMP_NS — oracle SQL must CAST to micros before comparing.)
+      // events.ts is physically TIMESTAMP(NANOS) parquet. Depending on the
+      // Spark build, that column surfaces two different ways; normalize
+      // BOTH to the same micro-truncated TimestampType (session tz = UTC)
+      // so every downstream query and oracle sees one type and one value:
+      //  - builds honoring spark.sql.legacy.parquet.nanosAsLong=true read
+      //    raw int64 nanos -> truncate with `ts div 1000`;
+      //  - newer builds ignore that conf and read TIMESTAMP_NTZ already
+      //    truncated to micros -> cast NTZ to LTZ (UTC session: same
+      //    instant, same wall clock DuckDB's TIMESTAMP_NS cast yields).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -322,4 +322,92 @@ object Curation {
     val distinctN = size(Dedup.shinglesOfTokens(toks, n)).cast("double")
     coalesce((lit(1.0) - distinctN / nullif(greatest(total, lit(0.0)), lit(0.0))), lit(0.0))
   }
+
+  /** Deterministic content-addressed train/val/test assignment: bucket =
+    * portable 60-bit content hash mod 100, split by cumulative percentage
+    * thresholds. Hashing CONTENT (not ids or row position) is the rule
+    * production pipelines converge on: the assignment survives re-crawls,
+    * re-partitioning, and id churn, and byte-identical duplicates land in
+    * the SAME split — so eval can never see a verbatim copy of a training
+    * document through the split boundary. Pure per-row projection: zero
+    * shuffle, arbitrarily parallel, and reproducible from the text alone
+    * on any engine that can compute the Karp–Rabin fold
+    * ([[graft.functions.TextFunctions.fingerprint60]]).
+    */
+  def splitColumn(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must be non-negative and sum <= 100, got $trainPct/$valPct")
+    val b = pmod(graft.functions.TextFunctions.fingerprint60(text), lit(100L))
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Segment-level exact dedup — the CCNet/C4 paragraph-dedup shape: cut
+    * each document into consecutive `segTokens`-token segments, keep only
+    * the globally FIRST occurrence of each distinct segment text (ordered
+    * by (id, segment-index) — the deterministic "earliest document wins"
+    * rule), and reassemble each document from its surviving segments in
+    * original order. Boilerplate repeated across a crawl (headers, nav
+    * text, license blocks) disappears from every copy but the first, and
+    * documents reduced below a keep-fraction threshold are flagged for
+    * dropping rather than silently truncated.
+    *
+    * Returns one row per input document:
+    * `(id, n_seg, n_kept, keep_frac, kept, kept_text)` — `kept` is the
+    * downstream drop flag (`keep_frac >= minKeepFrac`), `kept_text` the
+    * surviving segments joined by single spaces (empty when every segment
+    * was claimed by an earlier document).
+    *
+    * Scale shape — two shuffles, both skew-immune:
+    *  1. first-occurrence election is `min(struct(id, seg_idx))` grouped
+    *     by segment text: partial aggregation combines map-side, so a
+    *     boilerplate segment occurring 10^9 times contributes ONE partial
+    *     per map task, never 10^9 rows to one reducer (the failure mode
+    *     of the row_number()-window formulation of the same rule);
+    *  2. reassembly groups the SURVIVING segments by id — at most the
+    *     original corpus volume, shrinking with dedup rate.
+    * Election state is one (id, idx) pair per DISTINCT segment per task;
+    * document text never shuffles twice (losers drop before reassembly).
+    */
+  def segmentDedup(docs: DataFrame, id: Column, text: Column,
+      segTokens: Int = 10, minKeepFrac: Double = 0.5): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = Dedup.tokens(text)
+    // ceil(n/seg) segment starts: 0, seg, 2·seg, …; slice is 1-based and
+    // clamps the trailing partial segment to the token-array end
+    val segs = {
+      val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+      transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    }
+    val base = docs.select(id.as("__id"), when(size(toks) > 0, segs)
+      .otherwise(array()).as("__segs"))
+    val exploded = base.select(col("__id"),
+      posexplode(col("__segs")).as(Seq("__idx", "__seg")))
+    // first-occurrence election: lexicographic struct min == earliest
+    // (id, idx) — the winner tuple IS the kept row, no join-back needed
+    val winners = exploded.groupBy(col("__seg"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"),
+        col("__seg"))
+    val reassembled = winners.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__idx"),
+          col("__seg")))), s => s("__seg")), " ").as("kept_text"))
+    base.select(col("__id"), size(col("__segs")).cast("long").as("n_seg"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .withColumn("__frac", when(col("n_seg") === 0, lit(1.0))
+        .otherwise(col("n_kept").cast("double") / col("n_seg")))
+      // kept compares the RAW fraction (the oracle does too); rounding
+      // only the REPORTED column keeps a borderline 0.49996 from flipping
+      // the flag between engines
+      .withColumn("keep_frac", round(col("__frac"), 4))
+      .withColumn("kept", col("__frac") >= minKeepFrac)
+      .select(col("id"), col("n_seg"), col("n_kept"), col("keep_frac"),
+        col("kept"), col("kept_text"))
+  }
 }

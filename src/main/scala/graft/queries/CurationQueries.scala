@@ -435,7 +435,88 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet/C4-style segment dedup ([[graft.operators.Curation.segmentDedup]]):
+    * 10-token segments, global first-occurrence-wins election, per-doc
+    * reassembly + keep-fraction drop flag. The oracle re-derives every
+    * step — identical segmentation (inclusive 1-based token slices of the
+    * \S+ token array), the (doc_id, seg_idx) struct-min election, ordered
+    * string_agg reassembly — so segmentation, election, and reassembly
+    * are each cross-engine verified. On sf0.01, 57 of 500 docs lose at
+    * least one segment and 24 fall under the 0.5 keep-fraction gate.
+    */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.segmentDedup(
+        Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
+        segTokens = 10, minKeepFrac = 0.5)
+      .orderBy($"id")
+  }
+
+  val segmentDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |withsegs AS (
+      |  SELECT doc_id,
+      |    [array_to_string(toks[(i*10+1):((i+1)*10)], ' ')
+      |     for i in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))] AS segs
+      |  FROM base),
+      |segrows AS (
+      |  SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+      |    unnest(segs) AS seg
+      |  FROM withsegs),
+      |winners AS (
+      |  SELECT seg, min(struct_pack(doc_id := doc_id, seg_idx := seg_idx)) AS w
+      |  FROM segrows GROUP BY seg),
+      |kept AS (
+      |  SELECT w.doc_id AS doc_id, w.seg_idx AS seg_idx, seg FROM winners),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id AS id, len(b.segs) AS n_seg,
+      |  coalesce(a.n_kept, 0) AS n_kept,
+      |  round(CASE WHEN len(b.segs) = 0 THEN 1.0
+      |        ELSE coalesce(a.n_kept, 0) * 1.0 / len(b.segs) END, 4) AS keep_frac,
+      |  (CASE WHEN len(b.segs) = 0 THEN 1.0
+      |        ELSE coalesce(a.n_kept, 0) * 1.0 / len(b.segs) END) >= 0.5 AS kept,
+      |  coalesce(a.kept_text, '') AS kept_text
+      |FROM withsegs b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY id""".stripMargin
+
+  /** Content-hash dataset split audit ([[Curation.splitColumn]]): per
+    * (split, lang) document counts, total chars, and distinct sources —
+    * the table a curation run reports to confirm the 80/10/10 held and no
+    * language collapsed into one split. The oracle recomputes the same
+    * KR-fold bucket arithmetic (DedupQueries.krFold60SqlOf precedent), so
+    * the ASSIGNMENT itself is cross-engine verified, not just the counts.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "documents")
+      .withColumn("split", Curation.splitColumn($"text"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"split", $"lang")
+  }
+
+  val datasetSplitSql: String = {
+    val bucket = s"(${DedupQueries.krFold60SqlOf("text")}) % 100"
+    s"""WITH s AS (
+       |  SELECT lang, source, n_chars,
+       |    CASE WHEN $bucket < 80 THEN 'train'
+       |         WHEN $bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  count(DISTINCT source) AS n_sources
+       |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dataset_split" -> (datasetSplit _),
+    "q_segment_dedup" -> (segmentDedup _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -447,6 +528,8 @@ object CurationQueries {
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
+    "q_dataset_split" -> datasetSplitSql,
+    "q_segment_dedup" -> segmentDedupSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql, // bloom path: cost differs, answer must not
     "q_stratified_sample" -> stratifiedSampleSql,

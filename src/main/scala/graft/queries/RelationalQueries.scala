@@ -395,7 +395,37 @@ object RelationalQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Orders⋈customer through [[graft.operators.ScaleOps.saltedJoin]]
+    * (SURVEY §7.4 risk 7: the skew shape AQE cannot fix — a hot key on a
+    * broadcast-ineligible build side). Registered against a PLAIN join
+    * oracle: the salt must change the shuffle layout only, never the
+    * answer — the same cost-not-answer contract as q_topk_bounded. The
+    * aggregate keys on mktsegment so the output stays bounded at any
+    * scale factor; money sums in exact decimal for cross-engine bit
+    * equality.
+    */
+  def saltedOrdersJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    graft.operators.ScaleOps.saltedJoin(o, c, "o_custkey", n = 8)
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money($"o_totalprice").as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val saltedOrdersJoinSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedOrdersJoin _),
     "q_price_quantiles" -> (priceQuantiles _),
     "q_price_quantiles_approx" -> (priceQuantilesApprox _),
     "q_distinct_users" -> (distinctUsers _),
@@ -413,6 +443,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedOrdersJoinSql,
     "q_price_quantiles" -> priceQuantilesSql,
     "q_distinct_users" -> distinctUsersSql,
     "q_pricing_summary" -> pricingSummarySql,

@@ -292,4 +292,87 @@ class CurationSpec extends SparkSpec {
         col("r").rlike(TextFunctions.PiiPhoneRe))
     assert(left.count() === 0L)
   }
+
+  // ------------------------------------------------- segment dedup
+
+  private def segRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getBoolean(4), r.getString(5)))
+
+  test("segmentDedup: earliest (id, idx) occurrence wins globally, docs reassemble in order") {
+    // seg size 2: doc 1 = [a b][c d], doc 2 = [c d][e f] (loses [c d] to
+    // doc 1), doc 3 = [a b][a b][g h] (loses BOTH [a b]s — the first to
+    // doc 1, the second to doc 1 too: within-doc repeats dedup as well)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b a b g h")).toDF("doc_id", "text")
+    val out = segRows(Curation.segmentDedup(docs, $"doc_id", $"text",
+      segTokens = 2, minKeepFrac = 0.5))
+    // flags pin the threshold rule: 1/2 = 0.5 >= 0.5 kept; 1/3 < 0.5 dropped
+    assert(out === Array(
+      (1L, 2L, 2L, true, "a b c d"),
+      (2L, 2L, 1L, true, "e f"),
+      (3L, 3L, 1L, false, "g h")))
+  }
+
+  test("segmentDedup: a doc losing every segment survives as an empty flagged row") {
+    val docs = Seq(
+      (10L, "x y z w"),
+      (20L, "x y z w")).toDF("doc_id", "text")
+    val out = segRows(Curation.segmentDedup(docs, $"doc_id", $"text",
+      segTokens = 2, minKeepFrac = 0.5))
+    assert(out === Array(
+      (10L, 2L, 2L, true, "x y z w"),
+      (20L, 2L, 0L, false, "")))
+  }
+
+  test("segmentDedup: trailing partial segment dedups like any other; result is partitioning-invariant") {
+    val docs = Seq(
+      (1L, "p q r s t"),   // segs: [p q r][s t]
+      (2L, "s t"),         // loses its only seg to doc 1's trailing partial
+      (3L, "")).toDF("doc_id", "text") // empty doc: 0 segs, keep_frac 1
+    val one = Curation.segmentDedup(docs.coalesce(1), $"doc_id", $"text",
+      segTokens = 3, minKeepFrac = 0.5)
+    val many = Curation.segmentDedup(docs.repartition(7), $"doc_id", $"text",
+      segTokens = 3, minKeepFrac = 0.5)
+    assert(segRows(one) === segRows(many))
+    assert(segRows(one) === Array(
+      (1L, 2L, 2L, true, "p q r s t"),
+      (2L, 1L, 0L, false, ""),
+      (3L, 0L, 0L, true, "")))
+  }
+
+  // ------------------------------------------------- dataset split
+
+  test("splitColumn: disjoint, exhaustive, partitioning-invariant, and duplicate texts co-locate") {
+    val docs = (0 until 400).map(i => (i.toLong, s"document body number ${i % 200}"))
+      .toDF("id", "text") // every text appears exactly twice
+    val assigned = docs.withColumn("split", Curation.splitColumn($"text"))
+    val bySplit = assigned.groupBy($"split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(bySplit.values.sum === 400L)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // duplicates co-locate: each text maps to exactly one split
+    assert(assigned.groupBy($"text")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).count() === 0L)
+    // content-addressed: repartitioning changes nothing
+    val again = docs.repartition(13)
+      .withColumn("split", Curation.splitColumn($"text"))
+      .groupBy($"split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again === bySplit)
+    // rough proportions: train should dominate at 80 %
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+  }
+
+  test("splitColumn rejects invalid percentage combinations") {
+    intercept[IllegalArgumentException] {
+      Curation.splitColumn(lit("x"), trainPct = 90, valPct = 20)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.splitColumn(lit("x"), trainPct = -1, valPct = 5)
+    }
+  }
 }
