@@ -57,7 +57,7 @@ object Bench {
           col("r_regionkey") === col("k"))
         .withColumn("rn", row_number().over(w))
         .groupBy(col("r_name")).agg(sum(col("rn"))).collect()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Two passes per query, deterministic name order. The FIRST (cold) run
     // includes codegen/janino compile and JIT warm-up — and in a sequential
     // session it also depends on which earlier query already compiled
@@ -77,7 +77,7 @@ object Bench {
           val (_, rows) = materialize(fn(spark, sfDir))
           Some(((System.nanoTime() - t0) / 1e9, rows))
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             None
         }

@@ -370,19 +370,24 @@ object Curation {
     * Election state is one (id, idx) pair per DISTINCT segment per task;
     * document text never shuffles twice (losers drop before reassembly).
     */
+  /** The one segmentation rule ([[segmentDedup]] + the incremental store
+    * in [[IncrementalSegmentDedup]]): consecutive `segTokens`-token
+    * segments of the \S+ token array — ceil(n/seg) segment starts at 0,
+    * seg, 2·seg, …; slice is 1-based and clamps the trailing partial
+    * segment to the token-array end; empty text yields zero segments.
+    */
+  private[operators] def segmentsCol(text: Column, segTokens: Int): Column = {
+    val toks = Dedup.tokens(text)
+    val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segs = transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+    when(size(toks) > 0, segs).otherwise(array())
+  }
+
   def segmentDedup(docs: DataFrame, id: Column, text: Column,
       segTokens: Int = 10, minKeepFrac: Double = 0.5): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val toks = Dedup.tokens(text)
-    // ceil(n/seg) segment starts: 0, seg, 2·seg, …; slice is 1-based and
-    // clamps the trailing partial segment to the token-array end
-    val segs = {
-      val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
-      transform(sequence(lit(0), greatest(nseg - 1, lit(0))),
-        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
-    }
-    val base = docs.select(id.as("__id"), when(size(toks) > 0, segs)
-      .otherwise(array()).as("__segs"))
+    val base = docs.select(id.as("__id"), segmentsCol(text, segTokens).as("__segs"))
     val exploded = base.select(col("__id"),
       posexplode(col("__segs")).as(Seq("__idx", "__seg")))
     // first-occurrence election: lexicographic struct min == earliest

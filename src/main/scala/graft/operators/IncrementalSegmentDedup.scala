@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch segment-level exact dedup against a PERSISTENT segment
+  * store — the incremental form of [[Curation.segmentDedup]], and the
+  * shape a crawl pipeline actually runs it in: batches arrive for months,
+  * and every batch must drop segments (boilerplate, headers, license
+  * blocks) already emitted by ANY earlier batch without re-scanning the
+  * accepted corpus.
+  *
+  * Unlike the near-dup LSH store ([[IncrementalDedup]]), exact equality
+  * is TRANSITIVE, so incrementality here costs nothing semantically:
+  * with document ids increasing across batches, feeding batches
+  * b₁…bₙ through one store yields EXACTLY the per-doc output of one-shot
+  * [[Curation.segmentDedup]] over the concatenated corpus (spec-pinned) —
+  * there is no monotonicity caveat to document away.
+  *
+  * The store keeps one row per DISTINCT segment ever kept:
+  * `(seg_hash BIGINT, seg STRING)` under `batch=<id>` partitions.
+  * The suppression join keys on the 8-byte portable fingerprint
+  * ([[graft.functions.TextFunctions.fingerprint60]]) and CONFIRMS on the
+  * segment text, so a 60-bit hash collision can never suppress a novel
+  * segment — the hash bounds the join, the text decides it. Per batch:
+  *
+  *  1. segment the batch ([[Curation.segmentsCol]] — the same rule as the
+  *     batch operator) and elect within-batch first occurrences by
+  *     `min(struct(id, idx, seg))` grouped on the hash+text pair
+  *     (map-side combinable; the skew-immunity argument of
+  *     [[Curation.segmentDedup]]);
+  *  2. anti-join winners against store segments on (hash, text) — only
+  *     batch docs' segments shuffle, keyed on the hash; store text rides
+  *     the store side of the join and is never re-scanned otherwise;
+  *  3. losers (within-batch or store-suppressed) drop; survivors
+  *     reassemble per document in original order with the keep-fraction
+  *     flag, exactly like the batch operator;
+  *  4. the batch's NOVEL segments land at `batch=<batchId>` with
+  *     mode=overwrite. The store read EXCLUDES partitions >= the current
+  *     batch id, so a checkpoint-replayed micro-batch recomputes against
+  *     the exact pre-batch state and rewrites its own partition
+  *     byte-for-byte — idempotent under failure/restart replay
+  *     (spec-pinned), append-only across distinct batches, and
+  *     compactable by [[IncrementalDedup.compactStore]]'s discipline.
+  *
+  * Requirements: ids non-negative, unique, and increasing across batches
+  * fed to one store (the equality-with-one-shot contract orders election
+  * by id; within a batch any unique ids work).
+  */
+object IncrementalSegmentDedup {
+
+  private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "seg_hash BIGINT, seg STRING")
+
+  /** Suppress one batch's segments against the store, persist the novel
+    * segments, and return the per-doc reassembly
+    * `(id, n_seg, n_kept, keep_frac, kept, kept_text)`.
+    */
+  def segmentDedupBatch(
+      spark: SparkSession, batch: DataFrame, id: Column, text: Column,
+      storePath: String, batchId: Long,
+      segTokens: Int = 10, minKeepFrac: Double = 0.5): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val base = Checkpoints.materialize(
+      batch.select(id.cast("long").as("__id"),
+        Curation.segmentsCol(text, segTokens).as("__segs")))
+    val exploded = base.select(col("__id"),
+      posexplode(col("__segs")).as(Seq("__idx", "__seg")))
+      .withColumn("__h", graft.functions.TextFunctions.fingerprint60(col("__seg")))
+    val winners = exploded.groupBy(col("__h"), col("__seg"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__w"))
+      .select(col("__h"), col("__seg"),
+        col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
+
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
+        // exclude >= batchId: a replayed batch must see the exact
+        // pre-batch state, not its own previous write
+        spark.read.parquet(storePath).filter(col("batch") < batchId)
+          .select(col("seg_hash"), col("seg"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+
+    // hash bounds the join, text decides it — a 60-bit collision can
+    // never suppress a novel segment
+    val novel = Checkpoints.materialize(
+      winners.join(store,
+        winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
+        "left_anti"))
+
+    novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"))
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+
+    val reassembled = novel.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("__idx"),
+          col("__seg")))), s => s("__seg")), " ").as("kept_text"))
+    val out = base.select(col("__id"), size(col("__segs")).cast("long").as("n_seg"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .withColumn("__frac", when(col("n_seg") === 0, lit(1.0))
+        .otherwise(col("n_kept").cast("double") / col("n_seg")))
+      .withColumn("keep_frac", round(col("__frac"), 4))
+      .withColumn("kept", col("__frac") >= minKeepFrac)
+      .select(col("id"), col("n_seg"), col("n_kept"), col("keep_frac"),
+        col("kept"), col("kept_text"))
+    val result = Checkpoints.materialize(out)
+    Checkpoints.free(novel)
+    Checkpoints.free(base)
+    result
+  }
+
+  /** Read the store's distinct kept segments (audit surface). */
+  def storedSegments(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath).select(col("seg_hash"), col("seg"))
+}

@@ -424,7 +424,105 @@ object RelationalQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** [[priceQuantiles]] through the bounded-state selection path
+    * ([[graft.operators.Quantiles.exactGroupQuantiles]]): iterative
+    * histogram bracketing instead of `percentile`'s buffer-everything
+    * partial aggregate. Registered against the SAME quantile_cont oracle
+    * as q_price_quantiles — the bracketing must change cost only, never
+    * the answer (the q_topk_bounded / q_decontaminate_bloom contract).
+    */
+  def priceQuantiles2Pass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Quantiles.exactGroupQuantiles(
+        Tables.wide(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.95))
+      .select($"l_returnflag",
+        round(element_at($"qs", 1), 4).as("p25"),
+        round(element_at($"qs", 2), 4).as("p50"),
+        round(element_at($"qs", 3), 4).as("p95"),
+        $"n")
+      .orderBy($"l_returnflag")
+  }
+
+  /** Hierarchical rollup (GROUPING SETS): order counts and exact-decimal
+    * revenue at (status, priority), per-status subtotal, and grand total
+    * in ONE aggregate — the cube/rollup surface of §2.6, computed by
+    * Spark's single-shuffle partial-aggregate expansion rather than a
+    * UNION of three scans. NULL group placeholders coalesce to 'ALL' so
+    * both engines order the levels identically (Spark sorts NULL first,
+    * DuckDB last — the sentinel sidesteps the divergence; no real status/
+    * priority value collides with it).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), money($"o_totalprice").as("revenue"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"revenue")
+      .orderBy($"status", $"priority")
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** ANALYZE-style column profile of `orders` in one scan: row count,
+    * null count, exact distinct count, and numeric min/max per column —
+    * the data-quality report a pipeline emits before trusting a new drop.
+    * The wide single-pass aggregate keeps one scan for all columns;
+    * exact count(distinct) per column is the oracle-checkable choice at
+    * test scale — a 100 TB profile swaps in approx_count_distinct (the
+    * HLL sketch accuracy-gated in SketchSpec) without touching the shape.
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")) ++
+      (if (numeric(c)) Seq(min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c")) else Nil)
+    }
+    val total = count(lit(1)).as("n_rows")
+    val wide = o.agg(total, aggs: _*)
+    val stackArgs = cols.map { c =>
+      val mn = if (numeric(c)) s"mn_$c" else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric(c)) s"mx_$c" else "CAST(NULL AS DOUBLE)"
+      s"'$c', n_rows - nn_$c, nd_$c, $mn, $mx"
+    }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_num, max_num)"))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+      .orderBy(col("col_name"))
+  }
+
+  val profileOrdersSql: String = {
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val rows = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+      val mn = if (numeric(c)) s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric(c)) s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup_revenue" -> (rollupRevenue _),
+    "q_profile_orders" -> (profileOrders _),
+    "q_price_quantiles_2pass" -> (priceQuantiles2Pass _),
     "q_salted_join" -> (saltedOrdersJoin _),
     "q_price_quantiles" -> (priceQuantiles _),
     "q_price_quantiles_approx" -> (priceQuantilesApprox _),
@@ -443,6 +541,9 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_rollup_revenue" -> rollupRevenueSql,
+    "q_profile_orders" -> profileOrdersSql,
+    "q_price_quantiles_2pass" -> priceQuantilesSql, // bracketing path: cost differs, answer must not
     "q_salted_join" -> saltedOrdersJoinSql,
     "q_price_quantiles" -> priceQuantilesSql,
     "q_distinct_users" -> distinctUsersSql,

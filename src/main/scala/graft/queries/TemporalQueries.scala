@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -140,13 +141,54 @@ object TemporalQueries {
       |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  /** Inter-event gap distribution per user (lag window → aggregate): the
+    * cadence profile behind rate limiting, bot detection, and session-
+    * timeout tuning. One window sort per user partition, then a bounded
+    * per-user aggregate — the windowed relation is the events table
+    * itself, but the lag frame carries one row of state, so the sort is
+    * the whole cost and it partitions cleanly by user at any scale.
+    */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev", lag($"ts", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"user_id",
+        (unix_micros($"ts") - unix_micros($"prev")).as("gap_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap_us").as("min_gap_us"),
+        max($"gap_us").as("max_gap_us"),
+        round(avg($"gap_us"), 2).as("avg_gap_us"))
+      .orderBy($"user_id")
+  }
+
+  // ties on ts break by event_id in BOTH engines so the lag pairs are
+  // identical; gap arithmetic in integral micros (no interval rounding)
+  val eventGapsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |gaps AS (
+      |  SELECT user_id,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  round(avg(gap_us), 2) AS avg_gap_us
+      |FROM gaps WHERE gap_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (asofClickView _),
     "q_sessionize" -> (sessionize _),
-    "q_rolling_daily" -> (rollingDaily _))
+    "q_rolling_daily" -> (rollingDaily _),
+    "q_event_gaps" -> (eventGaps _))
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClickViewSql,
     "q_sessionize" -> sessionizeSql,
-    "q_rolling_daily" -> rollingDailySql)
+    "q_rolling_daily" -> rollingDailySql,
+    "q_event_gaps" -> eventGapsSql)
 }

@@ -280,6 +280,47 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming segment-level exact dedup against the persistent segment
+    * store — [[graft.operators.IncrementalSegmentDedup.segmentDedupBatch]]
+    * per micro-batch: every batch drops segments any EARLIER batch kept
+    * (cross-batch boilerplate suppression with no state horizon; the
+    * store is the state). Exact equality is transitive, so the stream's
+    * cumulative output equals one-shot [[graft.operators.Curation
+    * .segmentDedup]] over everything ingested (ids increasing across
+    * batches) — spec-pinned, including checkpoint-resume replay, which
+    * recomputes against the pre-batch store state and rewrites its own
+    * partition idempotently.
+    */
+  def startSegmentDedup(
+      spark: SparkSession, landingDir: String, storePath: String,
+      outputPath: String, checkpointDir: String,
+      segTokens: Int = 10, minKeepFrac: Double = 0.5,
+      maxFilesPerTrigger: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.operators.IncrementalSegmentDedup.segmentDedupBatch(
+            spark, batch, col("doc_id"), col("text"), storePath, batchId,
+            segTokens = segTokens, minKeepFrac = minKeepFrac)
+          // per-batch output partition mirrors the store's idempotency:
+          // a replayed batch overwrites its own partition, never appends
+          r.write.mode("overwrite").parquet(s"$outputPath/batch=$batchId")
+          graft.operators.Checkpoints.freeFrame(r)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** A7 streaming: running totals per key across micro-batches via
     * `mapGroupsWithState` — the reference's total_scraped / query_scraped
     * accumulators (src/resilient_scraper.py:1271-1283) as managed state.

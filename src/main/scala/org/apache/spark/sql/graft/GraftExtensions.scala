@@ -78,6 +78,11 @@ object GraftFunctions {
     composed("lang_id", TextFunctions.getClass, TextFunctions.langId),
     composed("token_count", TextFunctions.getClass, TextFunctions.tokenCount),
     composed("doc_fingerprint", TextFunctions.getClass, TextFunctions.fingerprint),
+    composed("doc_fingerprint60", TextFunctions.getClass, TextFunctions.fingerprint60),
+    // content-addressed train/val/test assignment (curation layer) at the
+    // library-default 80/10/10 — SQL pipelines split without the Column API
+    composed("dataset_split", graft.operators.Curation.getClass,
+      t => graft.operators.Curation.splitColumn(t)),
     // 64-bit SimHash of raw text (production xxhash64 token hash) — with
     // the built-in bit_count(a ^ b), SQL users run near-dup detection
     // end-to-end (hamming_dist above is the array-sketch variant)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/** [[Quantiles.exactGroupQuantiles]] — bounded-state exact selection must
+  * equal the buffer-everything `percentile` aggregate bit-for-bit-ish
+  * (same interpolation formula, compared at 1e-9 relative tolerance to
+  * allow the one-ulp association difference of `lo + (hi-lo)·t`).
+  */
+class QuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+
+  private def sparkExact(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Seq[Double])] = {
+    val pcts = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.groupBy($"g")
+      .agg(expr(s"percentile(v, $pcts)").as("qs"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getSeq[Double](1))))
+      .toMap
+  }
+
+  private def bounded(df: org.apache.spark.sql.DataFrame,
+      buckets: Int = 64, maxLeaf: Int = 8, rounds: Int = 4): Map[String, (Long, Seq[Double])] =
+    Quantiles.exactGroupQuantiles(df, "g", "v", ps,
+        buckets = buckets, maxLeafValues = maxLeaf, maxRounds = rounds)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Double](2))))
+      .toMap
+
+  private def assertSame(a: Map[String, (Long, Seq[Double])],
+      b: Map[String, (Long, Seq[Double])]): Unit = {
+    assert(a.keySet === b.keySet)
+    a.foreach { case (g, (n, qs)) =>
+      val (n2, qs2) = b(g)
+      assert(n === n2, s"group $g count")
+      qs.zip(qs2).zip(ps).foreach { case ((x, y), p) =>
+        val tol = math.max(math.abs(x), 1.0) * 1e-9
+        assert(math.abs(x - y) <= tol, s"group $g p=$p: $x vs $y")
+      }
+    }
+  }
+
+  test("matches percentile() on mixed continuous data across groups, tiny leaf + few rounds") {
+    // deterministic pseudo-random doubles incl. duplicates and negatives
+    val rows = (0 until 5000).map { i =>
+      val g = s"g${i % 3}"
+      val v = ((i * 2654435761L) % 10007).toDouble / 7.0 - 500.0
+      (g, v)
+    }
+    val df = rows.toDF("g", "v").repartition(7)
+    assertSame(sparkExact(df), bounded(df))
+  }
+
+  test("heavy duplication (one value is half the data) and n=1 / all-equal groups") {
+    val rows =
+      (0 until 2000).map(i => ("spiky", if (i % 2 == 0) 42.0 else i.toDouble)) ++
+      Seq(("single", 7.5)) ++
+      (0 until 100).map(_ => ("flat", -3.25))
+    val df = rows.toDF("g", "v").repartition(5)
+    assertSame(sparkExact(df), bounded(df))
+  }
+
+  test("rounds exhausted still resolves exactly (maxRounds=1 forces wide leaf collect)") {
+    val rows = (0 until 3000).map(i => ("g", math.sin(i.toDouble) * 1000.0))
+    val df = rows.toDF("g", "v")
+    assertSame(sparkExact(df), bounded(df, buckets = 4, maxLeaf = 2, rounds = 1))
+  }
+
+  test("nulls and NaNs are ignored like percentile(); result is partitioning-invariant") {
+    val rows: Seq[(String, java.lang.Double)] =
+      (0 until 500).map(i => ("g", java.lang.Double.valueOf(i.toDouble))) ++
+      Seq(("g", null), ("g", java.lang.Double.valueOf(Double.NaN)))
+    val df = rows.toDF("g", "v")
+    val a = bounded(df.coalesce(1))
+    val b = bounded(df.repartition(11))
+    assert(a === b)
+    assert(a("g")._1 === 500L) // null + NaN excluded from n
+    assert(a("g")._2.head === 0.0 && a("g")._2.last === 499.0)
+  }
+}

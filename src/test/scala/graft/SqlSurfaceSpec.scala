@@ -58,12 +58,15 @@ class SqlSurfaceSpec extends SparkSpec {
     val df = texts.toDF("t")
     val viaSql = df.selectExpr(
       "clean_tweet_text(t)", "clean_text_scraper(t)", "py_strip(t)",
-      "lang_id(t)", "CAST(token_count(t) AS BIGINT)", "doc_fingerprint(t)")
+      "lang_id(t)", "CAST(token_count(t) AS BIGINT)", "doc_fingerprint(t)",
+      "doc_fingerprint60(t)", "dataset_split(t)")
       .collect().toSeq
     val viaDf = df.select(
       TextFunctions.cleanTweetText($"t"), TextFunctions.cleanTextScraper($"t"),
       TextFunctions.pyStrip($"t"), TextFunctions.langId($"t"),
-      TextFunctions.tokenCount($"t").cast("long"), TextFunctions.fingerprint($"t"))
+      TextFunctions.tokenCount($"t").cast("long"), TextFunctions.fingerprint($"t"),
+      TextFunctions.fingerprint60($"t"),
+      graft.operators.Curation.splitColumn($"t"))
       .collect().toSeq
     assert(viaSql == viaDf)
     // simhash64 + built-in bit_count(a ^ b) compose to SQL near-dup
