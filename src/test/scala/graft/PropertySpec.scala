@@ -176,4 +176,35 @@ class PropertySpec extends SparkSpec {
       assert(if (r.getInt(3) == 0) r.getDouble(2) == 0.0 else r.getDouble(2) == 1.0)
     }
   }
+
+  test("bounded-state quantiles equal percentile() on arbitrary grouped data") {
+    import spark.implicits._
+    // values drawn from mixed regimes: smooth, heavy-duplicate, negative,
+    // huge magnitude — grouped unevenly (group 0 gets ~4x group 2's rows)
+    val rowGen: Gen[(String, Double)] = for {
+      g <- Gen.frequency((4, "a"), (2, "b"), (1, "c"))
+      v <- Gen.frequency(
+        (3, Gen.choose(-1000.0, 1000.0)),
+        (2, Gen.oneOf(0.0, 1.0, 42.0)), // duplicate mass
+        (1, Gen.choose(-1.0e12, 1.0e12)))
+    } yield (g, v)
+    val rows = samples(Gen.listOfN(400, rowGen), 3)
+    val ps = Seq(0.1, 0.5, 0.9)
+    rows.foreach { data =>
+      val df = data.toDF("g", "v").repartition(5)
+      val expect = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, array(${ps.mkString("D,")}D))").as("qs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val got = graft.operators.Quantiles.exactGroupQuantiles(
+          df, "g", "v", ps, buckets = 32, maxLeafValues = 4, maxRounds = 3)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+      assert(got.keySet === expect.keySet)
+      got.foreach { case (g, qs) =>
+        qs.zip(expect(g)).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= math.max(math.abs(y), 1.0) * 1e-9,
+            s"group $g: $x vs $y")
+        }
+      }
+    }
+  }
 }

@@ -26,6 +26,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedLeft == plainLeft)
   }
 
+  test("salting actually balances the hot key across shuffle partitions") {
+    import spark.implicits._
+    // 95% of rows share one key: unsalted, every copy lands in ONE
+    // reducer partition; salted on (key, salt) they spread over ~n
+    val big = ((1 to 9500).map(_ => ("hot", 1)) ++ (1 to 500).map(i => (s"k$i", i)))
+      .toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 500).map(i => s"k$i")).zipWithIndex
+      .toDF("key", "dim")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevShuf = spark.conf.get("spark.sql.shuffle.partitions")
+    // force a real shuffle join and freeze AQE coalescing so partition
+    // occupancy is observable; widen the shuffle so the balance ceiling
+    // is the SALT count, not the test session's 4 reducer partitions
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().toSeq
+      val plainSizes = partSizes(big.join(small, Seq("key")))
+      val saltedSizes = partSizes(ScaleOps.saltedJoin(big, small, "key", n = 8))
+      assert(plainSizes.sum === saltedSizes.sum) // same row multiset
+      // unsalted: the hot partition carries >= all 9500 hot rows;
+      // salted: 8 (hot, salt) combos over 32 reducers — even with an
+      // unlucky 3-combo hash collision a partition stays under half
+      assert(plainSizes.max >= 9500L)
+      assert(saltedSizes.max.toDouble <= 9500.0 * 0.5,
+        s"salted max partition ${saltedSizes.max} of ${saltedSizes.sum}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i % 97, s"a$i")).toDF("k", "va")
