@@ -129,7 +129,7 @@ object Quantiles {
     while (active.nonEmpty && round < maxRounds) {
       round += 1
       val hist = src
-        .join(broadcast(bracketFrame(active)), col("g") === col("bg"))
+        .join(broadcast(bracketFrame(active)), col("g") <=> col("bg"))
         .filter(memberPred(buckets))
         .groupBy(col("bid"),
           idxExpr(col("v"), col("loCur"), col("wCur"), buckets).as("sub"))
@@ -171,7 +171,7 @@ object Quantiles {
     val leaves = brackets.toSeq
     if (leaves.nonEmpty) {
       val byValue = src
-        .join(broadcast(bracketFrame(leaves)), col("g") === col("bg"))
+        .join(broadcast(bracketFrame(leaves)), col("g") <=> col("bg"))
         .filter(memberPred(buckets))
         .groupBy(col("bid"), col("v")).count()
         .collect()

@@ -433,8 +433,11 @@ object RelationalQueries {
     */
   def priceQuantiles2Pass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NO widen: the bracketing scans are cheap column aggregates — a
+    // repartition-up would add a full exchange per scan (3x) for CPU work
+    // the scan-local aggregation doesn't need
     graft.operators.Quantiles.exactGroupQuantiles(
-        Tables.wide(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Tables(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq(0.25, 0.5, 0.95))
       .select($"l_returnflag",
         round(element_at($"qs", 1), 4).as("p25"),

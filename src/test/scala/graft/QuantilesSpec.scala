@@ -71,6 +71,17 @@ class QuantilesSpec extends SparkSpec {
     assertSame(sparkExact(df), bounded(df, buckets = 4, maxLeaf = 2, rounds = 1))
   }
 
+  test("a NULL group value is a group like any other (null-safe bracket join)") {
+    val rows: Seq[(String, Double)] =
+      (0 until 300).map(i => (null.asInstanceOf[String], i.toDouble)) ++
+      (0 until 100).map(i => ("g", i * 2.0))
+    val df = rows.toDF("g", "v").repartition(3)
+    val got = bounded(df)
+    val expect = sparkExact(df)
+    assert(got.keySet === expect.keySet) // includes the null key
+    assertSame(expect, got)
+  }
+
   test("nulls and NaNs are ignored like percentile(); result is partitioning-invariant") {
     val rows: Seq[(String, java.lang.Double)] =
       (0 until 500).map(i => ("g", java.lang.Double.valueOf(i.toDouble))) ++
