@@ -376,7 +376,7 @@ object Curation {
     * seg, 2·seg, …; slice is 1-based and clamps the trailing partial
     * segment to the token-array end; empty text yields zero segments.
     */
-  private[operators] def segmentsCol(text: Column, segTokens: Int): Column = {
+  private[graft] def segmentsCol(text: Column, segTokens: Int): Column = {
     val toks = Dedup.tokens(text)
     val nseg = ceil(size(toks).cast("double") / segTokens).cast("int")
     val segs = transform(sequence(lit(0), greatest(nseg - 1, lit(0))),

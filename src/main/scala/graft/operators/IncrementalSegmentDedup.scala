@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * [[Curation.segmentDedup]] over the concatenated corpus (spec-pinned) —
   * there is no monotonicity caveat to document away.
   *
-  * The store keeps one row per DISTINCT segment ever kept:
-  * `(seg_hash BIGINT, seg STRING)` under `batch=<id>` partitions.
+  * The store keeps one row per DISTINCT segment ever kept —
+  * `(seg_hash, seg, first_doc_id, first_idx)` under `batch=<id>`
+  * partitions: the fingerprint, the text, and the provenance of the
+  * segment's first occurrence (the audit columns a takedown or
+  * attribution query needs).
   * The suppression join keys on the 8-byte portable fingerprint
   * ([[graft.functions.TextFunctions.fingerprint60]]) and CONFIRMS on the
   * segment text, so a 60-bit hash collision can never suppress a novel
@@ -26,7 +29,7 @@ import org.apache.spark.sql.functions._
   *
   *  1. segment the batch ([[Curation.segmentsCol]] — the same rule as the
   *     batch operator) and elect within-batch first occurrences by
-  *     `min(struct(id, idx, seg))` grouped on the hash+text pair
+  *     `min(struct(id, idx))` grouped on the hash+text pair
   *     (map-side combinable; the skew-immunity argument of
   *     [[Curation.segmentDedup]]);
   *  2. anti-join winners against store segments on (hash, text) — only
@@ -61,9 +64,11 @@ object IncrementalSegmentDedup {
       storePath: String, batchId: Long,
       segTokens: Int = 10, minKeepFrac: Double = 0.5): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val base = Checkpoints.materialize(
-      batch.select(id.cast("long").as("__id"),
-        Curation.segmentsCol(text, segTokens).as("__segs")))
+    // NOT materialized: base is consumed twice (election explode, per-doc
+    // n_seg join) but it is a pure projection over the batch — recomputing
+    // the segmentation is cheaper than checkpointing batch-sized text
+    val base = batch.select(id.cast("long").as("__id"),
+      Curation.segmentsCol(text, segTokens).as("__segs"))
     val exploded = base.select(col("__id"),
       posexplode(col("__segs")).as(Seq("__idx", "__seg")))
       .withColumn("__h", graft.functions.TextFunctions.fingerprint60(col("__seg")))
@@ -86,19 +91,26 @@ object IncrementalSegmentDedup {
 
     // hash bounds the join, text decides it — a 60-bit collision can
     // never suppress a novel segment
-    val novel = Checkpoints.materialize(
-      winners.join(store,
-        winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
-        "left_anti"))
+    val novel = winners.join(store,
+      winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
+      "left_anti")
 
-    novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"))
+    // the store write IS the materialization: novel computes exactly once
+    // into its partition, and the reassembly reads that partition back —
+    // no checkpoint needed, and the returned frame's lineage (batch
+    // projection + own written partition) stays re-executable because
+    // both are fixed regardless of later batches landing in the store
+    novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"),
+        col("__id").as("first_doc_id"), col("__idx").as("first_idx"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    val written = spark.read.parquet(s"$storePath/batch=$batchId")
 
-    val reassembled = novel.groupBy(col("__id"))
+    val reassembled = written.groupBy(col("first_doc_id").as("__id"))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("__idx"),
-          col("__seg")))), s => s("__seg")), " ").as("kept_text"))
-    val out = base.select(col("__id"), size(col("__segs")).cast("long").as("n_seg"))
+        array_join(transform(array_sort(collect_list(struct(
+          col("first_idx").as("__idx"), col("seg")))), s => s("seg")), " ")
+          .as("kept_text"))
+    base.select(col("__id"), size(col("__segs")).cast("long").as("n_seg"))
       .join(reassembled, Seq("__id"), "left")
       .select(col("__id").as("id"), col("n_seg"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -109,10 +121,6 @@ object IncrementalSegmentDedup {
       .withColumn("kept", col("__frac") >= minKeepFrac)
       .select(col("id"), col("n_seg"), col("n_kept"), col("keep_frac"),
         col("kept"), col("kept_text"))
-    val result = Checkpoints.materialize(out)
-    Checkpoints.free(novel)
-    Checkpoints.free(base)
-    result
   }
 
   /** Read the store's distinct kept segments (audit surface). */

@@ -177,6 +177,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("segment dedup conserves segments: every distinct segment survives exactly once (arbitrary docs)") {
+    import spark.implicits._
+    val docGen: Gen[String] = Gen.listOfN(14,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "x2", " ", "\t"))
+      .map(_.mkString(" "))
+    val corpora = samples(Gen.listOfN(30, docGen), 4)
+    corpora.foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(5)
+      val out = graft.operators.Curation.segmentDedup(
+        df, col("doc_id"), col("text"), segTokens = 3, minKeepFrac = 0.5)
+      val rows = out.collect()
+      // conservation: total kept == number of DISTINCT segments corpus-wide
+      val distinctSegs = df.select(explode(
+          graft.operators.Curation.segmentsCol(col("text"), 3)).as("s"))
+        .distinct().count()
+      assert(rows.map(_.getLong(2)).sum === distinctSegs)
+      // every kept_text's segments are pairwise distinct ACROSS docs too
+      val keptSegs = out.select($"id", explode(
+          graft.operators.Curation.segmentsCol($"kept_text", 3)).as("s"))
+        .groupBy($"s").count().filter($"count" > 1).count()
+      assert(keptSegs === 0L)
+      // n_kept <= n_seg and flags match the threshold on every row
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1))
+        val frac = if (r.getLong(1) == 0) 1.0
+          else r.getLong(2).toDouble / r.getLong(1)
+        assert(r.getBoolean(4) === (frac >= 0.5))
+      }
+    }
+  }
+
   test("bounded-state quantiles equal percentile() on arbitrary grouped data") {
     import spark.implicits._
     // values drawn from mixed regimes: smooth, heavy-duplicate, negative,
