@@ -296,7 +296,8 @@ object StreamingIngest {
       outputPath: String, checkpointDir: String,
       segTokens: Int = 10, minKeepFrac: Double = 0.5,
       maxFilesPerTrigger: Int = 10,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string")
     spark.readStream
@@ -315,6 +316,13 @@ object StreamingIngest {
           // a replayed batch overwrites its own partition, never appends
           r.write.mode("overwrite").parquet(s"$outputPath/batch=$batchId")
           graft.operators.Checkpoints.freeFrame(r)
+          // compactStore is layout-generic (column-agnostic partition
+          // fold), so the LSH store's in-stream maintenance — and its
+          // checkpoint-committed `batchId - 1` safety window — applies to
+          // the segment store unchanged
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            graft.operators.IncrementalDedup.compactStore(
+              spark, storePath, upToBatch = batchId - 1)
           ()
         }
       }

@@ -89,6 +89,39 @@ class IncrementalSegmentDedupSpec extends SparkSpec {
     assert(segs.distinct.size === segs.size)
   }
 
+  test("in-stream store compaction folds committed partitions without changing suppression") {
+    val landing = tmpDir("segc-landing")
+    val store = tmpDir("segc-store")
+    val output = tmpDir("segc-output")
+    val ckpt = tmpDir("segc-ckpt")
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val json = rows.map { case (i, t) => s"""{"doc_id":$i,"text":"$t"}""" }
+        .mkString("\n")
+      Files.writeString(Paths.get(s"$landing/$name.json"), json)
+    }
+    writeFile("f1", batch1)
+    writeFile("f2", batch2)
+    writeFile("f3", batch3)
+    val q = StreamingIngest.startSegmentDedup(spark, landing, store, output,
+      ckpt, segTokens = 2, maxFilesPerTrigger = 1, compactEvery = 2)
+    q.awaitTermination()
+    // 3 batches, compaction at batch 2 folded 0..1 -> partitions now
+    // {batch=1 (consolidated), batch=2}
+    val parts = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts === Seq("batch=1", "batch=2"))
+    // row content preserved: distinct kept segments unchanged
+    val segs = IncrementalSegmentDedup.storedSegments(spark, store)
+      .collect().map(_.getString(1)).toSeq
+    assert(segs.sorted === Seq("b1 b2", "u1 u2", "u3 u4", "u5 u6", "u7 u8"))
+    // and suppression against the COMPACTED history still works: a new
+    // batch whose segments all live in consolidated partitions drops them
+    val after = IncrementalSegmentDedup.segmentDedupBatch(spark,
+      Seq((9L, "b1 b2 u7 u8")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 3L, segTokens = 2)
+    assert(outRows(after) === Seq((9L, 2L, 0L, false, "")))
+  }
+
   test("streaming wrapper: cumulative file-stream output equals one-shot, resume-safe") {
     val landing = tmpDir("seg-landing")
     val store = tmpDir("seg-store-stream")
