@@ -514,7 +514,51 @@ object CurationQueries {
        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 
+  /** Boilerplate audit — the query a segment-dedup deployment runs FIRST:
+    * which 10-token segments recur across documents, and how widely. One
+    * row per segment with document frequency >= 2 (df counts DISTINCT
+    * docs — a segment repeated inside one doc is repetition, not
+    * boilerplate; `n_occurrences` keeps the within-doc signal beside it).
+    * Per-doc segment sets dedup LOCALLY (array_distinct before explode),
+    * so the df aggregate is map-side combinable on pre-shrunk rows — the
+    * same discipline as the inverted index.
+    */
+  def boilerplateSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Tables.wide(spark, dir, "documents")
+      .select($"doc_id", Curation.segmentsCol($"text", 10).as("__segs"))
+    val perDoc = segs.select($"doc_id",
+      explode(array_distinct($"__segs")).as("seg"))
+    val occ = segs.select(explode($"__segs").as("seg"))
+      .groupBy($"seg").agg(count(lit(1)).as("n_occurrences"))
+    perDoc.groupBy($"seg").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2)
+      .join(occ, Seq("seg"))
+      .select($"seg", $"df", $"n_occurrences")
+      .orderBy($"df".desc, $"seg")
+  }
+
+  val boilerplateSegmentsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |withsegs AS (
+      |  SELECT doc_id,
+      |    [array_to_string(toks[(i*10+1):((i+1)*10)], ' ')
+      |     for i in range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))] AS segs
+      |  FROM base),
+      |segrows AS (
+      |  SELECT doc_id, unnest(segs) AS seg FROM withsegs),
+      |df AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM segrows GROUP BY seg
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |occ AS (
+      |  SELECT seg, count(*) AS n_occurrences FROM segrows GROUP BY seg)
+      |SELECT d.seg, d.df, o.n_occurrences
+      |FROM df d JOIN occ o USING (seg)
+      |ORDER BY d.df DESC, d.seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_segments" -> (boilerplateSegments _),
     "q_dataset_split" -> (datasetSplit _),
     "q_segment_dedup" -> (segmentDedup _),
     "q_decontaminate" -> (decontaminate _),
@@ -528,6 +572,7 @@ object CurationQueries {
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
+    "q_boilerplate_segments" -> boilerplateSegmentsSql,
     "q_dataset_split" -> datasetSplitSql,
     "q_segment_dedup" -> segmentDedupSql,
     "q_decontaminate" -> decontaminateSql,
