@@ -30,7 +30,7 @@ object Bench {
   private def materialize(df: DataFrame): (Long, Long) = {
     val row = df.agg(
       bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*))),
-      count(lit(1))).head
+      count(lit(1))).head()
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 

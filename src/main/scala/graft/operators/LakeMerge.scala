@@ -198,7 +198,7 @@ object LakeMerge {
         col("metadata.scraped_at").as("__ts"),
         bitwise_not(xxhash64(struct(col("content"), col("metadata"), col("metrics"))))
           .as("__inv"),
-        struct(dataCols.map(col): _*).as("__row")): _*)).as("__m"))
+        struct(dataCols.map(col).toSeq: _*).as("__row")): _*)).as("__m"))
       .select(col("__m.__row.*"))
   }
 

@@ -135,7 +135,7 @@ object ScaleOps {
     // from the one materialized summary (k·partitions rows at most)
     val summary = Checkpoints.materializeFrame(heavyHitterSummary(df, key, k))
     val total = summary.filter(col("is_size"))
-      .agg(coalesce(sum(col("rows")), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0)
     val candidates = summary.filter(!col("is_size"))
       .select(col("key")).distinct().as[String].collect()
     Checkpoints.freeFrame(summary)

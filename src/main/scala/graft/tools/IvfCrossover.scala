@@ -49,7 +49,7 @@ object IvfCrossover {
   }
 
   private def materialize(df: DataFrame): Long = {
-    val row = df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head
+    val row = df.agg(bit_xor(xxhash64(struct(df.columns.map(col).toSeq: _*)))).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 

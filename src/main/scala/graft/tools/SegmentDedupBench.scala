@@ -68,7 +68,7 @@ object SegmentDedupBench {
     // sum, not count: count(non-null expr) folds to count(*) and the
     // optimizer then prunes every column AND eliminates the outer join
     // against the unique-keyed aggregate — sum must evaluate the hash
-    df.select(sum(xxhash64(struct(df.columns.map(col): _*)) % 1000000007L).as("c"))
+    df.select(sum(xxhash64(struct(df.columns.map(col).toSeq: _*)) % 1000000007L).as("c"))
       .head().getLong(0)
 
   private def rowsOf(df: DataFrame): Map[Long, (Long, Long, String)] =
