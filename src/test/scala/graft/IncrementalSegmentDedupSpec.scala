@@ -122,6 +122,33 @@ class IncrementalSegmentDedupSpec extends SparkSpec {
     assert(outRows(after) === Seq((9L, 2L, 0L, false, "")))
   }
 
+  test("ANY ordered batch split of a random corpus equals one-shot (property over splits)") {
+    // deterministic pseudo-random corpus with heavy segment sharing:
+    // 40 docs, 6 tokens each from an 8-token vocab => many cross-doc
+    // duplicate 2-token segments
+    def tok(seed: Int): String = s"t${((seed * 2654435761L) % 8 + 8) % 8}"
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 6).map(j => tok(i * 31 + j)).mkString(" ")))
+    val oneShot = outRows(Curation.segmentDedup(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), segTokens = 2))
+    // three different split shapes: uneven, singleton-heavy, two-way
+    val splits: Seq[Seq[Int]] = Seq(
+      Seq(5, 15, 20), Seq(1, 1, 1, 37), Seq(25, 15))
+    splits.foreach { shape =>
+      val store = tmpDir(s"segstore-prop-${shape.mkString("_")}")
+      var offset = 0
+      val incremental = shape.zipWithIndex.flatMap { case (sz, b) =>
+        val slice = docs.slice(offset, offset + sz)
+        offset += sz
+        outRows(IncrementalSegmentDedup.segmentDedupBatch(
+          spark, slice.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          store, b.toLong, segTokens = 2))
+      }
+      assert(incremental.sortBy(_._1) === oneShot,
+        s"split $shape diverged from one-shot")
+    }
+  }
+
   test("streaming wrapper: cumulative file-stream output equals one-shot, resume-safe") {
     val landing = tmpDir("seg-landing")
     val store = tmpDir("seg-store-stream")
