@@ -209,4 +209,27 @@ object Quantiles {
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
   }
+
+  /** Composite-key form: group by several columns at once. The columns
+    * pack into one struct for the selection core (struct equality is
+    * null-safe value equality, so every mechanism — the grouping, the
+    * bracket broadcast join, the driver maps — carries over unchanged)
+    * and unpack in the output, which keeps the original column names
+    * beside `(n, qs)`.
+    */
+  def exactGroupedQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, percentages: Seq[Double], buckets: Int = 1024,
+      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    if (groupCols.sizeIs == 1)
+      return exactGroupQuantiles(df, groupCols.head, valueCol, percentages,
+        buckets, maxLeafValues, maxRounds)
+    val packed = df.select(
+      struct(groupCols.map(col).toSeq: _*).as("__g"),
+      col(valueCol).as("__v"))
+    exactGroupQuantiles(packed, "__g", "__v", percentages,
+        buckets, maxLeafValues, maxRounds)
+      .select(groupCols.map(c => col("__g").getField(c).as(c)) ++
+        Seq(col("n"), col("qs")): _*)
+  }
 }

@@ -71,6 +71,31 @@ class QuantilesSpec extends SparkSpec {
     assertSame(sparkExact(df), bounded(df, buckets = 4, maxLeaf = 2, rounds = 1))
   }
 
+  test("composite group keys match percentile() grouped on the same columns") {
+    val rows = (0 until 3000).map { i =>
+      (s"a${i % 3}", i % 2, ((i * 2654435761L) % 9973).toDouble / 3.0)
+    }
+    val df = rows.toDF("g1", "g2", "v").repartition(7)
+    val pcts = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val expect = df.groupBy($"g1", $"g2")
+      .agg(expr(s"percentile(v, $pcts)").as("qs"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(3), r.getSeq[Double](2))))
+      .toMap
+    val got = Quantiles.exactGroupedQuantiles(df, Seq("g1", "g2"), "v", ps,
+        buckets = 32, maxLeafValues = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getSeq[Double](3))))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, (n, qs)) =>
+      assert(n === expect(k)._1)
+      qs.zip(expect(k)._2).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.max(math.abs(y), 1.0) * 1e-9, s"$k: $x vs $y")
+      }
+    }
+  }
+
   test("a NULL group value is a group like any other (null-safe bracket join)") {
     val rows: Seq[(String, Double)] =
       (0 until 300).map(i => (null.asInstanceOf[String], i.toDouble)) ++
