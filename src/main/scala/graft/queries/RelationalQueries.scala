@@ -522,7 +522,34 @@ object RelationalQueries {
     rows.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** The composite-key form of the bounded-state selection path
+    * ([[graft.operators.Quantiles.exactGroupedQuantiles]]): exact p50/p95
+    * per (returnflag, linestatus) cell — six groups, one struct-packed
+    * bracketing pass, against DuckDB's native two-column quantile_cont.
+    */
+  def priceQuantiles2d(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Quantiles.exactGroupedQuantiles(
+        Tables(spark, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+        Seq(0.5, 0.95))
+      .select($"l_returnflag", $"l_linestatus",
+        round(element_at($"qs", 1), 4).as("p50"),
+        round(element_at($"qs", 2), 4).as("p95"),
+        $"n")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val priceQuantiles2dSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_quantiles_2d" -> (priceQuantiles2d _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q_profile_orders" -> (profileOrders _),
     "q_price_quantiles_2pass" -> (priceQuantiles2Pass _),
@@ -544,6 +571,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_price_quantiles_2d" -> priceQuantiles2dSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_profile_orders" -> profileOrdersSql,
     "q_price_quantiles_2pass" -> priceQuantilesSql, // bracketing path: cost differs, answer must not
