@@ -32,6 +32,41 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.map(_._2).sum == 25L) // all 25 nations accounted for
   }
 
+  test("a pure-SQL curation pipeline composes from registered functions and matches the operator") {
+    // the library's SQL surface must carry a whole pipeline, not just
+    // scalar calls: normalize-key dedup (strip+lower fingerprint, keep
+    // min doc_id per key) + quality columns, written ONLY in spark.sql
+    // against registered tables and functions — then compared against
+    // the operator/Column formulation of the same stages
+    Tables.registerAll(spark, sf)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """WITH keyed AS (
+        |  SELECT doc_id, lang,
+        |    doc_fingerprint(lower(py_strip(text))) AS k,
+        |    token_count(text) AS nt,
+        |    dataset_split(text) AS split
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, lang, split, CAST(nt AS BIGINT) AS nt
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val docs = Tables(spark, sf, "documents")
+    val viaOps = graft.operators.Dedup.exact(docs,
+        graft.functions.TextFunctions.fingerprint(
+          lower(graft.functions.TextFunctions.pyStrip(col("text")))),
+        col("doc_id"), payload = Seq("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Curation.splitColumn(col("text")).as("split"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(viaSql == viaOps)
+    assert(viaSql.nonEmpty)
+  }
+
   test("native partial_ratio_sim registers as a SQL function (extensions surface)") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val got = spark.sql(
