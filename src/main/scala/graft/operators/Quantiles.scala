@@ -58,19 +58,42 @@ object Quantiles {
 
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       percentages: Seq[Double], buckets: Int = 1024,
+      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame =
+    exactWeightedQuantiles(df, groupCol, valueCol, None, percentages,
+      buckets, maxLeafValues, maxRounds)
+
+  /** Frequency-weighted form: each row counts `weightCol` times, exactly
+    * as if it were repeated that many times before an unweighted run —
+    * Spark's `percentile(v, p, frequency)` definition, which the spec
+    * gates against. Non-positive-weight rows are DROPPED
+    * (`percentile` throws on negative frequency; this operator filters —
+    * the documented divergence, pinned by the spec). The
+    * corpus use: length-weighted token/latency percentiles where a row
+    * stands for `n` underlying events, so re-exploding would multiply
+    * the data `n`-fold — here weights ride the SAME bounded histogram
+    * state. Rank search runs in weight units; the leaf decision stays on
+    * ROW counts (the collect-size bound), so a single heavy value with
+    * weight 10^9 still leafs instantly.
+    */
+  def exactWeightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: Option[String], percentages: Seq[Double], buckets: Int = 1024,
       maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame = {
     require(percentages.nonEmpty && percentages.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be within [0, 1], got $percentages")
     require(buckets >= 2 && maxLeafValues >= 1 && maxRounds >= 1)
     val spark = df.sparkSession
     val gField = df.schema(groupCol)
-    val src = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && !isnan(col("v")))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val src = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        w.as("w"))
+      .filter(col("v").isNotNull && !isnan(col("v")) && col("w").isNotNull &&
+        col("w") > 0L)
 
     // scan 1: per-group extent — the histogram seed AND the degenerate
-    // fast path (min == max needs no further scans at all)
+    // fast path (min == max needs no further scans at all). `n` is the
+    // WEIGHT total: every rank below runs in weight units.
     val stats = src.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sum(col("w")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
       .collect()
       .map(r => (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
 
@@ -133,20 +156,20 @@ object Quantiles {
         .filter(memberPred(buckets))
         .groupBy(col("bid"),
           idxExpr(col("v"), col("loCur"), col("wCur"), buckets).as("sub"))
-        .count()
+        .agg(sum(col("w")).as("wsum"), count(lit(1)).as("nrows"))
         .collect()
         .groupBy(_.getInt(0))
       active.foreach { b =>
         val subs = hist.getOrElse(b.id, Array.empty[Row])
-          .map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+          .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
         var cum = 0L
         var done = false
-        for ((j, c) <- subs if !done) {
+        for ((j, c, rows) <- subs if !done) {
           if (b.k < cum + c) {
             b.chain = Level(b.loCur, b.wCur, j) :: b.chain
             b.k -= cum
             val nextW = b.wCur / buckets
-            if (c <= maxLeafValues || nextW <= 0.0 ||
+            if (rows <= maxLeafValues || nextW <= 0.0 ||
                 !java.lang.Double.isFinite(nextW)) {
               b.leaf = true // resolve exactly next pass (width-exhausted
               // brackets resolve exactly too — just over more rows)
@@ -173,7 +196,7 @@ object Quantiles {
       val byValue = src
         .join(broadcast(bracketFrame(leaves)), col("g") <=> col("bg"))
         .filter(memberPred(buckets))
-        .groupBy(col("bid"), col("v")).count()
+        .groupBy(col("bid"), col("v")).agg(sum(col("w")).as("wsum"))
         .collect()
         .groupBy(_.getInt(0))
       leaves.foreach { b =>

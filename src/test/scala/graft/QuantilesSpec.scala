@@ -71,6 +71,34 @@ class QuantilesSpec extends SparkSpec {
     assertSame(sparkExact(df), bounded(df, buckets = 4, maxLeaf = 2, rounds = 1))
   }
 
+
+  test("weighted quantiles equal percentile(v, p, frequency); non-positive weights drop") {
+    val rows = (0 until 800).map { i =>
+      val g = s"g${i % 2}"
+      val v = ((i * 2654435761L) % 997).toDouble / 7.0
+      val w = (i % 5) + 1L // weights 1..5
+      (g, v, w)
+    } :+ (("g0", 12345.0, 1000000L)) // one heavy value dominates its group
+    val withJunk = rows ++ Seq(("g1", 99999.0, 0L), ("g1", 88888.0, -3L))
+    val df = withJunk.toDF("g", "v", "w").repartition(5)
+    val pcts = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    // oracle side: positive-weight rows only (percentile rejects negatives)
+    val expect = rows.toDF("g", "v", "w").groupBy($"g")
+      .agg(expr(s"percentile(v, $pcts, w)").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Quantiles.exactWeightedQuantiles(df, "g", "v", Some("w"), ps,
+        buckets = 32, maxLeafValues = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](2)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (g, qs) =>
+      qs.zip(expect(g)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.max(math.abs(y), 1.0) * 1e-9, s"$g: $x vs $y")
+      }
+    }
+    // the heavy value carries ~34% of g0 weight: the median must hit it
+    assert(got("g0")(ps.indexOf(0.95)) === 12345.0)
+  }
+
   test("composite group keys match percentile() grouped on the same columns") {
     val rows = (0 until 3000).map { i =>
       (s"a${i % 3}", i % 2, ((i * 2654435761L) % 9973).toDouble / 3.0)
