@@ -548,7 +548,44 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Frequency-weighted exact quantiles under the oracle gate
+    * ([[graft.operators.Quantiles.exactWeightedQuantiles]]): price
+    * percentiles weighted by quantity — each lineitem counts l_quantity
+    * times, the "row stands for n units" corpus-stats shape. The DuckDB
+    * oracle has no weighted quantile_cont, so it EXPANDS each row
+    * `unnest(range(w))`-fold and runs the unweighted one — the exact
+    * multiset the weighted definition stands for. The engine never
+    * materializes that expansion (weights ride the bounded histogram);
+    * the oracle does, which is precisely the cost the operator exists to
+    * avoid — and the hash match proves the shortcut changes nothing.
+    * l_quantity is integral (1..50) in this data, so the BIGINT casts
+    * agree across engines.
+    */
+  def weightedQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Quantiles.exactWeightedQuantiles(
+        Tables(spark, dir, "lineitem").withColumn("__w",
+          floor($"l_quantity").cast("long")),
+        "l_returnflag", "l_extendedprice", Some("__w"), Seq(0.5, 0.95))
+      .select($"l_returnflag",
+        round(element_at($"qs", 1), 4).as("p50"),
+        round(element_at($"qs", 2), 4).as("p95"),
+        $"n".as("total_units"))
+      .orderBy($"l_returnflag")
+  }
+
+  val weightedQuantilesSql: String =
+    """WITH expanded AS (
+      |  SELECT l_returnflag, l_extendedprice
+      |  FROM lineitem, unnest(range(CAST(floor(l_quantity) AS BIGINT))))
+      |SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  count(*) AS total_units
+      |FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_quantiles" -> (weightedQuantiles _),
     "q_price_quantiles_2d" -> (priceQuantiles2d _),
     "q_rollup_revenue" -> (rollupRevenue _),
     "q_profile_orders" -> (profileOrders _),
@@ -571,6 +608,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_quantiles" -> weightedQuantilesSql,
     "q_price_quantiles_2d" -> priceQuantiles2dSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_profile_orders" -> profileOrdersSql,
