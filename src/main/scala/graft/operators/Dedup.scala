@@ -188,7 +188,8 @@ object Dedup {
       df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
       shingleLen: Int = 3, seed: Long = 42L,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      maxBandBucketQuantile: Option[Double] = None): DataFrame = {
     // Empty-shingle docs (shorter than shingleLen tokens) all hash to the
     // identity signature [Long.MaxValue]*k, i.e. the SAME band buckets — on a
     // real corpus (many short docs) that one bucket makes the self-join
@@ -208,8 +209,32 @@ object Dedup {
       .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
       .withColumn("__sig", minHashSignature(col("__sh"), k, seed, shingleHash))
       .withColumn("__band", explode_outer(bandCol))
-    val a = base.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
-    val b = base.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
+    // Opt-in hot-bucket guard (the nearDuplicatePairsExact
+    // maxShingleDfQuantile shape): m documents landing in one band bucket
+    // contribute m²/2 candidate rows on that join key, so a degenerate
+    // corpus — boilerplate-heavy, or un-pre-deduped exact copies — goes
+    // quadratic on its hottest buckets. The cap drops (band, bucket)s
+    // whose size exceeds the given quantile of the OBSERVED bucket-size
+    // distribution before the self-join. One-sided trade: a dropped
+    // bucket only removes candidates (recall loss confined to pairs whose
+    // every shared band is outlier-hot), never adds a spurious pair. The
+    // default None keeps the exact LSH pair set — the q_minhash_pairs
+    // oracle verifies that path; DedupSpec pins the capped form on a
+    // planted degenerate corpus. Pipeline discipline still applies: run
+    // exact dedup FIRST (as CurationQueries.curationE2e does) so identical
+    // documents never reach the band join at all.
+    val banded = maxBandBucketQuantile match {
+      case None => base
+      case Some(q) =>
+        val sizes = base.groupBy(col("__band")).agg(count(lit(1)).as("__bs"))
+        val capRow = sizes.agg(expr(s"percentile(__bs, $q)").as("__cap"))
+        val kept = sizes.join(broadcast(capRow),
+            col("__bs").cast("double") <= col("__cap"))
+          .select(col("__band"))
+        base.join(kept, Seq("__band"))
+    }
+    val a = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
+    val b = banded.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
     a.join(b, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -322,70 +347,100 @@ object Dedup {
     * a triangle's edges — components make the keep-set decision
     * per-cluster, exactly one survivor each).
     *
-    * Algorithm: min-label propagation — each iteration every node adopts
-    * the minimum label among itself and its neighbors, a join + hash
-    * aggregate over the EDGE list per iteration, converging in
-    * diameter(G) iterations. Near-dup graphs are dense small clusters
-    * (diameter 1-2, a handful of iterations); `maxIterations` bounds the
-    * adversarial chain case and non-convergence RAISES rather than
-    * returning a silently half-merged clustering. Per-iteration
-    * [[Checkpoints.materialize]] truncates the logical plan (without it
-    * the iterated self-reference grows the lineage exponentially and
-    * planning, not execution, becomes the bottleneck; cluster
-    * deployments opt into reliable checkpoints — see Checkpoints) and
-    * the superseded iteration's blocks are freed eagerly, so the loop
-    * holds at most two label-set copies, not one per iteration.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * GraphFrames production algorithm), replacing the min-label
+    * propagation of earlier rounds whose round count was ∝ diameter(G).
+    * The edge list itself is rewritten each round, both halves a
+    * join + hash aggregate over it:
     *
-    * Scale shape: each iteration shuffles (node, label) by node — the
-    * edge list never rebuilds, embeddings/text never enter; convergence
-    * detection rides the SAME join that computes the update (the old
-    * label is carried beside the new one), no second join or action over
-    * the label set. This is the join-based CC of GraphFrames minus the
-    * large-star/small-star optimization, the right trade while cluster
-    * diameters stay small.
+    *  - large-star(u): every neighbor LARGER than u re-points to the
+    *    minimum of u's closed neighborhood — long chains fold onto their
+    *    local minima;
+    *  - small-star(u): u and its smaller neighbors all re-point to the
+    *    smallest of them — stars flatten to depth 1.
+    *
+    * Both steps preserve connectivity and never create a new minimum, and
+    * the joint fixpoint is one depth-1 star per component rooted at the
+    * component MINIMUM (edges are kept canonical larger→smaller, so at
+    * the fixpoint the b-side IS `cluster_rep`). Convergence is
+    * O(log diameter) alternating rounds (DedupSpec pins a diameter-64
+    * chain at ≤ 9) versus diameter rounds for label propagation — the
+    * difference between 6 and 64 shuffle rounds on a 100 TB corpus with
+    * one adversarial boilerplate chain. `maxIterations` still bounds the
+    * loop, and non-convergence RAISES rather than returning a silently
+    * half-merged clustering. Per-round [[Checkpoints.materialize]]
+    * truncates the logical plan (the iterated self-reference would
+    * otherwise grow the lineage exponentially and planning, not
+    * execution, becomes the bottleneck); the superseded round's blocks
+    * are freed eagerly, so the loop holds at most two edge-set copies.
+    *
+    * Scale shape: each round shuffles the EDGE list only — (long, long)
+    * pairs, never text or embeddings — twice (once per star step), plus
+    * the distinct; edge count is bounded by the original m throughout
+    * (each step emits ≤ one edge per input edge, deduplicated).
     */
   def connectedComponents(
       pairs: DataFrame, src: Column, dst: Column,
-      maxIterations: Int = 20): DataFrame = {
-    val sym = Checkpoints.materialize(
-      pairs.select(src.cast("long").as("a"), dst.cast("long").as("b"))
-        .unionByName(pairs.select(dst.cast("long").as("a"), src.cast("long").as("b"))))
-    // ck = the CHECKPOINTED frame backing the current labels (free() must
-    // see the LogicalRDD itself, not a projection over it)
-    var ck = Checkpoints.materialize(
-      sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")))
-    var labels = ck
+      maxIterations: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, src, dst, maxIterations)._1
+
+  /** [[connectedComponents]] plus the number of alternating rounds it
+    * took — the observable the convergence-rate spec pins.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, src: Column, dst: Column,
+      maxIterations: Int = 20): (DataFrame, Int) = {
+    // canonical larger→smaller edge list; self-pairs carry no information
+    var e = Checkpoints.materialize(
+      pairs.select(greatest(src.cast("long"), dst.cast("long")).as("a"),
+          least(src.cast("long"), dst.cast("long")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+    var eCount = e.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIterations) {
-      val neighborMin = sym
-        .join(labels, sym("b") === labels("node"))
-        .groupBy(sym("a").as("nbrNode"))
-        .agg(min(col("label")).as("nbrLabel"))
-      val joined = Checkpoints.materialize(labels
-        .join(neighborMin, labels("node") === col("nbrNode"), "left")
-        .select(col("node"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("label")))
-      converged = joined.filter(col("label") =!= col("__old")).isEmpty
-      Checkpoints.free(ck)
-      ck = joined
-      labels = joined.select(col("node"), col("label"))
+      // large-star: u's larger neighbors re-point to min(Γ⁺(u))
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mnAll = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = Checkpoints.materialize(sym.join(mnAll, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), least(col("mn"), col("u")).as("b"))
+        .distinct())
+      // small-star: u and its smaller neighbors re-point to their min
+      // (edges are canonical a > b, so N_small(a) is just the b side)
+      val mnSmall = ls.groupBy(col("a").as("u")).agg(min(col("b")).as("mn"))
+      val ss = Checkpoints.materialize(
+        ls.join(mnSmall, ls("a") === mnSmall("u"))
+          .filter(col("b") =!= col("mn"))
+          .select(col("b").as("a"), col("mn").as("b"))
+          .unionByName(mnSmall.select(col("u").as("a"), col("mn").as("b")))
+          .distinct())
+      Checkpoints.free(ls)
+      val ssCount = ss.count()
+      converged = ssCount == eCount &&
+        ss.join(e, Seq("a", "b"), "left_anti").isEmpty
+      Checkpoints.free(e)
+      e = ss
+      eCount = ssCount
       it += 1
     }
-    if (!converged) {
-      // release the two live label/edge copies before raising — the error
-      // path must not leak executor storage (or reliable-checkpoint files)
-      // that only session teardown would otherwise reclaim
-      Checkpoints.free(ck)
-      Checkpoints.free(sym)
+    if (!converged && eCount > 0) {
+      // release the live edge copy before raising — the error path must
+      // not leak executor storage (or reliable-checkpoint files) that
+      // only session teardown would otherwise reclaim
+      Checkpoints.free(e)
       throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIterations iterations — " +
-          "a component's diameter exceeds the cap; raise maxIterations")
+        s"connectedComponents: not converged after $maxIterations rounds — " +
+          "raise maxIterations")
     }
-    val result = labels.select(col("node"), col("label").as("cluster_rep"))
-    Checkpoints.free(sym)
-    result
+    // fixpoint edges are one star per component rooted at its minimum
+    val result = e.select(col("a").as("node"), col("b").as("cluster_rep"))
+      .unionByName(
+        e.select(col("b").as("node"), col("b").as("cluster_rep")).distinct())
+    (result, it)
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -153,38 +153,126 @@ object Embeddings {
     }: _*)
   }
 
+  /** Band-key VECTOR of a wide sign sketch, computed directly from the
+    * planes — index b holds band b's r-bit key (r = planes.length/bands),
+    * bit jj of key b set iff dot(emb, plane_{b·r+jj}) >= 0. [[signSketch]]
+    * packs the whole sketch into one long and tops out at h <= 63; the
+    * scale-honest near-dup geometries (h = 128+, so band keys are wide
+    * enough that random vectors rarely collide) need per-band keys, never
+    * a single packed word. Null dots THROW, exactly as in [[signSketch]]
+    * (a silently-zero sketch would herd every degenerate row into the
+    * same buckets).
+    */
+  def bandKeyVector(emb: Column, planes: Array[Array[Double]], bands: Int): Column = {
+    val h = planes.length
+    require(h % bands == 0, s"bandKeyVector: h=$h not divisible by bands=$bands")
+    val r = h / bands
+    require(r <= 62, s"bandKeyVector: band key width $r exceeds 62 bits")
+    array((0 until bands).map { b =>
+      (0 until r).map { jj =>
+        val p = planes(b * r + jj)
+        val d = dot(emb, lit(p))
+        when(d >= 0, lit(1L << jj)).when(d < 0, lit(0L))
+          .otherwise(raise_error(lit(
+            s"bandKeyVector: null dot product — null embedding or width != ${p.length}"))
+            .cast("long"))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Embedding-cosine near-duplicate PAIRS (the brief's fifth dedup
     * family): all (id_a < id_b) pairs with cosine >= threshold, candidates
     * generated by shared hyperplane-LSH band buckets — the embedding
     * analogue of [[Dedup.minHashNearDuplicates]]. The candidate self-join
-    * carries (id, band) only; embeddings join back for the surviving
-    * pairs. Recall follows the (h, bands) sketch geometry: near-identical
-    * vectors agree on almost every sign bit, so any tight near-dup pair
-    * shares a band with overwhelming probability.
+    * carries (rep, band, key) only; embeddings join back for the
+    * surviving pairs. Recall follows the (h, bands) sketch geometry: a
+    * pair at cosine c shares a band w.p. 1−(1−(1−acos(c)/π)^r)^bands —
+    * ~0.996 at the default h=128/bands=16 for c = 0.9.
+    *
+    * Three scale guards, in candidate-generation order:
+    *
+    *  1. **Wide band keys** (default r = h/bands = 8 bits). The previous
+    *     4-bit geometry had 16 possible buckets per band, making the
+    *     self-join ~n²/4 BY CONSTRUCTION on any corpus; at r = 8 random
+    *     vectors collide per band w.p. ~2⁻⁸ (sign bits, not uniform
+    *     buckets), so candidate volume tracks actual similarity mass.
+    *  2. **Identical-sketch pre-collapse** (the [[Dedup.simHashPairs]]
+    *     hamming-0 precedent): one representative per DISTINCT sketch
+    *     enters the band join, so m copies of a vector contribute one
+    *     band row each instead of m — the worst hot buckets (exact-dup
+    *     clusters) never reach the join. Intra-sketch pairs are emitted
+    *     directly (they are the output's own dup clusters — any pair
+    *     algorithm must emit them) and rep pairs expand back to member
+    *     pairs afterward; both paths are rescored exactly, so the final
+    *     pair set is IDENTICAL to the uncollapsed join's.
+    *  3. **`maxBandBucketQuantile`** (opt-in, mirrors
+    *     [[Dedup.nearDuplicatePairsExact]]'s `maxShingleDfQuantile`):
+    *     drops (band, key) buckets whose size exceeds the given quantile
+    *     of the observed bucket-size distribution — the outlier-hot tail
+    *     that survives collapse (many DISTINCT sketches sharing a band
+    *     key). One-sided trade: dropping a bucket only removes
+    *     candidates, so recall can drop but no spurious pair appears.
     *
     * Oracle-registered as q_cosine_dedup at threshold 0.45 (the densest
-    * the synthetic table supports — max pair cosine ~0.6): the DuckDB
-    * oracle replays sketch, banding, candidate join, and rescore from
-    * the shared hyperplane constants. EmbeddingsSpec proves exactness
-    * against brute force on planted near-dups at the production 0.9.
+    * the synthetic table supports — max pair cosine ~0.6) with the cap
+    * OFF: the DuckDB oracle replays sketch, banding, candidate join, and
+    * rescore from the shared hyperplane constants, and pre-collapse is
+    * output-invariant (members of one sketch group share every band, so
+    * collapse+expand reproduces exactly the shared-band pair set).
+    * EmbeddingsSpec proves exactness against brute force on planted
+    * near-dups at the production 0.9 and pins the capped form on a
+    * planted degenerate corpus.
     */
   def cosineNearDuplicates(
       df: DataFrame, id: Column, emb: Column,
-      threshold: Double = 0.9, dim: Int = 64, h: Int = 16, bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.9, dim: Int = 64, h: Int = 128, bands: Int = 16,
+      seed: Long = 42L,
+      maxBandBucketQuantile: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val planes = hyperplanes(dim, h, seed)
-    val withBands = df.select(id.as("__id"), emb.as("__e"))
-      .select(col("__id"), col("__e"),
-        explode_outer(sketchBands(signSketch(col("__e"), planes), h, bands)).as("__b"))
-    val a = withBands.select(col("__id").as("id_a"), col("__b"))
-    val b = withBands.select(col("__id").as("id_b"), col("__b"))
-    val candIds = a.join(b, Seq("__b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val keyed = df.select(id.as("__id"), emb.as("__e"))
+      .select(col("__id"), bandKeyVector(col("__e"), planes, bands).as("__bk"))
+    // one shuffle on the sketch vector gives both the members table and
+    // (via __id == __rep) the distinct-sketch representative set
+    val members = keyed.withColumn("__rep",
+      min(col("__id")).over(Window.partitionBy(col("__bk"))))
+    // posexplode_outer, not posexplode: the plain generator's inferred
+    // size(__bk) > 0 filter would be pushed below the window and re-inline
+    // all h dot products into a scan filter (the Dedup explode_outer trap)
+    val reps = members.filter(col("__id") === col("__rep"))
+      .select(col("__rep"), posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
+    val repsKept = maxBandBucketQuantile match {
+      case None => reps
+      case Some(q) =>
+        val sizes = reps.groupBy(col("__band"), col("__key"))
+          .agg(count(lit(1)).as("__bs"))
+        // exact interpolated percentile broadcast as one row — the
+        // nearDuplicatePairsExact cap shape
+        val capRow = sizes.agg(expr(s"percentile(__bs, $q)").as("__cap"))
+        val kept = sizes.join(broadcast(capRow),
+            col("__bs").cast("double") <= col("__cap"))
+          .select(col("__band"), col("__key"))
+        reps.join(kept, Seq("__band", "__key"))
+    }
+    val ra = repsKept.select(col("__rep").as("__ra"), col("__band"), col("__key"))
+    val rb = repsKept.select(col("__rep").as("__rb"), col("__band"), col("__key"))
+    val repPairs = ra.join(rb, Seq("__band", "__key"))
+      .filter(col("__ra") < col("__rb"))
+      .select(col("__ra"), col("__rb"))
       .distinct()
+    val memA = members.select(col("__rep").as("__ra"), col("__id").as("__xa"))
+    val memB = members.select(col("__rep").as("__rb"), col("__id").as("__xb"))
+    // sketch groups are disjoint, so each unordered cross pair expands
+    // exactly once — least/greatest canonicalizes without a distinct
+    val cross = repPairs.join(memA, Seq("__ra")).join(memB, Seq("__rb"))
+      .select(least(col("__xa"), col("__xb")).as("id_a"),
+        greatest(col("__xa"), col("__xb")).as("id_b"))
+    val intra = memA.join(memB,
+        col("__ra") === col("__rb") && col("__xa") < col("__xb"))
+      .select(col("__xa").as("id_a"), col("__xb").as("id_b"))
     val embs = df.select(id.as("__id"), emb.as("__e"))
       .withColumn("__n", norm(col("__e")))
-    candIds
+    cross.unionByName(intra)
       .join(embs.select(col("__id").as("id_a"), col("__e").as("__ea"), col("__n").as("__na")), Seq("id_a"))
       .join(embs.select(col("__id").as("id_b"), col("__e").as("__eb"), col("__n").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

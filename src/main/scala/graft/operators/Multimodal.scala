@@ -18,10 +18,12 @@ import org.apache.spark.sql.types._
   *  - real decoding is batched behind [[MediaDecoder]] in `mapPartitions`
   *    (same harness as [[SentimentRunner]]): one decoder instance per
   *    partition, bounded batches, rows never buffered whole-partition.
-  *    The container has no imaging libraries, so the shipped decoder is a
-  *    DETERMINISTIC STUB ([[FakeDecoder]]) — the Spark plumbing (schema,
-  *    batching, output contract) is real and tested; swap the stub for a
-  *    JNI/ImageIO-backed implementation to productionize.
+  *    [[ImageIODecoder]] is a REAL decoder — the JDK's own `javax.imageio`
+  *    readers cover PNG/JPEG/GIF/BMP, so image decode, luminance-grid
+  *    features and the [[dHashNearDuplicates]] perceptual dedup all
+  *    execute against actual pixels. [[FakeDecoder]] remains the
+  *    deterministic stand-in for codecs that genuinely need external
+  *    libraries (audio/video), keeping the plumbing testable there.
   */
 object Multimodal {
 
@@ -105,6 +107,121 @@ object Multimodal {
           (feat, p.length % 1024, p.length / 1024 + 1)
         }
       }
+  }
+
+  /** REAL image decoder backed by `javax.imageio` — PNG, JPEG, GIF and
+    * BMP readers ship inside the JDK itself, so "no imaging libraries in
+    * the container" never applied to these four: this decoder executes
+    * actual pixel decode, not a stub. The feature vector is a
+    * `gridH × gridW` area-averaged luminance grid (row-major), exactly
+    * the precursor a difference hash wants; dims are the decoder's own.
+    * Unreadable payloads (corrupt bytes, unsupported containers) yield
+    * the zero vector with 0×0 dims — the null-safe fallback the
+    * [[MediaDecoder]] contract requires, same reasoning as
+    * [[org.apache.spark.sql.graft.ImageDims.parse]] returning "unknown"
+    * instead of throwing.
+    */
+  final case class ImageIODecoder(gridW: Int = 9, gridH: Int = 8) extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Array[Float], Int, Int)] = {
+      val zero = (Array.fill(gridW * gridH)(0f), 0, 0)
+      payloads.map { p =>
+        if (p == null || p.isEmpty) zero
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || img.getWidth < 1 || img.getHeight < 1) zero
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val feat = new Array[Float](gridW * gridH)
+            var gy = 0
+            while (gy < gridH) {
+              val y0 = gy * h / gridH
+              val y1 = math.max(y0 + 1, (gy + 1) * h / gridH)
+              var gx = 0
+              while (gx < gridW) {
+                val x0 = gx * w / gridW
+                val x1 = math.max(x0 + 1, (gx + 1) * w / gridW)
+                var acc = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    // integer Rec.601 luma — deterministic across JVMs
+                    acc += (((rgb >> 16) & 0xff) * 299 +
+                      ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    x += 1
+                  }
+                  y += 1
+                }
+                feat(gy * gridW + gx) =
+                  (acc / ((y1 - y0).toLong * (x1 - x0))).toFloat
+                gx += 1
+              }
+              gy += 1
+            }
+            (feat, w, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** 64-bit difference hash over a 9×8 luminance grid (the
+    * [[ImageIODecoder]] default): bit (row·8+col) set iff the cell right
+    * of (row, col) is brighter — the classic perceptual dHash, robust to
+    * resize/compression because it keys on horizontal gradient SIGNS,
+    * not absolute values. Pure column arithmetic over the feat array
+    * (64 comparisons), fully codegen'd.
+    */
+  def dHash64(feat: Column, gridW: Int = 9, gridH: Int = 8): Column = {
+    require((gridW - 1) * gridH == 64,
+      s"dHash64 needs a grid with (gridW-1)*gridH == 64, got $gridW×$gridH")
+    (for (y <- 0 until gridH; x <- 0 until gridW - 1) yield {
+      val i = y * gridW + x
+      when(element_at(feat, i + 2) > element_at(feat, i + 1),
+        lit(1L << (y * (gridW - 1) + x))).otherwise(lit(0L))
+    }).reduce(_ + _)
+  }
+
+  /** Image near-duplicate PAIRS by perceptual dHash — plugs the binary
+    * payload columns into the dedup pillar: decode (REAL pixels, batched
+    * [[ImageIODecoder]]) → dHash → banded candidate join → exact Hamming
+    * verify. Banding: 8 bands of 8 bits, so any pair within
+    * `maxHamming` ≤ 7 shares at least one band by pigeonhole — recall is
+    * EXACT for the default radius, not probabilistic (the
+    * [[Dedup.simHashPairs]] trade, without the rotation heuristic since
+    * 8 one-byte keys are cheap). Undecodable payloads hash to the
+    * all-zero grid; they are dropped before the join (the empty-shingle
+    * precedent: corrupt blobs are not near-dups of each other, and one
+    * corrupt-payload bucket would go quadratic).
+    */
+  def dHashNearDuplicates(
+      df: DataFrame, id: Column, payload: Column,
+      maxHamming: Int = 6, batchSize: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be within [0, 7] (8-band pigeonhole bound), got $maxHamming")
+    val decoded = decodeFeatures(
+      df.select(id.cast("long").as("__id"), payload.as("__p")), "__p",
+      ImageIODecoder(), batchSize)
+    val hashed = decoded
+      .filter(col("dec_width") > 0)
+      .select(col("__id"), dHash64(col("feat")).as("__dh"))
+    val banded = hashed.select(col("__id"), col("__dh"),
+      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("__dh"), b * 8).bitwiseAND(lit(0xffL))
+          .as("key"))): _*)).as("__b"))
+    val a = banded.select(col("__id").as("id_a"), col("__dh").as("dh_a"), col("__b"))
+    val b = banded.select(col("__id").as("id_b"), col("__dh").as("dh_b"), col("__b"))
+    a.join(b, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
   }
 
   /** Decode/feature-extract `payloadCol` in bounded batches per partition,

@@ -43,6 +43,9 @@ import org.apache.spark.sql.types._
   * as `(group, n, qs)` where `qs(i)` is the exact percentage `ps(i)`
   * order statistic with linear interpolation — `lower + (upper-lower)·
   * (rank - floor(rank))`, the `percentile`/`quantile_cont` definition.
+  * Groups whose every row is dropped (all values null/NaN, or all weights
+  * null/non-positive) are emitted as `(group, 0, NULL)`, matching
+  * `percentile`'s grouped behavior — never silently omitted.
   */
 object Quantiles {
 
@@ -58,43 +61,85 @@ object Quantiles {
 
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       percentages: Seq[Double], buckets: Int = 1024,
-      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame =
+      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4,
+      maxGroups: Int = 4096): DataFrame =
     exactWeightedQuantiles(df, groupCol, valueCol, None, percentages,
-      buckets, maxLeafValues, maxRounds)
+      buckets, maxLeafValues, maxRounds, maxGroups)
 
   /** Frequency-weighted form: each row counts `weightCol` times, exactly
     * as if it were repeated that many times before an unweighted run —
     * Spark's `percentile(v, p, frequency)` definition, which the spec
     * gates against. Non-positive-weight rows are DROPPED
     * (`percentile` throws on negative frequency; this operator filters —
-    * the documented divergence, pinned by the spec). The
-    * corpus use: length-weighted token/latency percentiles where a row
-    * stands for `n` underlying events, so re-exploding would multiply
-    * the data `n`-fold — here weights ride the SAME bounded histogram
-    * state. Rank search runs in weight units; the leaf decision stays on
-    * ROW counts (the collect-size bound), so a single heavy value with
-    * weight 10^9 still leafs instantly.
+    * the documented divergence, pinned by the spec), and `weightCol`
+    * must already be an INTEGRAL column: a silent cast('long') used to
+    * truncate fractional weights (0.7 → 0) and then drop those rows
+    * entirely, so the operator now rejects float/double/decimal weights
+    * at the API boundary — round or floor explicitly, as the registered
+    * q_weighted_quantiles caller does. The corpus use: length-weighted
+    * token/latency percentiles where a row stands for `n` underlying
+    * events, so re-exploding would multiply the data `n`-fold — here
+    * weights ride the SAME bounded histogram state. Rank search runs in
+    * weight units; the leaf decision stays on ROW counts (the
+    * collect-size bound), so a single heavy value with weight 10^9 still
+    * leafs instantly.
+    *
+    * Driver-state contract: per-group bookkeeping (one Bracket per
+    * (group, order statistic), plus each refinement round's non-empty
+    * histogram rows, ≤ brackets × buckets) lives on the DRIVER — bounded
+    * in per-group n, but LINEAR in group count. The operator targets
+    * low-cardinality grouping (dashboard dimensions, return flags, label
+    * buckets); `maxGroups` (default 4096) fails fast past that, where
+    * plain `percentile` — whose state lives per-group on executors — is
+    * the right tool.
+    *
+    * Groups whose rows are ALL dropped (every value null/NaN, or every
+    * weight null/non-positive) are emitted as `(group, 0, NULL)` —
+    * matching `percentile`'s grouped behavior of emitting the group with
+    * a NULL aggregate rather than silently omitting it.
     */
   def exactWeightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: Option[String], percentages: Seq[Double], buckets: Int = 1024,
-      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame = {
+      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4,
+      maxGroups: Int = 4096): DataFrame = {
     require(percentages.nonEmpty && percentages.forall(p => p >= 0.0 && p <= 1.0),
       s"percentages must be within [0, 1], got $percentages")
-    require(buckets >= 2 && maxLeafValues >= 1 && maxRounds >= 1)
+    require(buckets >= 2 && maxLeafValues >= 1 && maxRounds >= 1 && maxGroups >= 1)
+    weightCol.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"exactWeightedQuantiles: weightCol '$c' must be integral, got " +
+          s"${dt.simpleString} — fractional weights would truncate (0.7 -> 0) " +
+          "and sub-unit rows would vanish; floor()/round() and cast explicitly")
+    }
     val spark = df.sparkSession
     val gField = df.schema(groupCol)
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val valid = col("v").isNotNull && !isnan(col("v")) && col("w").isNotNull &&
+      col("w") > 0L
     val src = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
         w.as("w"))
-      .filter(col("v").isNotNull && !isnan(col("v")) && col("w").isNotNull &&
-        col("w") > 0L)
+      .filter(valid)
 
     // scan 1: per-group extent — the histogram seed AND the degenerate
     // fast path (min == max needs no further scans at all). `n` is the
-    // WEIGHT total: every rank below runs in weight units.
-    val stats = src.groupBy(col("g"))
-      .agg(sum(col("w")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // WEIGHT total: every rank below runs in weight units. Conditional
+    // aggregates over the UNfiltered rows so all-dropped groups still
+    // surface (with a null n) instead of disappearing from the output.
+    val statsAll = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"), w.as("w"))
+      .groupBy(col("g"))
+      .agg(sum(when(valid, col("w"))).as("n"),
+        min(when(valid, col("v"))).as("mn"), max(when(valid, col("v"))).as("mx"))
       .collect()
+    require(statsAll.length <= maxGroups,
+      s"exactWeightedQuantiles: ${statsAll.length} groups exceeds maxGroups=" +
+        s"$maxGroups — driver state is O(groups × percentages × buckets); " +
+        "this operator targets low-cardinality grouping (use percentile() " +
+        "for high-cardinality groupCols, or raise maxGroups deliberately)")
+    val emptyGroups = statsAll.filter(_.isNullAt(1)).map(_.get(0))
+    val stats = statsAll.filterNot(_.isNullAt(1))
       .map(r => (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
 
     // target ranks per group: r = (n-1)·p needs order statistics ⌊r⌋ and ⌈r⌉
@@ -224,11 +269,11 @@ object Quantiles {
         lo + (hi - lo) * (r - k0)
       }
       Row(g, n, qs)
-    }
+    } ++ emptyGroups.map(g => Row(g, 0L, null))
     val outSchema = StructType(Seq(
       StructField(groupCol, gField.dataType, gField.nullable),
       StructField("n", LongType, nullable = false),
-      StructField("qs", ArrayType(DoubleType), nullable = false)))
+      StructField("qs", ArrayType(DoubleType), nullable = true)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
   }
@@ -242,16 +287,17 @@ object Quantiles {
     */
   def exactGroupedQuantiles(df: DataFrame, groupCols: Seq[String],
       valueCol: String, percentages: Seq[Double], buckets: Int = 1024,
-      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4): DataFrame = {
+      maxLeafValues: Int = 1 << 16, maxRounds: Int = 4,
+      maxGroups: Int = 4096): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     if (groupCols.sizeIs == 1)
       return exactGroupQuantiles(df, groupCols.head, valueCol, percentages,
-        buckets, maxLeafValues, maxRounds)
+        buckets, maxLeafValues, maxRounds, maxGroups)
     val packed = df.select(
       struct(groupCols.map(col).toSeq: _*).as("__g"),
       col(valueCol).as("__v"))
     exactGroupQuantiles(packed, "__g", "__v", percentages,
-        buckets, maxLeafValues, maxRounds)
+        buckets, maxLeafValues, maxRounds, maxGroups)
       .select(groupCols.map(c => col("__g").getField(c).as(c)) ++
         Seq(col("n"), col("qs")): _*)
   }

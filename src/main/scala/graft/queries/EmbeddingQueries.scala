@@ -311,19 +311,24 @@ object EmbeddingQueries {
 
   /** Embedding-cosine near-duplicate PAIRS
     * ([[Embeddings.cosineNearDuplicates]]) — the brief's fifth dedup
-    * family member, FULLY oracle-gated at the operator defaults
-    * (h=16, bands=4, seed 42). The synthetic corpus has no true
-    * near-dups (max pair cosine ~0.6), so the query registers at the
-    * densest threshold the table supports (0.45: 14 ground-truth pairs
-    * at sf0.01, ~140 at sf0.1) — the MECHANISM under the gate is exactly
+    * family member, FULLY oracle-gated at the operator defaults — the
+    * scale-honest geometry h=128, bands=16 (8-bit band keys; the old
+    * 4-bit registration was ~n²/4 candidates by construction), seed 42,
+    * identical-sketch pre-collapse on (output-invariant: a sketch group
+    * shares every band, so collapse+expand reproduces the shared-band
+    * pair set exactly). The synthetic corpus has no true near-dups (max
+    * pair cosine ~0.6), so the query registers at the densest threshold
+    * the table supports (0.45) — the MECHANISM under the gate is exactly
     * the production one: sign sketch over shared gaussian hyperplanes,
     * banded bucket self-join, exact rescore of candidates only. The
     * DuckDB oracle re-derives every step from the SAME
     * [[Embeddings.hyperplanes]] constants (left-associated IEEE fold,
-    * `>= 0` sign rule, identical bit packing per band), so sketching,
+    * `>= 0` sign rule, identical per-band bit packing), so sketching,
     * banding, candidate generation, and rescoring are cross-engine
     * verified; the recall-vs-all-pairs property at the production 0.9
-    * threshold stays spec-gated on planted near-dups (EmbeddingsSpec).
+    * threshold stays spec-gated on planted near-dups, and the
+    * `maxBandBucketQuantile` cap on a planted degenerate corpus
+    * (EmbeddingsSpec).
     */
   def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -407,7 +412,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "q_cosine_dedup" -> cosineDedupSql(
-      dim = 64, h = 16, bands = 4, seed = 42L, threshold = 0.45),
+      dim = 64, h = 128, bands = 16, seed = 42L, threshold = 0.45),
     "q_embedding_knn" -> embeddingKnnSql,
     "q_embedding_q8_knn" -> embeddingQ8KnnSql,
     "q_embedding_ann" -> embeddingAnnSql,

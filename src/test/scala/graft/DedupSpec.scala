@@ -76,6 +76,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((900L, 901L)))
   }
 
+  test("minHash maxBandBucketQuantile cap is one-sided on a degenerate corpus") {
+    import spark.implicits._
+    // 40 exact copies of one document: every copy lands in all 16 of its
+    // band buckets, so those buckets are the observed hot tail. A q=0.5
+    // cap drops them (40 >> the singleton-median), losing the copy pairs
+    // — the documented one-sided trade — while never inventing a pair.
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val copies = (1 to 40).map(i => (i.toLong, boiler))
+    val others = (1 to 30).map(i =>
+      (100L + i, (1 to 40).map(j => s"u${i}w$j").mkString(" ")))
+    val df = (copies ++ others).toDF("id", "text")
+    def run(cap: Option[Double]) = Dedup.minHashNearDuplicates(
+        df, col("id"), col("text"), threshold = 0.5,
+        maxBandBucketQuantile = cap)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    val capped = run(Some(0.5))
+    assert(uncapped.size == 40 * 39 / 2) // sanity: all copy pairs found
+    assert(capped.subsetOf(uncapped), "cap added a spurious pair")
+    assert(capped.size < uncapped.size, "q=0.5 cap dropped nothing")
+  }
+
   test("exact near-dup pairs match brute-force jaccard") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"w$i")
@@ -343,11 +365,24 @@ class DedupSpec extends SparkSpec {
     assert(comp.count { case (n, r) => n == r } === 3)
   }
 
+  test("large-star/small-star converges in O(log diameter) rounds on a planted chain") {
+    import spark.implicits._
+    // a 65-node path (diameter 64) — label propagation needed 64 rounds;
+    // alternating star rounds fold the chain onto its minimum in ~log2
+    val chain = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      chain, $"id_a", $"id_b", maxIterations = 20)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 65L).toSet)
+    assert(got.values.toSet == Set(1L))
+    assert(rounds <= 9, s"diameter-64 chain took $rounds rounds (want <= ceil(log2 64)+3)")
+  }
+
   test("connectedComponents raises loudly when a component's diameter exceeds the cap") {
     import spark.implicits._
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 2).collect()
+      Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 1).collect()
     }
     assert(e.getMessage.contains("not converged"))
     // and the same graph converges with an adequate cap

@@ -81,6 +81,57 @@ class EmbeddingsSpec extends SparkSpec {
     got.foreach { case (a, b) => assert(a / 5 == b / 5) }
   }
 
+  test("identical-sketch pre-collapse bounds the band join on a degenerate corpus") {
+    import spark.implicits._
+    // the adversarial corpus for banded LSH: a huge exact-duplicate
+    // cluster (every copy lands in every one of its bands' buckets) plus
+    // a few distinct vectors
+    val rnd = new scala.util.Random(11L)
+    val dup = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val nDup = 300
+    val others = (0 until 50).map(i =>
+      ((nDup + i).toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val vecs = (0 until nDup).map(i => (i.toLong, dup.clone())) ++ others
+    val df = vecs.toDF("vec_id", "embedding")
+    // the band self-join sees one row per DISTINCT sketch, not per row:
+    // 300 identical vectors collapse to a single representative
+    val planes = Embeddings.hyperplanes(64, 128, 42L)
+    val distinctSketches = df
+      .select(Embeddings.bandKeyVector($"embedding", planes, 16).as("bk"))
+      .distinct().count()
+    assert(distinctSketches <= 51L,
+      s"$distinctSketches distinct sketches for 51 distinct vectors")
+    // and the final pair set is still exactly right: all C(300,2) dup
+    // pairs at cosine 1.0, nothing above threshold among the randoms
+    val got = Embeddings.cosineNearDuplicates(
+      df, $"vec_id", $"embedding", threshold = 0.999)
+    assert(got.count() == nDup.toLong * (nDup - 1) / 2)
+    assert(got.agg(min($"cosine")).as[Double].head() == 1.0)
+  }
+
+  test("maxBandBucketQuantile cap is one-sided and spares the collapse path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val dup = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 5).map(i => (i.toLong, dup.clone())) ++
+      (5 until 65).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // tiny 2-bit band keys (h=8, bands=4) force hot buckets on 65 rows so
+    // an aggressive q=0.5 cap actually drops some
+    def run(cap: Option[Double]) = Embeddings.cosineNearDuplicates(
+        df, $"vec_id", $"embedding", threshold = 0.5, h = 8, bands = 4,
+        maxBandBucketQuantile = cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(None)
+    val capped = run(Some(0.5))
+    assert(capped.subsetOf(uncapped), "cap added a spurious pair")
+    // the identical-vector pairs ride the pre-collapse (intra-sketch)
+    // path, which the bucket cap never touches
+    val dupPairs = (for (a <- 0 until 5; b <- a + 1 until 5)
+      yield (a.toLong, b.toLong)).toSet
+    assert(dupPairs.subsetOf(capped))
+  }
+
   test("IVF top-k equals brute force on planted clusters and prunes candidates") {
     import spark.implicits._
     val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)

@@ -63,4 +63,117 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0)._2 == got(1)._2 && got(0)._2 != got(2)._2)
     assert(got(0)._3 == 4)
   }
+
+  // ------------------------------ real bytes: ImageDims + ImageIO + dHash
+
+  /** Deterministic test image: a gradient + seeded-noise RGB raster,
+    * encoded by the JDK's own ImageIO writers — REAL encoder output, not
+    * hand-assembled headers.
+    */
+  private def makeImage(w: Int, h: Int, seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255 / math.max(1, w - 1) + y * 255 / math.max(1, h - 1)) / 2
+      val n = rnd.nextInt(32)
+      val v = math.min(255, base + n)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encodeBytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in JDK")
+    bos.toByteArray
+  }
+
+  test("image_dims parses real ImageIO-encoded PNG/JPEG/GIF/BMP headers") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, encodeBytes(makeImage(320, 200, 1L), "png"), "png", 320, 200),
+      (2L, encodeBytes(makeImage(17, 43, 2L), "jpg"), "jpeg", 17, 43),
+      (3L, encodeBytes(makeImage(64, 48, 3L), "gif"), "gif", 64, 48),
+      (4L, encodeBytes(makeImage(100, 7, 4L), "bmp"), "bmp", 100, 7))
+    val df = rows.map(r => (r._1, r._2)).toDF("id", "payload")
+    val got = df.select($"id",
+        org.apache.spark.sql.graft.ImageDimsExpr.imageDims($"payload").as("d"))
+      .select($"id", $"d.format", $"d.width", $"d.height")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == rows.map(r => (r._1, r._3, r._4, r._5)))
+  }
+
+  test("image_dims walks multi-segment JPEGs and survives corrupt bytes") {
+    import spark.implicits._
+    def hexB(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI + APP1 (EXIF-shaped, 12 bytes) + COM + DQT stub + SOF2
+    // (progressive) — the SOF is the FOURTH segment, nothing fixed-offset
+    val multiSeg = hexB("FFD8" +
+      "FFE1000C457869660000AABBCCDD" + // APP1 len 12
+      "FFFE0004ABCD" +                 // COM len 4
+      "FFDB0005AA0102" +               // DQT-ish len 5 (3 payload bytes)
+      "FFC2000B08" + "0100" + "0180" + "03010203") // SOF2: h=256 w=384
+    val cases = Seq(
+      (1L, multiSeg, ("jpeg", Some(384), Some(256))),
+      (2L, hexB("FFD8FFE100"), ("unknown", None, None)),      // truncated
+      (3L, hexB("0089504E47"), ("unknown", None, None)),      // shifted magic
+      (4L, "plain text".getBytes("UTF-8"), ("unknown", None, None)),
+      (5L, hexB("FFD8FFD9"), ("unknown", None, None)))        // SOI+EOI, no SOF
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "payload")
+    val got = df.select($"id",
+        org.apache.spark.sql.graft.ImageDimsExpr.imageDims($"payload").as("d"))
+      .select($"id", $"d.format", $"d.width", $"d.height")
+      .as[(Long, String, Option[Int], Option[Int])].collect().sortBy(_._1).toSeq
+    assert(got == cases.map(c => (c._1, c._3._1, c._3._2, c._3._3)))
+  }
+
+  test("ImageIODecoder decodes real pixels: dims and luminance grid") {
+    import spark.implicits._
+    val img = makeImage(90, 80, 7L)
+    val df = Seq((1L, encodeBytes(img, "png")), (2L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeFeatures(df, "payload", Multimodal.ImageIODecoder())
+      .select($"media_id", $"feat", $"dec_width", $"dec_height")
+      .as[(Long, Seq[Float], Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got(0)._3 == 90 && got(0)._4 == 80)
+    assert(got(0)._2.length == 72)
+    // the planted gradient brightens left→right: last grid column must be
+    // brighter than the first on every row
+    val feat = got(0)._2
+    for (y <- 0 until 8) assert(feat(y * 9 + 8) > feat(y * 9))
+    // corrupt payload: zero grid, 0×0
+    assert(got(1)._3 == 0 && got(1)._2.forall(_ == 0f))
+  }
+
+  test("dHash near-duplicates find planted perceptual pairs across formats") {
+    import spark.implicits._
+    val base = makeImage(120, 90, 21L)
+    // near-dup 1: same pixels, different container (png vs bmp — lossless)
+    val sameAsBmp = encodeBytes(base, "bmp")
+    // near-dup 2: same image with a small local tweak
+    val tweaked = makeImage(120, 90, 21L)
+    for (y <- 0 until 5; x <- 0 until 5) tweaked.setRGB(x, y, 0xffffff)
+    // unrelated image: INVERTED gradient — makeImage(seed) only varies the
+    // noise, and dHash keys on gradient signs, so a same-structure image
+    // would (correctly) register as a perceptual near-dup
+    val other = new java.awt.image.BufferedImage(
+      120, 90, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 90; x <- 0 until 120) {
+      val v = 255 - (x * 255 / 119 + y * 255 / 89) / 2
+      other.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val rows = Seq(
+      (1L, encodeBytes(base, "png")), (2L, sameAsBmp),
+      (3L, encodeBytes(tweaked, "png")), (4L, encodeBytes(other, "png")),
+      (5L, "corrupt".getBytes("UTF-8")), (6L, "corrupt2".getBytes("UTF-8")))
+    val got = Multimodal.dHashNearDuplicates(
+        rows.toDF("id", "payload"), $"id", $"payload", maxHamming = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "identical pixels in two containers")
+    assert(got.contains((1L, 3L)), "small local tweak")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "unrelated image paired")
+    assert(!got.exists(p => p._1 >= 5L || p._2 >= 5L), "corrupt payloads paired")
+  }
 }

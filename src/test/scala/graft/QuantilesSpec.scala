@@ -135,6 +135,45 @@ class QuantilesSpec extends SparkSpec {
     assertSame(expect, got)
   }
 
+  test("all-null/NaN groups emit (group, 0, NULL) like percentile(), not silence") {
+    val rows: Seq[(String, java.lang.Double)] =
+      (0 until 50).map(i => ("good", java.lang.Double.valueOf(i.toDouble))) ++
+      Seq(("allnull", null), ("allnull", null),
+        ("allnan", java.lang.Double.valueOf(Double.NaN)))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.exactGroupQuantiles(df, "g", "v", ps)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), Option(r.getSeq[Double](2)))))
+      .toMap
+    assert(got.keySet == Set("good", "allnull", "allnan"))
+    assert(got("allnull") == ((0L, None)) && got("allnan") == ((0L, None)))
+    assert(got("good")._1 == 50L && got("good")._2.isDefined)
+    // weighted form: a group whose every weight is non-positive also rides
+    // the NULL path instead of vanishing
+    val wrows = Seq(("live", 1.0, 5L), ("live", 2.0, 5L), ("dead", 9.0, 0L))
+    val wgot = Quantiles.exactWeightedQuantiles(
+        wrows.toDF("g", "v", "w"), "g", "v", Some("w"), ps)
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Double](2))).toMap
+    assert(wgot("dead").isEmpty && wgot("live").isDefined)
+  }
+
+  test("fractional weight columns are rejected at the API boundary") {
+    val df = Seq(("g", 1.0, 0.7)).toDF("g", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactWeightedQuantiles(df, "g", "v", Some("w"), ps)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("maxGroups guards the driver-side bracket state") {
+    val df = (0 until 100).map(i => (s"g$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.exactGroupQuantiles(df, "g", "v", ps, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // and under the cap the same frame resolves fine
+    assert(Quantiles.exactGroupQuantiles(df, "g", "v", ps).count() == 100)
+  }
+
   test("nulls and NaNs are ignored like percentile(); result is partitioning-invariant") {
     val rows: Seq[(String, java.lang.Double)] =
       (0 until 500).map(i => ("g", java.lang.Double.valueOf(i.toDouble))) ++
