@@ -358,6 +358,97 @@ object Embeddings {
     }
   }
 
+  private[operators] def normalizeVec(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Per-cell scores against a literal centroid matrix: -dot(emb,
+    * normalized centroid); argmin == nearest by cosine (the row's own
+    * norm is a constant positive factor), ties broken by cell index via
+    * the struct's second field.
+    *
+    * Shape note (measured, do not "optimize"): the zip_with lambda runs
+    * interpreted, but its inner dot is DotFExpr.eval — a tight JIT'd
+    * loop — and the assignment is ~n·nlist·dim flops, dwarfed by the
+    * candidate-scoring join (~n²·nprobe·replicas/nlist·dim). Unrolling
+    * into array(nlist × struct(DotF…)) to chase whole-stage codegen
+    * pushed the generated method past JIT limits and made the bench
+    * SLOWER (2.5 s → 3.7 s at sf0.1); nlist parallel HOF-cosine trees
+    * OOM'd Catalyst canonicalization. This formulation is the fast one.
+    */
+  private[operators] def cellScoresFor(m: Seq[Seq[Double]])(emb: Column): Column =
+    zip_with(typedLit(m), sequence(lit(0), lit(m.size - 1)), (v, i) =>
+      struct((-dot(emb, v)).as("negDot"), i.as("cell")))
+
+  /** Centroid matrix shared by [[ivfTopK]] (in-query index) and
+    * [[IvfIndex.build]] (persistent index): deterministic pseudo-random
+    * corpus sample of `lists` vectors, optionally Lloyd-refined
+    * (spherical k-means — one distributed corpus pass + an nlist-row
+    * collect per iteration), L2-normalized on the driver so
+    * argmax-dot == argmax-cosine. A null or width-mismatched sample
+    * vector raises loudly — a silent bad centroid would skew every
+    * assignment downstream.
+    */
+  private[operators] def computeCentroids(
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      lists: Int, refineIterations: Int, seed: Long,
+      portableSample: Boolean): Seq[Seq[Double]] = {
+    // canonical double cast before the driver collect (works for
+    // array<float> AND array<double> corpora)
+    val seedMat: Seq[Seq[Double]] = {
+      val sampleOrd =
+        if (portableSample) md5(concat(lit("ivf:"), col("__cid").cast("string")))
+        else xxhash64(col("__cid"), lit(seed))
+      val rows = corpus
+        .select(corpusId.as("__cid"), corpusEmb.cast("array<double>").as("__ce"))
+        .orderBy(sampleOrd, col("__cid"))
+        .limit(lists)
+        .collect()
+      val vecs = rows.map { r =>
+        if (r.isNullAt(1)) {
+          throw new IllegalArgumentException(
+            s"ivfTopK: null embedding in centroid sample (id=${r.get(0)})")
+        }
+        r.getSeq[Double](1)
+      }
+      val dims = vecs.map(_.length).distinct
+      if (dims.length > 1) {
+        throw new IllegalArgumentException(
+          s"ivfTopK: centroid sample has mixed embedding widths ${dims.mkString(",")}")
+      }
+      vecs.map(normalizeVec).toSeq
+    }
+    // spherical Lloyd refinement: assign, mean per cell, re-normalize.
+    // The width comes from the sampled centroids themselves, never from a
+    // parameter that could disagree with the data (a mismatch would
+    // silently collapse every cell after one iteration).
+    val dim = seedMat.headOption.map(_.length).getOrElse(0)
+    (0 until refineIterations).foldLeft(seedMat) { (m, _) =>
+      val assigned = corpus.select(corpusEmb.as("__ce"),
+        array_min(cellScoresFor(m)(corpusEmb)).getField("cell").as("cell"))
+      val means = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until dim).map(i => avg(col("__ce").getItem(i)).as(s"m$i")): _*)
+        .collect()
+        .map { r =>
+          // a per-index avg can only be null if every member's element was
+          // null — raise loudly like the sample guard, never NPE
+          val mean = (0 until dim).map { i =>
+            if (r.isNullAt(i + 2)) {
+              throw new IllegalArgumentException(
+                s"ivfTopK: null mean at index $i for cell ${r.getInt(0)} " +
+                  "(null embeddings in the corpus)")
+            }
+            r.getDouble(i + 2)
+          }
+          r.getInt(0) -> normalizeVec(mean)
+        }
+        .toMap
+      m.indices.map(c => means.getOrElse(c, m(c)))
+    }
+  }
+
   /** `portableSample = true` orders the centroid sample by
     * `md5('ivf:' || id)` instead of xxhash64 — same deterministic
     * pseudo-random selection, but reproducible by any SQL engine (md5
@@ -384,80 +475,8 @@ object Embeddings {
     val lists =
       if (nlist > 0) nlist
       else deriveNlist(cachedCount(corpus))
-    def normalize(v: Seq[Double]): Seq[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n)
-    }
-    // per-cell scores against a literal centroid matrix: -dot(emb,
-    // normalized centroid); argmin == nearest by cosine (the row's own
-    // norm is a constant positive factor), ties broken by cell index via
-    // the struct's second field.
-    // Shape note (measured, do not "optimize"): the zip_with lambda runs
-    // interpreted, but its inner dot is DotFExpr.eval — a tight JIT'd
-    // loop — and the assignment is ~n·nlist·dim flops, dwarfed by the
-    // candidate-scoring join (~n²·nprobe·replicas/nlist·dim). Unrolling
-    // into array(nlist × struct(DotF…)) to chase whole-stage codegen
-    // pushed the generated method past JIT limits and made the bench
-    // SLOWER (2.5 s → 3.7 s at sf0.1); nlist parallel HOF-cosine trees
-    // OOM'd Catalyst canonicalization. This formulation is the fast one.
-    def cellScoresFor(m: Seq[Seq[Double]])(emb: Column): Column =
-      zip_with(typedLit(m), sequence(lit(0), lit(m.size - 1)), (v, i) =>
-        struct((-dot(emb, v)).as("negDot"), i.as("cell")))
-    // canonical double cast before the driver collect (works for
-    // array<float> AND array<double> corpora); null or width-mismatched
-    // sample vectors raise loudly — a silent bad centroid would skew
-    // every assignment downstream
-    val seedMat: Seq[Seq[Double]] = {
-      val sampleOrd =
-        if (portableSample) md5(concat(lit("ivf:"), col("__cid").cast("string")))
-        else xxhash64(col("__cid"), lit(seed))
-      val rows = corpus
-        .select(corpusId.as("__cid"), corpusEmb.cast("array<double>").as("__ce"))
-        .orderBy(sampleOrd, col("__cid"))
-        .limit(lists)
-        .collect()
-      val vecs = rows.map { r =>
-        if (r.isNullAt(1)) {
-          throw new IllegalArgumentException(
-            s"ivfTopK: null embedding in centroid sample (id=${r.get(0)})")
-        }
-        r.getSeq[Double](1)
-      }
-      val dims = vecs.map(_.length).distinct
-      if (dims.length > 1) {
-        throw new IllegalArgumentException(
-          s"ivfTopK: centroid sample has mixed embedding widths ${dims.mkString(",")}")
-      }
-      vecs.map(normalize).toSeq
-    }
-    // spherical Lloyd refinement: assign, mean per cell, re-normalize.
-    // The width comes from the sampled centroids themselves, never from a
-    // parameter that could disagree with the data (a mismatch would
-    // silently collapse every cell after one iteration).
-    val dim = seedMat.headOption.map(_.length).getOrElse(0)
-    val centroidMat = (0 until refineIterations).foldLeft(seedMat) { (m, _) =>
-      val assigned = corpus.select(corpusEmb.as("__ce"),
-        array_min(cellScoresFor(m)(corpusEmb)).getField("cell").as("cell"))
-      val means = assigned.groupBy(col("cell"))
-        .agg(count(lit(1)).as("__n"),
-          (0 until dim).map(i => avg(col("__ce").getItem(i)).as(s"m$i")): _*)
-        .collect()
-        .map { r =>
-          // a per-index avg can only be null if every member's element was
-          // null — raise loudly like the sample guard, never NPE
-          val mean = (0 until dim).map { i =>
-            if (r.isNullAt(i + 2)) {
-              throw new IllegalArgumentException(
-                s"ivfTopK: null mean at index $i for cell ${r.getInt(0)} " +
-                  "(null embeddings in the corpus)")
-            }
-            r.getDouble(i + 2)
-          }
-          r.getInt(0) -> normalize(mean)
-        }
-        .toMap
-      m.indices.map(c => means.getOrElse(c, m(c)))
-    }
+    val centroidMat = computeCentroids(
+      corpus, corpusId, corpusEmb, lists, refineIterations, seed, portableSample)
     def cellScores(emb: Column): Column = cellScoresFor(centroidMat)(emb)
     def cellOf(emb: Column): Column = array_min(cellScores(emb)).getField("cell")
     // Multi-assignment (replicas > 1): each corpus row is indexed under its

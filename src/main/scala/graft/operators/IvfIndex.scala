@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTENT IVF index — index-once, probe-many. [[Embeddings.ivfTopK]]
+  * rebuilds its index (count, sample, Lloyd, full-corpus assignment)
+  * inside every query, which is the right shape for one-shot analytics
+  * and the wrong one for a serving/eval loop that probes the same corpus
+  * thousands of times. This store splits the lifecycle:
+  *
+  *  - [[build]]: compute centroids ([[Embeddings.computeCentroids]], the
+  *    SAME sample+Lloyd code path as ivfTopK) and write the index to the
+  *    lake — centroids (nlist·dim doubles, config-scale) plus the corpus
+  *    rows partitioned BY CELL, with per-row norms precomputed;
+  *  - [[append]]: assign new rows against the STORED centroids and land
+  *    them as a new `batch=` partition — arrival cost is one assignment
+  *    pass over the new rows only, never a re-index (the incremental
+  *    dedup store discipline, `IncrementalDedup.scala` precedent);
+  *    replaying a batch id overwrites its own partition, idempotent;
+  *  - [[probe]]: read centroids, pick each probe's `nprobe` cells,
+  *    and scan ONLY those cells' files — the probed cell ids become a
+  *    static partition filter (collected to the driver first: probes are
+  *    small by contract, so the cell list is bounded by
+  *    probes·nprobe), so the parquet reader prunes `cell=` directories
+  *    by construction. Probe cost is flat in corpus size at fixed
+  *    geometry: ~|corpus|·nprobe/nlist rows scanned per probe batch,
+  *    measured in `tools/IvfCrossover`'s probe-only column.
+  *
+  * Layout: `path/centroids` (cell, centroid), `path/meta` (nlist, dim,
+  * replicas, seed), `path/cells/batch=B/cell=C/` parquet files of
+  * (neighbor_id, emb, nrm). Embeddings are stored in their source
+  * precision; every dot runs in doubles either way (DotFExpr casts), so
+  * probe() cosines are bit-identical to [[Embeddings.ivfTopK]]'s over
+  * the same rows — IvfIndexSpec pins exactly that.
+  */
+object IvfIndex {
+
+  private def metaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "nlist INT, dim INT, replicas INT, seed BIGINT, refine_iterations INT")
+
+  /** Build the index from scratch at `path` (overwrites a previous index
+    * wholesale). Centroid geometry mirrors [[Embeddings.ivfTopK]]:
+    * nlist = -1 derives ⌈√n⌉.
+    */
+  def build(
+      corpus: DataFrame, id: Column, emb: Column, path: String,
+      nlist: Int = -1, replicas: Int = 1, refineIterations: Int = 1,
+      seed: Long = 42L): Unit = {
+    require(replicas >= 1, s"replicas must be >= 1, got $replicas")
+    val spark = corpus.sparkSession
+    val lists =
+      if (nlist > 0) nlist else Embeddings.deriveNlist(corpus.count())
+    val mat = Embeddings.computeCentroids(
+      corpus, id, emb, lists, refineIterations, seed, portableSample = false)
+    val dim = mat.headOption.map(_.length).getOrElse(0)
+    spark.createDataFrame(
+        mat.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          lists, dim, replicas, seed, refineIterations)), 1), metaSchema)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    // a fresh build owns the whole cells tree: clear stale batches from a
+    // previous index generation before writing batch=0
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cellsPath)) fs.delete(cellsPath, true)
+    writeBatch(assign(corpus, id, emb, mat, replicas), path, batchId = 0L)
+  }
+
+  /** Assign `rows` to the STORED centroids and land them as `batch=
+    * $batchId` — no re-index, no touch of earlier batches. Idempotent on
+    * replay of the same batchId (partition overwrite of its own dir).
+    */
+  def append(
+      spark: SparkSession, rows: DataFrame, id: Column, emb: Column,
+      path: String, batchId: Long): Unit = {
+    require(batchId > 0L, s"append batchId must be > 0 (0 is the build), got $batchId")
+    val (mat, replicas) = readCentroids(spark, path)
+    writeBatch(assign(rows, id, emb, mat, replicas), path, batchId)
+  }
+
+  /** Top-k cosine neighbors for each probe against the stored index —
+    * same output contract as [[Embeddings.ivfTopK]]:
+    * (probe_id, rk, neighbor_id, cosine).
+    */
+  def probe(
+      spark: SparkSession, path: String,
+      probes: DataFrame, probeId: Column, probeEmb: Column,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mat, replicas) = readCentroids(spark, path)
+    def cellScores(e: Column): Column = Embeddings.cellScoresFor(mat)(e)
+    val probeScored = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
+      .select(col("probe_id"), col("__pe"), explode(cellScores(col("__pe"))).as("__c"))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__c.negDot"), col("__c.cell"))
+    val probeCells = probeScored
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("probe_id"), col("__pe"), col("__c.cell").as("cell"))
+      .withColumn("__pn", Embeddings.norm(col("__pe")))
+    // the probed cell set, collected: a STATIC partition filter prunes
+    // cell= directories at file-index time — no full-store scan, and no
+    // reliance on dynamic pruning kicking in. Bounded by probes·nprobe.
+    val neededCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(neededCells.map(Integer.valueOf): _*))
+      .select(col("neighbor_id"), col("emb"), col("nrm"), col("cell"))
+    val scored = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(Embeddings.cosinePrenormed(
+          col("__pe"), col("emb"), col("__pn"), col("nrm")), 4).as("cosine"))
+    // multi-assignment can surface one neighbor through several probed
+    // cells; collapse before ranking (ivfTopK's rule)
+    val distinctScored =
+      if (replicas == 1) scored
+      else scored.groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(max(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    distinctScored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Stored centroid matrix + build replicas, for [[probe]]/[[append]]. */
+  private def readCentroids(
+      spark: SparkSession, path: String): (Seq[Seq[Double]], Int) = {
+    val mat = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(r => r.getSeq[Double](1))
+      .toSeq
+    require(mat.nonEmpty, s"IvfIndex: no centroids at $path/centroids")
+    val replicas = spark.read.parquet(s"$path/meta")
+      .select(col("replicas")).head().getInt(0)
+    (mat, replicas)
+  }
+
+  private def assign(
+      rows: DataFrame, id: Column, emb: Column,
+      mat: Seq[Seq[Double]], replicas: Int): DataFrame = {
+    val base = rows.select(id.cast("long").as("neighbor_id"), emb.as("emb"))
+    val scores = Embeddings.cellScoresFor(mat)(col("emb"))
+    val assigned =
+      if (replicas == 1)
+        base.withColumn("cell", array_min(scores).getField("cell"))
+      else
+        base.withColumn("cell",
+          explode(transform(
+            slice(array_sort(scores), 1, math.min(replicas, mat.size)),
+            c => c.getField("cell"))))
+    assigned.withColumn("nrm", Embeddings.norm(col("emb")))
+  }
+
+  private def writeBatch(assigned: DataFrame, path: String, batchId: Long): Unit =
+    assigned
+      .write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/cells/batch=$batchId")
+}

@@ -557,7 +557,31 @@ object CurationQueries {
       |FROM df d JOIN occ o USING (seg)
       |ORDER BY d.df DESC, d.seg""".stripMargin
 
+  /** BPE token budgeting over the corpus ([[graft.ml.Bpe]]): a merge
+    * vocabulary trained ON the documents table (deterministic — word
+    * counts tie-broken by word, merges tie-broken lexicographically, so
+    * the same data always yields the same vocab), then per-source BPE
+    * token statistics. Rows-gated (no oracles entry): no ANSI-SQL engine
+    * can replay an iterative BPE merge loop — the algorithmic goldens
+    * live in BpeSpec against the published worked example, and the
+    * packing integration in its packByTokenBudget test.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val merges = graft.ml.Bpe.trainFromCorpus(docs, $"text", numMerges = 200)
+    graft.ml.Bpe.countTokens(
+        docs.select($"doc_id", $"source", $"text"), "text", merges)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"bpe_tokens").as("total_bpe"),
+        round(avg($"bpe_tokens"), 2).as("avg_bpe"),
+        max($"bpe_tokens").as("max_bpe"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_token_stats" -> (bpeTokenStats _),
     "q_boilerplate_segments" -> (boilerplateSegments _),
     "q_dataset_split" -> (datasetSplit _),
     "q_segment_dedup" -> (segmentDedup _),

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.Bpe
+import graft.operators.Curation
+
+/** [[Bpe]] — goldens are HAND-DERIVED from the published algorithm on the
+  * Sennrich et al. (2016) worked example corpus
+  * {low×5, lower×2, newest×6, widest×3}; every merge below is the
+  * frequency-then-lexicographic choice computed by hand, and "lowest"
+  * segmenting to [low, est</w>] is the paper's own generalization
+  * showcase.
+  */
+class BpeSpec extends SparkSpec {
+
+  private val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  // hand-derived: pair counts of round 1 put (e,s)/(s,t)/(t,</w>) at 9,
+  // lexicographic tiebreak picks (e,s); and so on
+  private val expectedMerges = Seq(
+    ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"))
+
+  test("train reproduces the hand-computed merge sequence") {
+    assert(Bpe.train(corpus, 8) == expectedMerges)
+    // prefix property: fewer merges = the same sequence truncated
+    assert(Bpe.train(corpus, 3) == expectedMerges.take(3))
+  }
+
+  test("encodeWord applies merges by rank — the paper's generalization") {
+    val ranks = expectedMerges.zipWithIndex.toMap
+    assert(Bpe.encodeWord("newest", ranks) == Seq("newest</w>"))
+    assert(Bpe.encodeWord("lowest", ranks) == Seq("low", "est</w>"))
+    assert(Bpe.encodeWord("low", ranks) == Seq("low", "</w>"))
+    // no applicable merge: pure character fallback + end marker
+    assert(Bpe.encodeWord("wider", ranks) ==
+      Seq("w", "i", "d", "e", "r", "</w>"))
+  }
+
+  test("countText pre-tokenizes GPT-2 style and sums subword counts") {
+    val ranks = expectedMerges.zipWithIndex.toMap
+    assert(Bpe.countText("newest lowest", ranks) == 1L + 2L)
+    // punctuation is its own pre-token: low(2) ,(2) low(2)
+    assert(Bpe.countText("low, low", ranks) == 6L)
+    assert(Bpe.countText("", ranks) == 0L && Bpe.countText(null, ranks) == 0L)
+    // case-insensitive: NEWEST encodes like newest
+    assert(Bpe.countText("NEWEST", ranks) == 1L)
+  }
+
+  test("distributed countTokens equals the driver-side count, any partitioning") {
+    import spark.implicits._
+    val ranks = expectedMerges.zipWithIndex.toMap
+    val texts = Seq(
+      (1L, "the newest lowest widest"), (2L, "low lower, newest!"),
+      (3L, ""), (4L, null: String), (5L, "newest newest newest"))
+    val df = texts.toDF("id", "text")
+    def run(parts: Int) = Bpe.countTokens(df.repartition(parts), "text", expectedMerges)
+      .select($"id", $"bpe_tokens").as[(Long, Long)].collect().toMap
+    val got = run(1)
+    assert(run(7) == got)
+    texts.foreach { case (id, t) =>
+      assert(got(id) == Bpe.countText(t, ranks), s"row $id")
+    }
+  }
+
+  test("trainFromCorpus aggregates word counts distributed, then trains") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = rows.toDF("id", "text").repartition(5)
+    assert(Bpe.trainFromCorpus(df, $"text", 8) == expectedMerges)
+  }
+
+  test("BPE counts feed packByTokenBudget: budgets hold in BPE tokens") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("newest lowest").mkString(" "))
+    }.toDF("doc_id", "text")
+    val counted = Bpe.countTokens(docs, "text", expectedMerges)
+    val packed = Curation.packByTokenBudget(
+      counted, $"doc_id", $"bpe_tokens", budget = 40L, partitions = 4)
+    val perPack = packed.groupBy($"pack_id").agg(sum($"n_tokens").as("t"))
+      .as[(Long, Long)].collect()
+    assert(perPack.nonEmpty)
+    // every pack respects the budget except single oversize docs (none
+    // here: max doc = 7*3 = 21 < 40)
+    perPack.foreach { case (p, t) => assert(t <= 40L, s"pack $p: $t > 40") }
+    // all docs packed exactly once
+    assert(packed.select($"id").distinct().count() == 60)
+  }
+}
