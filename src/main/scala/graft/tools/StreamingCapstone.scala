@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
+import graft.operators.{IncrementalDedup, IncrementalSegmentDedup}
+import graft.sources.LocationDictSource
+
+/** End-to-end STREAMING capstone: every stage of the reference pipeline
+  * (ingest → clean → locate → label) plus the curation/dedup stores of
+  * the LLM-data layer, wired into ONE driven Structured Streaming query —
+  * the "all existing pieces, one command, one throughput number" run.
+  *
+  * Per micro-batch ([[processBatch]]):
+  *  1. clean — NFC normalize + PII redact + the reference's tweet
+  *     cleaner (all codegen column expressions);
+  *  2. quality gate — the batch layer's keep rule (token minimum,
+  *     punctuation ratio), a pure filter;
+  *  3. enrich — language id, dictionary location cascade, lexicon
+  *     sentiment label (the oracle-gated fast path — swap in
+  *     [[graft.ml.MiniOnnxSentimentClassifier]] or the ONNX Runtime
+  *     classifier for model-based labels; the plumbing is identical);
+  *  4. land the enriched batch as its own idempotent `batch=` partition
+  *     (replay overwrites, never appends);
+  *  5. feed the INCREMENTAL LSH near-dup store (signatures persisted,
+  *     never recomputed) and the segment-dedup store (cross-batch
+  *     boilerplate suppression) — both checkpoint-replay-safe.
+  *
+  * The foreachBatch body is deterministic per (batch, store state), every
+  * store write is an idempotent partition overwrite keyed by batchId, and
+  * the sink partitions mirror that — so a checkpoint kill/resume replays
+  * at most one batch onto identical state (StreamingCapstoneSpec pins
+  * output equality across a mid-run kill).
+  *
+  * Run: SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   sbt "runMain graft.tools.StreamingCapstone"
+  * Prints one JSON line: docs ingested, wall seconds, docs/sec.
+  */
+object StreamingCapstone {
+
+  final case class Stores(
+    curatedDir: String, lshStore: String, segStore: String, segOut: String)
+
+  /** One micro-batch through the full pipeline; returns rows landed. */
+  private[graft] def processBatch(
+      spark: SparkSession, batch: DataFrame, stores: Stores, batchId: Long,
+      dict: DictionaryLocator.LocationDict, minTokens: Int = 5): Long = {
+    val cleaned = batch
+      .withColumn("clean_text",
+        TextFunctions.cleanTweetText(
+          TextFunctions.redactPii(TextFunctions.nfcNormalize(col("text")))))
+      .withColumn("__nt", size(graft.operators.Dedup.tokens(col("clean_text"))))
+      .filter(col("clean_text").isNotNull && col("__nt") >= minTokens &&
+        TextFunctions.punctCount(col("clean_text")) <= col("__nt"))
+      .withColumn("lang_id", TextFunctions.langId(col("clean_text")))
+      .withColumn("location", DictionaryLocator.detect(col("clean_text"), dict))
+      .withColumn("sentiment",
+        LexiconSentiment.label(col("clean_text"), LexiconSentiment.EngineWords))
+      .drop("__nt")
+    // idempotent landing: a replayed batch rewrites its own partition
+    cleaned.write.mode("overwrite")
+      .parquet(s"${stores.curatedDir}/batch=$batchId")
+    val landed = spark.read.parquet(s"${stores.curatedDir}/batch=$batchId")
+    // both stores read the LANDED batch — the write above is the batch's
+    // one materialization; the stores' own writes are their documented
+    // idempotent partitions
+    IncrementalDedup.lshDedupBatch(
+      spark, landed, col("doc_id"), col("clean_text"),
+      stores.lshStore, batchId)
+    val seg = IncrementalSegmentDedup.segmentDedupBatch(
+      spark, landed, col("doc_id"), col("clean_text"),
+      stores.segStore, batchId)
+    seg.write.mode("overwrite").parquet(s"${stores.segOut}/batch=$batchId")
+    landed.count()
+  }
+
+  /** Start the capstone stream over a JSONL landing directory with
+    * `(doc_id, text, lang)` rows.
+    */
+  def start(
+      spark: SparkSession, landingDir: String, stores: Stores,
+      checkpointDir: String, dict: DictionaryLocator.LocationDict,
+      maxFilesPerTrigger: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string").add("lang", "string")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          processBatch(spark, batch, stores, batchId, dict)
+          ()
+        }
+      }
+      .start()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val work = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("capstone").toString)
+    val slices = args.lift(1).map(_.toInt).getOrElse(24)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage the documents table as JSONL slices — the arrival simulation;
+    // staging cost stays out of the throughput window
+    val landing = s"$work/landing"
+    graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .repartition(slices)
+      .write.mode("overwrite").json(landing)
+    val total = spark.read.json(landing).count()
+
+    val stores = Stores(s"$work/curated", s"$work/lsh_store",
+      s"$work/seg_store", s"$work/seg_out")
+    val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
+    val t0 = System.nanoTime()
+    val q = start(spark, landing, stores, s"$work/ckpt", dict)
+    q.awaitTermination()
+    val wallS = (System.nanoTime() - t0) / 1e9
+    val landed = spark.read.parquet(stores.curatedDir).count()
+    val survivors = IncrementalDedup.survivors(spark, stores.lshStore).count()
+    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

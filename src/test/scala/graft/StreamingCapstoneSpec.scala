@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.DictionaryLocator
+import graft.operators.IncrementalDedup
+import graft.tools.StreamingCapstone
+
+/** [[StreamingCapstone]] — the one-command pipeline must land enriched
+  * batches, feed both dedup stores, and survive a mid-run kill/resume
+  * with output identical to an uninterrupted run.
+  */
+class StreamingCapstoneSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = s"target/tmp/$name-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def doc(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text","lang":"id"}"""
+
+  private val boiler = (1 to 12).map(i => s"kalimat$i").mkString(" ")
+
+  // FileStreamSource orders by modification time (ties arbitrary), so
+  // slices get EXPLICIT distinct mtimes — otherwise sub-millisecond
+  // writes arrive in any order and a different dup-cluster member
+  // survives run-to-run
+  private def writeSlice(dir: String, name: String, rows: Seq[String], seq: Int): Unit = {
+    val p = Paths.get(s"$dir/$name")
+    Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
+  }
+
+  private def stores(dir: String) = StreamingCapstone.Stores(
+    s"$dir/curated", s"$dir/lsh", s"$dir/seg", s"$dir/segout")
+
+  private def slices: Seq[Seq[String]] = Seq(
+    Seq(
+      doc(1, s"program makan gratis di Bandung bagus sekali $boiler"),
+      doc(2, s"program makan gratis di Bandung bagus sekali $boiler"), // exact dup of 1
+      doc(3, "pendek")), // fails the quality gate (< minTokens)
+    Seq(
+      doc(4, s"pelaksanaan di Surabaya lancar dan teratur rapi $boiler"),
+      doc(5, s"antri panjang dan lambat prosesnya buruk kacau $boiler")),
+    Seq(
+      doc(6, s"program makan gratis di Bandung bagus sekali $boiler"), // late dup of 1
+      doc(7, s"laporan netral tanpa opini tentang kegiatan hari ini $boiler")))
+
+  private def runAll(dir: String, landing: String): Unit = {
+    val q = StreamingCapstone.start(spark, landing, stores(dir), s"$dir/ck",
+      DictionaryLocator.Indonesian, maxFilesPerTrigger = 1,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("pipeline lands enriched batches and feeds both stores") {
+    val dir = tmpDir("capstone")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (s, i) => writeSlice(landing, s"b$i.json", s, i) }
+    runAll(dir, landing)
+    val curated = spark.read.parquet(stores(dir).curatedDir)
+    // 7 docs in, 1 gated out
+    assert(curated.count() == 6)
+    assert(curated.columns.toSet.contains("sentiment") &&
+      curated.columns.toSet.contains("location") &&
+      curated.columns.toSet.contains("lang_id"))
+    // the location cascade found the planted cities
+    val locs = curated.select($"doc_id", $"location.city").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(locs(1) == "Bandung" && locs(4) == "Surabaya")
+    // LSH store suppressed both the same-batch and the cross-batch dups:
+    // docs 1, 2 and 6 share one text — exactly the first-arriving member
+    // survives
+    val surv = IncrementalDedup.survivors(spark, stores(dir).lshStore)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surv.intersect(Set(1L, 2L, 6L)) == Set(1L), s"survivors: $surv")
+    assert(Set(4L, 5L, 7L).subsetOf(surv))
+    // segment store: the shared boilerplate tail survives exactly once
+    val segKept = spark.read.parquet(stores(dir).segOut)
+      .filter($"kept_text".contains("kalimat1"))
+    assert(segKept.count() >= 1)
+  }
+
+  test("mid-run kill + checkpoint resume equals the uninterrupted run") {
+    val interrupted = tmpDir("capstone-kill")
+    val straight = tmpDir("capstone-straight")
+    for (d <- Seq(interrupted, straight))
+      Files.createDirectories(Paths.get(s"$d/landing"))
+
+    // uninterrupted reference run over all three slices
+    slices.zipWithIndex.foreach { case (s, i) =>
+      writeSlice(s"$straight/landing", s"b$i.json", s, i)
+    }
+    runAll(straight, s"$straight/landing")
+
+    // interrupted run: process slice 0, stop (the kill), add the rest,
+    // resume from the same checkpoint
+    writeSlice(s"$interrupted/landing", "b0.json", slices(0), 0)
+    runAll(interrupted, s"$interrupted/landing")
+    slices.zipWithIndex.drop(1).foreach { case (s, i) =>
+      writeSlice(s"$interrupted/landing", s"b$i.json", s, i)
+    }
+    runAll(interrupted, s"$interrupted/landing")
+
+    def curatedSet(dir: String) = spark.read.parquet(stores(dir).curatedDir)
+      .select($"doc_id", $"clean_text", $"sentiment", $"lang_id")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(curatedSet(interrupted) == curatedSet(straight))
+    def survivors(dir: String) = IncrementalDedup.survivors(spark, stores(dir).lshStore)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors(interrupted) == survivors(straight))
+  }
+}
