@@ -422,7 +422,66 @@ object DedupQueries {
       |FROM comp c JOIN sizes s USING (cluster_rep)
       |ORDER BY doc_id""".stripMargin
 
+  /** Span gram width for the registered duplicate-span query. */
+  private val SpanK = 40
+
+  /** Duplicate-SPAN summary per source — character-level exact substring
+    * dedup (see [[graft.operators.SpanDedup]] for the Lee et al. framing
+    * and the 100 TB contract: grams never shuffle, no pair join, integer
+    * interval-union coverage). Whole-doc and shingle dedup cannot see
+    * these spans; this query quantifies how much duplicated TEXT, not how
+    * many duplicated documents, each source carries.
+    */
+  def duplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val cov = graft.operators.SpanDedup
+      .duplicateSpanCoverage(docs, "doc_id", "text", SpanK, carry = Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_hit"),
+        sum($"n_dup_pos").cast("long").as("n_dup_positions"),
+        sum($"dup_chars").cast("long").as("dup_chars"))
+    val totals = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum(length($"text")).cast("long").as("n_chars"))
+    totals.join(cov, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"n_docs_hit", lit(0L)).as("n_docs_hit"),
+        coalesce($"n_dup_positions", lit(0L)).as("n_dup_positions"),
+        coalesce($"dup_chars", lit(0L)).as("dup_chars"),
+        round(coalesce($"dup_chars", lit(0L)).cast("double") / $"n_chars", 4)
+          .as("dup_char_share"))
+      .orderBy($"source")
+  }
+
+  val duplicateSpansSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, source, u.i AS i, substr(text, u.i, $SpanK) AS g
+       |  FROM documents, unnest(range(1, greatest(len(text) - $SpanK + 2, 1))) AS u(i)),
+       |dup AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT p.doc_id, p.source, p.i FROM pos p JOIN dup d ON d.g = p.g),
+       |cov AS (SELECT doc_id, source, i,
+       |          coalesce(least($SpanK, i - lag(i) OVER (
+       |            PARTITION BY doc_id ORDER BY i)), $SpanK) AS c
+       |        FROM hits),
+       |perdoc AS (SELECT doc_id, source, count(*) AS np, CAST(sum(c) AS BIGINT) AS dc
+       |           FROM cov GROUP BY doc_id, source),
+       |persrc AS (SELECT source, count(*) AS n_docs_hit,
+       |             CAST(sum(np) AS BIGINT) AS n_dup_positions,
+       |             CAST(sum(dc) AS BIGINT) AS dup_chars
+       |           FROM perdoc GROUP BY source),
+       |totals AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(len(text)) AS BIGINT) AS n_chars
+       |           FROM documents GROUP BY source)
+       |SELECT t.source, t.n_docs,
+       |  coalesce(p.n_docs_hit, 0) AS n_docs_hit,
+       |  coalesce(p.n_dup_positions, 0) AS n_dup_positions,
+       |  coalesce(p.dup_chars, 0) AS dup_chars,
+       |  round(CAST(coalesce(p.dup_chars, 0) AS DOUBLE) / t.n_chars, 4) AS dup_char_share
+       |FROM totals t LEFT JOIN persrc p ON p.source = t.source
+       |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_duplicate_spans" -> (duplicateSpans _),
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
     "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
@@ -432,6 +491,7 @@ object DedupQueries {
     "q_simhash_pairs" -> (simHashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "q_duplicate_spans" -> duplicateSpansSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,
     "q_near_dup_pairs_capped" -> nearDupPairsCappedSql,

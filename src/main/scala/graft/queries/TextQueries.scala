@@ -653,7 +653,86 @@ object TextQueries {
        |FROM scored GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
 
+  /** Bigram-LM geometry for the registered query (the operator's caps are
+    * parameters; these are the registered values the oracle mirrors).
+    */
+  private val LmVocabSize = 4096
+  private val LmMaxBigrams = 1 << 16
+
+  /** Per-doc mean scaled log-prob below this flags a low-fluency doc.
+    * The comparison runs in EXACT integer space (`lp_scaled < thr * nb`),
+    * so the gate can never flip on a float rounding boundary.
+    */
+  private val LmLowScaled = -34500000L // ln p per bigram < -3.45
+
+  /** Bigram-LM fluency summary per source — the CCNet-style perplexity
+    * quality filter (see [[graft.operators.NgramLm]] for the scale
+    * contract: bounded broadcast LM, zero-shuffle scoring, integer-exact
+    * log-prob sums). avg_logp is bigram-weighted (ratio of two exact
+    * integer sums); min/max are over per-doc means, each an identical
+    * double division in both engines.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    val lm = graft.operators.NgramLm.train(docs, "text", LmVocabSize, LmMaxBigrams)
+    graft.operators.NgramLm.score(docs, "text", lm, idCols = Seq("doc_id", "source"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count($"lp_scaled").as("n_scored"),
+        sum($"n_bigrams").cast("long").as("n_bigrams"),
+        round(sum($"lp_scaled").cast("double") / sum($"n_bigrams") /
+          graft.operators.NgramLm.LpScale, 4).as("avg_logp"),
+        round(min($"lp_scaled".cast("double") / $"n_bigrams") /
+          graft.operators.NgramLm.LpScale, 4).as("min_doc_logp"),
+        round(max($"lp_scaled".cast("double") / $"n_bigrams") /
+          graft.operators.NgramLm.LpScale, 4).as("max_doc_logp"),
+        sum(when($"lp_scaled" < lit(LmLowScaled) * $"n_bigrams", 1L)
+          .otherwise(0L)).as("n_low"))
+      .orderBy($"source")
+  }
+
+  val bigramLmSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    regexp_extract_all(lower(text), '${graft.operators.NgramLm.TokenRegex}') AS l
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, source, u.i AS i, l[u.i] AS t
+       |  FROM toks, unnest(range(1, len(l) + 1)) AS u(i)),
+       |c1 AS (SELECT t AS w, count(*) AS c FROM pos GROUP BY t),
+       |vocab AS (SELECT w FROM c1 ORDER BY c DESC, w LIMIT $LmVocabSize),
+       |vtot AS (SELECT count(*) + 1 AS v FROM vocab),
+       |mp AS (SELECT p.doc_id, p.source, p.i,
+       |         CASE WHEN v.w IS NULL THEN '${graft.operators.NgramLm.Unk}' ELSE p.t END AS m
+       |       FROM pos p LEFT JOIN vocab v ON v.w = p.t),
+       |big AS (SELECT a.doc_id, a.source, a.m AS w1, b.m AS w2
+       |        FROM mp a JOIN mp b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+       |c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+       |blm AS (SELECT w1, w2, c FROM c2 ORDER BY c DESC, w1, w2 LIMIT $LmMaxBigrams),
+       |hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS h FROM c2 GROUP BY w1),
+       |term AS (SELECT g.doc_id, g.source,
+       |           CAST(round(ln((coalesce(b.c, 0) + 1.0) /
+       |             (coalesce(h.h, 0) + (SELECT v FROM vtot))) *
+       |             ${graft.operators.NgramLm.LpScale}, 0) AS BIGINT) AS lp
+       |         FROM big g LEFT JOIN blm b ON b.w1 = g.w1 AND b.w2 = g.w2
+       |                    LEFT JOIN hist h ON h.w1 = g.w1),
+       |docsc AS (SELECT doc_id, source, CAST(sum(lp) AS BIGINT) AS s,
+       |            CAST(count(*) AS BIGINT) AS nb
+       |          FROM term GROUP BY doc_id, source),
+       |base AS (SELECT d.doc_id, d.source, s.s, s.nb
+       |         FROM documents d LEFT JOIN docsc s ON s.doc_id = d.doc_id)
+       |SELECT source, count(*) AS n_docs, count(s) AS n_scored,
+       |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(s) AS DOUBLE) / sum(nb) / ${graft.operators.NgramLm.LpScale}, 4) AS avg_logp,
+       |  round(min(CAST(s AS DOUBLE) / nb) / ${graft.operators.NgramLm.LpScale}, 4) AS min_doc_logp,
+       |  round(max(CAST(s AS DOUBLE) / nb) / ${graft.operators.NgramLm.LpScale}, 4) AS max_doc_logp,
+       |  CAST(sum(CASE WHEN s < $LmLowScaled * nb THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm" -> (bigramLm _),
     "q_corpus_curation" -> (corpusCuration _),
     "q_topic_location_join" -> (topicLocationJoin _),
     "q_extractions" -> (extractions _),
@@ -671,6 +750,7 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_lm" -> bigramLmSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_topic_location_join" -> topicLocationJoinSql,
     "q_extractions" -> extractionsSql,
