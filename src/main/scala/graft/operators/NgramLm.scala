@@ -76,11 +76,17 @@ object NgramLm {
     */
   private def mappedBigrams(docs: DataFrame, textCol: String,
       vocab: DataFrame, carry: Seq[String]): DataFrame = {
+    // Pair-building rule: NEVER index the token array from inside a
+    // lambda body. CollapseProject inlines the `__l` alias into the
+    // lambda, and `element_at(<regexp_extract_all>, i)` then re-runs the
+    // regex PER ELEMENT — measured ~10× on the registered query. zip_with
+    // over two slices evaluates the (inlined) array expression a constant
+    // number of times per ROW instead.
     val toks = docs.withColumn("__l",
       regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0)))
     val pairs = toks.withColumn("__p",
       when(size(col("__l")) >= 2, expr(
-        "transform(sequence(1, size(__l) - 1), i -> struct(element_at(__l, i) AS r1, element_at(__l, i + 1) AS r2))"))
+        "zip_with(slice(__l, 1, size(__l) - 1), slice(__l, 2, size(__l) - 1), (a, b) -> struct(a AS r1, b AS r2))"))
         .otherwise(array(struct(
           lit(null).cast("string").as("r1"), lit(null).cast("string").as("r2")))))
       .select(carry.map(col) :+ explode(col("__p")).as("__b"): _*)
@@ -97,8 +103,19 @@ object NgramLm {
           .otherwise(coalesce(col("__v2"), lit(Unk))).as("m2"): _*)
   }
 
-  /** Train the capped LM. Deterministic by construction: both caps break
-    * count ties on token text ascending.
+  /** Train the capped LM and MATERIALIZE it as local relations.
+    * Deterministic by construction: both caps break count ties on token
+    * text ascending.
+    *
+    * Two corpus passes total (unigram count, then bigram count), after
+    * which the LM — bounded at `vocabSize + maxBigrams + (vocabSize+1)`
+    * rows by the caps — is collected to the driver, exactly as a real
+    * pipeline persists a pruned LM file once and loads it everywhere.
+    * Without this, every broadcast in [[score]] would lazily re-run the
+    * whole training pipeline (measured 5× redundant corpus scans). The
+    * intermediate bigram-grain count is cached for its two derivations
+    * (cap + history); its size is ≤ (vocabSize+1)² rows regardless of
+    * corpus size.
     */
   def train(docs: DataFrame, textCol: String,
       vocabSize: Int = 4096, maxBigrams: Int = 1 << 16): Lm = {
@@ -109,14 +126,24 @@ object NgramLm {
       .select(explode(
         regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    val vocab = uni.orderBy($"c".desc, $"w").limit(vocabSize).select($"w")
+    val vocabW: Seq[String] = uni.orderBy($"c".desc, $"w").limit(vocabSize)
+      .select($"w").collect().map(_.getString(0)).toSeq
+    val vocab = vocabW.toDF("w")
     val big = mappedBigrams(docs, textCol, vocab, carry = Nil)
       .filter($"m1".isNotNull)
       .groupBy($"m1".as("w1"), $"m2".as("w2")).agg(count(lit(1)).as("c"))
-    val blm = big.orderBy($"c".desc, $"w1", $"w2").limit(maxBigrams)
-    val hist = big.groupBy($"w1").agg(sum($"c").cast("long").as("h"))
-    val vtot = vocab.agg((count(lit(1)) + 1L).as("vtot"))
-    Lm(vocab, blm, hist, vtot)
+      .cache()
+    val blmRows: Seq[(String, String, Long)] =
+      big.orderBy($"c".desc, $"w1", $"w2").limit(maxBigrams)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val histRows: Seq[(String, Long)] =
+      big.groupBy($"w1").agg(sum($"c").cast("long").as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    big.unpersist()
+    Lm(vocab,
+      blmRows.toDF("w1", "w2", "c"),
+      histRows.toDF("w1", "h"),
+      Seq(Tuple1(vocabW.size + 1L)).toDF("vtot"))
   }
 
   /** One row per input document: `idCols` plus `n_bigrams` (long, null
