@@ -71,6 +71,74 @@ object SpanDedup {
         sum(col("__cov")).cast("long").as("dup_chars"))
   }
 
+  /** Duplicate-span REMOVAL — detection turned into action, the actual
+    * Lee et al. rewrite step. Rule, deterministic by construction: for
+    * each duplicated k-gram the CANONICAL occurrence is the
+    * lexicographically minimal (doc, pos) — one `min(struct(doc, pos))`
+    * per gram group; every other occurrence is remove-marked. A doc's
+    * removed char set is the interval union of its marked spans
+    * ([pos, pos+k-1], merged while gaps ≤ 0 chars); its kept text is the
+    * remaining chars in order. Intra-doc repeats of a cross-doc
+    * duplicated gram collapse too (only the canonical position
+    * survives); grams repeated ONLY within one doc are untouched — the
+    * duplication predicate stays "≥ 2 distinct docs".
+    *
+    * Everything after the [[duplicateSpanPositions]]-shaped candidate
+    * pass runs on marked positions only (tiny): two integer windows
+    * (island grouping, gap segmentation), then ONE doc-grain join back
+    * to the hit docs' text to slice kept segments — the corpus at large
+    * never shuffles. Text reconstruction is relational (sorted segment
+    * concat), so an external SQL engine reproduces kept_text
+    * byte-for-byte.
+    *
+    * Returns one row per CHANGED doc: (idCol, removed_chars, kept_text).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val pos = positions(docs, idCol, textCol, k, carry = Nil)
+    val dupAgg = pos.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col(idCol)).as("__cd"),
+        min(struct(col(idCol), col("pos"))).as("__canon"))
+      .filter(col("__cd") >= 2)
+      .select(col("h1"), col("h2"), col("__canon"))
+    val marked = pos.join(dupAgg, Seq("h1", "h2"))
+      .filter(!(col(idCol) === col(s"__canon.$idCol") &&
+        col("pos") === col("__canon.pos")))
+      .select(col(idCol), col("pos"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = marked
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) > k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+    // gap segments between islands (+ the tail to end-of-text); every hit
+    // doc gets at least the tail row, so fully-removed docs still emit ''
+    val wS = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val gaps = islands.select(col(idCol),
+      (coalesce(lag(col("e"), 1).over(wS), lit(0)) + 1).as("gs"),
+      (col("s") - 1).as("ge"))
+    val hitText = docs.select(col(idCol), col(textCol))
+      .join(islands.select(col(idCol)).distinct(), Seq(idCol), "leftsemi")
+    val tail = islands.groupBy(col(idCol)).agg((max(col("e")) + 1).as("gs"))
+      .join(hitText, Seq(idCol))
+      .select(col(idCol), col("gs"), length(col(textCol)).as("ge"))
+    val segs = gaps.unionByName(tail)
+      .join(hitText, Seq(idCol))
+      .select(col(idCol), col("gs"),
+        col(textCol).substr(col("gs"), greatest(col("ge") - col("gs") + 1, lit(0)))
+          .as("seg"))
+    val kept = segs.groupBy(col(idCol))
+      .agg(array_join(expr("transform(sort_array(collect_list(struct(gs, seg))), x -> x.seg)"), "")
+        .as("kept_text"))
+    val removed = islands.groupBy(col(idCol))
+      .agg(sum(col("e") - col("s") + 1).cast("long").as("removed_chars"))
+    removed.join(kept, Seq(idCol))
+      .select(col(idCol), col("removed_chars"), col("kept_text"))
+  }
+
   /** The k-gram position projection: (carry..., idCol, pos, h1, h2).
     * Docs shorter than k emit nothing. h2 salts the gram with a suffix
     * byte so the two probes are computed over distinct byte streams.

@@ -580,7 +580,37 @@ object CurationQueries {
       .orderBy($"source")
   }
 
+  /** Seed literal for the registered training-order shuffle (the order is
+    * a function of (doc, seed): re-running an epoch with a new seed is a
+    * different permutation, same machinery).
+    */
+  private val ShuffleSeed = "-42"
+
+  /** Deterministic global training-order shuffle — the "shuffle the
+    * corpus before each epoch" step every trainer needs, as a TOTAL
+    * ORDER both engines can replay: sort by md5(doc_id || seed). In
+    * Spark a global `orderBy` is a RANGE-partitioned sort (sampled
+    * bounds, each partition sorts locally, partitions are themselves
+    * ordered) — the scalable way to produce a reproducible permutation
+    * of a 100 TB corpus; no single-partition window, no driver sort.
+    * The doc_id tiebreak makes the order total even under (unobserved)
+    * digest collisions.
+    */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        md5(concat($"doc_id".cast("string"), lit(ShuffleSeed))).as("shuffle_key"))
+      .orderBy($"shuffle_key", $"doc_id")
+  }
+
+  val trainingOrderSql: String =
+    s"""SELECT doc_id, source,
+       |  md5(CAST(doc_id AS VARCHAR) || '$ShuffleSeed') AS shuffle_key
+       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_training_order" -> (trainingOrder _),
     "q_bpe_token_stats" -> (bpeTokenStats _),
     "q_boilerplate_segments" -> (boilerplateSegments _),
     "q_dataset_split" -> (datasetSplit _),
@@ -596,6 +626,7 @@ object CurationQueries {
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
+    "q_training_order" -> trainingOrderSql,
     "q_boilerplate_segments" -> boilerplateSegmentsSql,
     "q_dataset_split" -> datasetSplitSql,
     "q_segment_dedup" -> segmentDedupSql,

@@ -480,7 +480,63 @@ object DedupQueries {
        |FROM totals t LEFT JOIN persrc p ON p.source = t.source
        |ORDER BY t.source""".stripMargin
 
+  /** Duplicate-span REMOVAL under the oracle — every changed doc's kept
+    * text byte-for-byte (see [[graft.operators.SpanDedup.removeDuplicateSpans]]
+    * for the canonical-keeper rule). The strongest gate this operator can
+    * get: the external engine reconstructs the rewritten STRINGS, not
+    * just counts.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+    graft.operators.SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", SpanK)
+      .select($"doc_id", $"removed_chars",
+        length($"kept_text").cast("long").as("kept_len"), $"kept_text")
+      .orderBy($"doc_id")
+  }
+
+  val spanRemovalSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, u.i AS i, substr(text, u.i, $SpanK) AS g
+       |  FROM documents, unnest(range(1, greatest(len(text) - $SpanK + 2, 1))) AS u(i)),
+       |dup AS (SELECT g, min(doc_id) AS md FROM pos GROUP BY g
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |canon AS (SELECT d.g, d.md, min(p.i) AS mp
+       |          FROM dup d JOIN pos p ON p.g = d.g AND p.doc_id = d.md
+       |          GROUP BY d.g, d.md),
+       |marked AS (SELECT p.doc_id, p.i FROM pos p JOIN canon c ON c.g = p.g
+       |           WHERE NOT (p.doc_id = c.md AND p.i = c.mp)),
+       |brk AS (SELECT doc_id, i,
+       |          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $SpanK
+       |               THEN 1 ELSE 0 END AS b
+       |        FROM marked),
+       |isl AS (SELECT doc_id, i, sum(b) OVER (
+       |          PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island
+       |        FROM brk),
+       |islands AS (SELECT doc_id, island, min(i) AS s, max(i) + $SpanK - 1 AS e
+       |            FROM isl GROUP BY doc_id, island),
+       |gaps AS (SELECT doc_id,
+       |           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+       |           s - 1 AS ge
+       |         FROM islands),
+       |tails AS (SELECT i.doc_id, max(i.e) + 1 AS gs, len(d.text) AS ge
+       |          FROM islands i JOIN documents d ON d.doc_id = i.doc_id
+       |          GROUP BY i.doc_id, len(d.text)),
+       |segs AS (SELECT s.doc_id, s.gs,
+       |           substr(d.text, s.gs, greatest(s.ge - s.gs + 1, 0)) AS seg
+       |         FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails) s
+       |         JOIN documents d ON d.doc_id = s.doc_id),
+       |kept AS (SELECT doc_id, string_agg(seg, '' ORDER BY gs) AS kept_text
+       |         FROM segs GROUP BY doc_id),
+       |removed AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+       |            FROM islands GROUP BY doc_id)
+       |SELECT r.doc_id, r.removed_chars,
+       |  CAST(len(k.kept_text) AS BIGINT) AS kept_len, k.kept_text
+       |FROM removed r JOIN kept k ON k.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_removal" -> (spanRemoval _),
     "q_duplicate_spans" -> (duplicateSpans _),
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
@@ -491,6 +547,7 @@ object DedupQueries {
     "q_simhash_pairs" -> (simHashPairs _))
 
   val oracles: Map[String, String] = Map(
+    "q_span_removal" -> spanRemovalSql,
     "q_duplicate_spans" -> duplicateSpansSql,
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,

@@ -584,7 +584,42 @@ object RelationalQueries {
       |  count(*) AS total_units
       |FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Semi-structured extraction from the events `props` JSON column —
+    * the per-event metadata bag every telemetry pipeline carries
+    * (reference: the extended-JSON tweet payloads of utils.py, here at
+    * aggregate grain). `from_json` with an explicit schema parses each
+    * row ONCE into a typed struct (vs one `get_json_object` walk per
+    * extracted field); a malformed row parses to null and lands in the
+    * n_events/n_parsed gap rather than failing the scan. Pure projection
+    * + map-side-combined hash agg over a handful of event types: one
+    * small exchange at any scale.
+    */
+  def eventProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .withColumn("k", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count($"k").as("n_parsed"),
+        sum($"k").cast("long").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  val eventPropsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(CAST(props->>'$.k' AS INTEGER)) AS n_parsed,
+      |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+      |  max(CAST(props->>'$.k' AS INTEGER)) AS max_k,
+      |  round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_props" -> (eventProps _),
     "q_weighted_quantiles" -> (weightedQuantiles _),
     "q_price_quantiles_2d" -> (priceQuantiles2d _),
     "q_rollup_revenue" -> (rollupRevenue _),
@@ -608,6 +643,7 @@ object RelationalQueries {
     "q_union_slices" -> (unionSlices _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_props" -> eventPropsSql,
     "q_weighted_quantiles" -> weightedQuantilesSql,
     "q_price_quantiles_2d" -> priceQuantiles2dSql,
     "q_rollup_revenue" -> rollupRevenueSql,

@@ -166,6 +166,22 @@ class PlanSpec extends SparkSpec {
     assertNoFilterTrees(finalPlan, "arrays_zip")
   }
 
+  test("training-order shuffle is a range-partitioned global sort, not a single-partition window") {
+    val finalPlan = finalExecutedPlan(graft.queries.CurationQueries.trainingOrder(spark, sf))
+    assert(finalPlan.contains("rangepartitioning"),
+      s"global orderBy must range-partition:\n$finalPlan")
+    assert(!finalPlan.contains("SinglePartition") || !finalPlan.contains("Window"),
+      s"single-partition window leaked into the shuffle:\n$finalPlan")
+  }
+
+  test("span removal: corpus-at-large never joins; only hit docs rejoin for slicing") {
+    // every join after the candidate pass must be on doc/hash keys over the
+    // (tiny) marked-position side — no cartesian, no broadcast of the corpus
+    val finalPlan = finalExecutedPlan(DedupQueries.spanRemoval(spark, sf))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$finalPlan")
+  }
+
   test("stratified sample is a pure filtered scan — zero shuffle at any scale") {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Curation.stratifiedSample(

@@ -44,6 +44,26 @@ class SpanDedupSpec extends SparkSpec {
       (6L, 3L, 12L)))
   }
 
+  test("removal: canonical occurrence survives, every other copy is cut, kept text exact") {
+    val corpus = Seq(
+      (1L, "xx0123456789yy"),           // canonical home of "0123456789" (min doc, pos 3)
+      (2L, "0123456789abcd"),           // copy at pos 1 -> cut
+      (5L, "ppABCDEFGHIJKLqq"),         // canonical home of the 12-char span
+      (6L, "ABCDEFGHIJKLrr"),           // copy -> 3 grams merge to one island
+      (7L, "MMMMMMMMMMMMMMMMMMMM"),     // intra-doc-only repeat: untouched
+      (8L, "zz0123456789zz0123456789"), // two NON-canonical copies -> two islands
+      (9L, "QRSTUVWXYZ"),               // identical pair: 9 canonical,
+      (10L, "QRSTUVWXYZ")               // 10 fully removed -> kept ''
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicateSpans(corpus, "doc_id", "text", K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set(
+      (2L, 10L, "abcd"),
+      (6L, 12L, "rr"),
+      (8L, 20L, "zzzz"),
+      (10L, 10L, "")))
+  }
+
   test("carry columns ride through; all-unique corpus yields empty output") {
     val tagged = docs.withColumn("src", concat(lit("s"), $"doc_id" % 2))
     val cov = SpanDedup.duplicateSpanCoverage(tagged, "doc_id", "text", K,
