@@ -731,7 +731,86 @@ object TextQueries {
        |  CAST(sum(CASE WHEN s < $LmLowScaled * nb THEN 1 ELSE 0 END) AS BIGINT) AS n_low
        |FROM base GROUP BY source ORDER BY source""".stripMargin
 
+  /** Naive-Bayes geometry + split boundary for the registered query. The
+    * content-hash split (md5 hex first char ≤ 'b' → train, 12/16 = 75 %)
+    * is the [[CurationQueries]] dataset-split discipline: membership is a
+    * pure function of the doc id, reproducible in any engine.
+    */
+  private val NbVocabSize = 4096
+  private val NbSplitBound = "b"
+
+  /** Learned language-ID confusion matrix — multinomial naive Bayes
+    * trained on the 75 % content-hash split and evaluated on the held-out
+    * 25 %, entirely in-engine (see [[graft.ml.NaiveBayes]] for the scale
+    * contract: two-pass bounded training, broadcast dense matrix,
+    * integer-exact argmax). Complements q_langid_confusion: that gate
+    * checks a FIXED stopword heuristic, this one checks a TRAINED
+    * classifier end-to-end — training arithmetic, model materialization,
+    * scoring fan-out, argmax tiebreaks — under the same external oracle.
+    */
+  def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.wide(spark, dir, "documents")
+      .withColumn("__hb", substring(md5($"doc_id".cast("string")), 1, 1))
+    val model = graft.ml.NaiveBayes.train(
+      docs.filter($"__hb" <= NbSplitBound), "text", "lang", NbVocabSize)
+    graft.ml.NaiveBayes.predict(
+        docs.filter($"__hb" > NbSplitBound), "text", model,
+        idCols = Seq("doc_id", "lang"))
+      .groupBy($"lang".as("actual"), $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"actual", $"predicted")
+  }
+
+  val nbConfusionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    regexp_extract_all(lower(text), '${graft.operators.NgramLm.TokenRegex}') AS l,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hb
+       |  FROM documents),
+       |train AS (SELECT * FROM base WHERE hb <= '$NbSplitBound'),
+       |test AS (SELECT * FROM base WHERE hb > '$NbSplitBound'),
+       |ttoks AS (SELECT lang, u.tok AS t
+       |          FROM train, unnest(l) AS u(tok)),
+       |c1 AS (SELECT t, count(*) AS c FROM ttoks GROUP BY t),
+       |vocab AS (SELECT t FROM c1 ORDER BY c DESC, t LIMIT $NbVocabSize),
+       |vlist AS (SELECT t FROM vocab UNION ALL SELECT '${graft.operators.NgramLm.Unk}'),
+       |vsz AS (SELECT count(*) AS v FROM vlist),
+       |mt AS (SELECT k.lang, coalesce(v.t, '${graft.operators.NgramLm.Unk}') AS m
+       |       FROM ttoks k LEFT JOIN vocab v ON v.t = k.t),
+       |cc AS (SELECT lang, m, count(*) AS c FROM mt GROUP BY lang, m),
+       |nc AS (SELECT lang, count(*) AS n FROM mt GROUP BY lang),
+       |classes AS (SELECT DISTINCT lang FROM train),
+       |matrix AS (SELECT cl.lang AS cls, vl.t AS m,
+       |             CAST(round(ln((coalesce(cc.c, 0) + 1.0) /
+       |               (coalesce(nc.n, 0) + (SELECT v FROM vsz))) *
+       |               ${graft.operators.NgramLm.LpScale}, 0) AS BIGINT) AS lp
+       |           FROM classes cl CROSS JOIN vlist vl
+       |           LEFT JOIN nc ON nc.lang = cl.lang
+       |           LEFT JOIN cc ON cc.lang = cl.lang AND cc.m = vl.t),
+       |priors AS (SELECT lang AS cls,
+       |             CAST(round(ln(CAST(count(*) AS DOUBLE) /
+       |               (SELECT count(*) FROM train)) *
+       |               ${graft.operators.NgramLm.LpScale}, 0) AS BIGINT) AS pr
+       |           FROM train GROUP BY lang),
+       |stoks AS (SELECT s.doc_id, s.lang, coalesce(v.t, '${graft.operators.NgramLm.Unk}') AS m
+       |          FROM (SELECT doc_id, lang, u.tok AS t
+       |                FROM test, unnest(l) AS u(tok)) s
+       |          LEFT JOIN vocab v ON v.t = s.t),
+       |sc AS (SELECT s.doc_id, s.lang AS actual, x.cls,
+       |         CAST(sum(x.lp) AS BIGINT) + min(p.pr) AS score
+       |       FROM stoks s JOIN matrix x ON x.m = s.m
+       |                    JOIN priors p ON p.cls = x.cls
+       |       GROUP BY s.doc_id, s.lang, x.cls),
+       |pred AS (SELECT doc_id, actual, cls AS predicted FROM sc
+       |         QUALIFY row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY score DESC, cls) = 1)
+       |SELECT actual, predicted, count(*) AS n
+       |FROM pred GROUP BY actual, predicted
+       |ORDER BY actual, predicted""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_confusion" -> (nbConfusion _),
     "q_bigram_lm" -> (bigramLm _),
     "q_corpus_curation" -> (corpusCuration _),
     "q_topic_location_join" -> (topicLocationJoin _),
@@ -750,6 +829,7 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_nb_confusion" -> nbConfusionSql,
     "q_bigram_lm" -> bigramLmSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_topic_location_join" -> topicLocationJoinSql,
