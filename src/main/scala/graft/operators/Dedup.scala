@@ -336,6 +336,116 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT near-duplicate pairs via PREFIX FILTERING — the AllPairs /
+    * PPJoin family (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Xiao, Wang, Lin & Yu, "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08). Same
+    * contract and output as [[nearDuplicatePairsExact]] (bit-for-bit: the
+    * filters below are LOSSLESS for jaccard >= threshold), but the
+    * candidate join touches only each document's PREFIX shingles instead
+    * of all of them.
+    *
+    * Why this is the sharper scale shape: under a global rarest-first
+    * shingle order, a document with n shingles only needs its first
+    * p = n − ⌈t·n⌉ + 1 shingles indexed — any pair with jaccard >= t
+    * must collide inside both prefixes (prefix-filter theorem: the
+    * first common shingle in global order sits within both). At t=0.8
+    * that indexes ~20 % of each document, and because the global order is
+    * document-frequency ASCENDING, prefixes concentrate on the RAREST
+    * shingles — exactly the join keys with the smallest df² candidate
+    * blowup. The boilerplate "stop shingles" that force
+    * [[nearDuplicatePairsExact]]'s df-cap guard land at the END of the
+    * order and never enter the index at all, so the hot-key quadratic
+    * failure mode is designed out rather than capped out.
+    *
+    * Three stacked LOSSLESS filters on the candidate join:
+    *  1. prefix filter — join keyed on prefix shingles only;
+    *  2. length filter — t·na <= nb and t·nb <= na (a size-imbalanced
+    *     pair cannot reach t);
+    *  3. positional filter (PPJoin) — a prefix collision at 1-based
+    *     positions (pa, pb) caps the achievable overlap at
+    *     1 + min(na−pa, nb−pb), which must reach the minimum overlap
+    *     ⌈t/(1+t)·(na+nb)⌉. Applied per collision; a qualifying pair's
+    *     FIRST common shingle always passes (all its common shingles sit
+    *     at or after that position in both prefixes).
+    * Verification then fetches the two full shingle arrays by doc id —
+    * candidate-grain work, arrays shuffle once per surviving candidate
+    * side, never through the exploded join.
+    *
+    * Epsilon slack (1e-9) on every real-valued bound keeps float rounding
+    * from STRENGTHENING an integer threshold (ceil(t·n) computed as
+    * 2.0000000001 would shorten the prefix and lose recall); slack only
+    * ever weakens a filter, which costs candidates, never correctness.
+    *
+    * Cost vs [[nearDuplicatePairsExact]]: one extra df aggregate and one
+    * per-doc sort of its own shingles (bounded by document length). The
+    * payoff grows with threshold and with boilerplate skew; see
+    * DedupSpec's measured candidate-count comparison.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      threshold: Double, shingleLen: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
+    val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
+      .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+    val cand = prefixCandidates(sh, threshold)
+    val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val b = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Candidate (id_a, id_b) pairs of [[prefixJaccardPairs]] — the state of
+    * the join AFTER the prefix/length/positional filters and BEFORE exact
+    * verification. `private[graft]` so DedupSpec can measure candidate
+    * counts against the full inverted-index join.
+    *
+    * Input: (__id, __sh) with non-empty distinct shingle arrays.
+    */
+  private[graft] def prefixCandidates(
+      sh: DataFrame, threshold: Double): DataFrame = {
+    val eps = 1e-9
+    // Global order = (document frequency ASC, shingle ASC): rarest first,
+    // deterministic. Positions are per-document ranks under that order —
+    // derived by sorting each doc's own (df, shingle) structs, so no
+    // global rank assignment (no sort of the full shingle universe) is
+    // ever materialized.
+    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
+      explode(col("__sh")).as("__s"))
+    val dfs = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val prefix = ex.join(dfs, Seq("__s"))
+      .groupBy(col("__id"), col("__n"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"))
+      // p = n − ⌈t·n⌉ + 1 prefix shingles suffice for jaccard ≥ t
+      .withColumn("__p",
+        (col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+          .cast("int"))
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__ord"), lit(1), col("__p"))).as(Seq("__pos0", "__e")))
+      .select(col("__id"), col("__n"),
+        (col("__pos0") + 1).as("__pos"), col("__e.__s").as("__s"))
+    val pa = prefix.select(col("__id").as("id_a"), col("__n").as("__na"),
+      col("__pos").as("__pa"), col("__s"))
+    val pb = prefix.select(col("__id").as("id_b"), col("__n").as("__nb"),
+      col("__pos").as("__pb"), col("__s"))
+    val t = lit(threshold)
+    pa.join(pb, Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: size-imbalanced pairs cannot reach t
+      .filter(col("__nb").cast("double") >= t * col("__na") - lit(eps) &&
+        col("__na").cast("double") >= t * col("__nb") - lit(eps))
+      // positional filter: overlap ubound from this collision must reach
+      // the minimum overlap t/(1+t)·(na+nb)
+      .filter((lit(1) + least(col("__na") - col("__pa"),
+        col("__nb") - col("__pb"))).cast("double") >=
+        t / (lit(1.0) + t) * (col("__na") + col("__nb")) - lit(eps))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   // ------------------------------------------------ components / clusters
 
   /** Connected components over an undirected pair list — the step that

@@ -633,4 +633,189 @@ object Embeddings {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
+
+  // ------------------------------------------- product quantization (PQ)
+
+  /** PQ codebooks `[m][ks][dim/m]` (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    * space is split into `m` subspaces and each gets its own `ks`-word
+    * codebook, so a dim-wide float vector stores as `m` sub-byte codes —
+    * at the registered (m=8, ks=16, dim=64) geometry that is 32 BITS per
+    * vector against 256 bytes of float32, a 64× at-rest/in-shuffle
+    * compression, and the whole codebook (m·ks·dim/m doubles) is a
+    * driver-inlined config artifact like [[computeCentroids]]' matrix.
+    *
+    * Seeding mirrors the IVF discipline: a deterministic pseudo-random
+    * corpus sample (`md5('pq:' || id)` hex order when `portableSample`,
+    * xxhash64 otherwise), L2-normalized as FULL vectors (corpus encoding
+    * normalizes the same way, so reconstructed dots approximate cosine),
+    * then sliced per subspace. `refineIterations` runs per-subspace
+    * Lloyd (plain Euclidean means over subvectors — NOT re-normalized;
+    * subvectors are not unit) — one corpus pass + one bounded
+    * (m·ks·dim/m)-cell collect per iteration; like IVF's Lloyd it is
+    * production-only (distributed avg carries fold-order float noise),
+    * while the refine=0 portable path is exact arithmetic an external
+    * SQL oracle replays bit-for-bit (q_embedding_pq_flat).
+    */
+  private[graft] def pqCodebooks(
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      m: Int, ks: Int, refineIterations: Int, seed: Long,
+      portableSample: Boolean): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ks >= 1, s"pqCodebooks: need m >= 1, ks >= 1 (got $m, $ks)")
+    val sampleOrd =
+      if (portableSample) md5(concat(lit("pq:"), col("__cid").cast("string")))
+      else xxhash64(col("__cid"), lit(seed))
+    val rows = corpus
+      .select(corpusId.as("__cid"), corpusEmb.cast("array<double>").as("__ce"))
+      .orderBy(sampleOrd, col("__cid"))
+      .limit(ks)
+      .collect()
+    val vecs = rows.map { r =>
+      if (r.isNullAt(1)) {
+        throw new IllegalArgumentException(
+          s"pqCodebooks: null embedding in codebook sample (id=${r.get(0)})")
+      }
+      r.getSeq[Double](1)
+    }
+    val dims = vecs.map(_.length).distinct
+    require(dims.length == 1,
+      s"pqCodebooks: mixed embedding widths ${dims.mkString(",")}")
+    val dim = dims.head
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val seedBooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      vecs.toSeq.map(v => normalizeVec(v).slice(j * sub, (j + 1) * sub))
+    }
+    (0 until refineIterations).foldLeft(seedBooks) { (books, _) =>
+      // one corpus pass: normalize, encode every subspace against the
+      // current books, explode to (j, code, subvector) grain, mean per
+      // cell. Map-side combine bounds the exchange at m·ks·sub cells per
+      // task regardless of corpus size.
+      val enc = pqEncoded(
+        corpus.select(corpusEmb.as("__e")), col("__e"), books)
+      val exploded = enc.select(explode(arrays_zip(
+          sequence(lit(0), lit(m - 1)).as("j"),
+          col("__codes").as("code"))).as("__z"), col("__ne"))
+        .select(col("__z.j").as("j"), col("__z.code").as("code"), col("__ne"))
+      val means = exploded.groupBy(col("j"), col("code"))
+        .agg(count(lit(1)).as("__n"),
+          (0 until sub).map(i =>
+            avg(element_at(col("__ne"), col("j") * sub + (i + 1))).as(s"m$i")): _*)
+        .collect()
+        .map { r =>
+          val mean = (0 until sub).map { i =>
+            if (r.isNullAt(i + 3)) {
+              throw new IllegalArgumentException(
+                s"pqCodebooks: null mean at sub-index $i for subspace " +
+                  s"${r.getInt(0)} code ${r.get(1)} (null embeddings?)")
+            }
+            r.getDouble(i + 3)
+          }
+          (r.getInt(0), r.getAs[Number](1).longValue()) -> mean
+        }
+        .toMap
+      (0 until m).map { j =>
+        (0 until ks).map(c => means.getOrElse((j, c + 1L), books(j)(c)))
+      }
+    }
+  }
+
+  /** Adds `__ne` (normalized double vector), `__codes` (array<long>, m
+    * 1-based codeword ids) and `__recon` (the codeword concatenation —
+    * the decompressed stand-in the scoring join ranks against) to `df`.
+    *
+    * Every intermediate is materialized as its OWN projection (`__ne`,
+    * per-subspace slices, per-subspace distance arrays) — the HOF
+    * capture-re-evaluation discipline of [[i8Scale]]: a lambda that
+    * captured an inlined slice-of-transform expression would re-run the
+    * normalization per codeword. Assignment tie-break: `array_position`
+    * returns the FIRST index attaining `array_min`, i.e. min distance
+    * then min codeword id — the rule the oracle replays with
+    * `row_number() OVER (ORDER BY dist, ci)`.
+    */
+  private[graft] def pqEncoded(
+      df: DataFrame, emb: Column, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    // norm materialized BEFORE the divide lambda (an inlined sqrt(dot)
+    // capture would re-run the O(dim) norm once per element)
+    val withNe = df.withColumn("__nrm", norm(emb))
+      .withColumn("__ne",
+        when(col("__nrm") === 0.0, emb.cast("array<double>"))
+          .otherwise(transform(emb, x => x.cast("double") / col("__nrm"))))
+      .drop("__nrm")
+    val withSubs = (0 until m).foldLeft(withNe) { (d, j) =>
+      d.withColumn(s"__sub$j", slice(col("__ne"), lit(j * sub + 1), lit(sub)))
+    }
+    val withDists = (0 until m).foldLeft(withSubs) { (d, j) =>
+      d.withColumn(s"__d$j", transform(typedLit(books(j)), c => {
+        val diff = zip_with(col(s"__sub$j"), c, (a, b) => a - b)
+        dot(diff, diff)
+      }))
+    }
+    val withCodes = withDists.withColumn("__codes",
+      array((0 until m).map(j =>
+        array_position(col(s"__d$j"), array_min(col(s"__d$j")))): _*))
+    withCodes.withColumn("__recon",
+      flatten(array((0 until m).map(j =>
+        element_at(typedLit(books(j)), col("__codes").getItem(j).cast("int"))): _*)))
+      .drop((0 until m).flatMap(j => Seq(s"__sub$j", s"__d$j")): _*)
+  }
+
+  /** PQ codes packed into ONE long — `m·log2(ks)` bits, code j in bits
+    * [j·w, (j+1)·w). Requires m·log2(ks) <= 63 and ks a power of two.
+    * This is the at-rest form: at (m=8, ks=16) a 64-dim float vector
+    * stores in 4 of the long's bytes. [[pqUnpack]] inverts it.
+    */
+  def pqPack(codes: Column, m: Int, ks: Int): Column = {
+    val w = pqCodeWidth(m, ks)
+    (0 until m).map(j =>
+      shiftleft(codes.getItem(j) - 1, j * w).cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** Inverse of [[pqPack]]: array<long> of m 1-based codeword ids. */
+  def pqUnpack(packed: Column, m: Int, ks: Int): Column = {
+    val w = pqCodeWidth(m, ks)
+    val mask = (1L << w) - 1
+    array((0 until m).map(j =>
+      (shiftright(packed, j * w).bitwiseAND(lit(mask)) + 1).cast("long")): _*)
+  }
+
+  private def pqCodeWidth(m: Int, ks: Int): Int = {
+    require(ks >= 2 && (ks & (ks - 1)) == 0, s"pqPack: ks must be a power of two, got $ks")
+    val w = java.lang.Integer.numberOfTrailingZeros(ks)
+    require(m * w <= 63, s"pqPack: m·log2(ks) = ${m * w} bits exceed one long")
+    w
+  }
+
+  /** All-pairs top-k over PQ-RECONSTRUCTED corpus vectors: corpus rows
+    * are encoded to m codewords and ranked by cosine(probe, codeword
+    * concatenation) — the memory-bound ANN trade (64× smaller vectors at
+    * rest and in shuffle; each row decompresses ONCE into its
+    * reconstruction before the probe join, so scoring cost matches
+    * [[knnBruteForce]] while the corpus never moves in float form).
+    * Same output contract as every neighbor query here:
+    * (probe_id, rk, neighbor_id, cosine), cosine rounded to 4.
+    *
+    * `refineIterations = 0` + `portableSample = true` is the
+    * oracle-exact mode (q_embedding_pq_flat); refined codebooks are the
+    * production mode, recall-gated in EmbeddingsSpec.
+    */
+  def pqTopK(
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      probes: DataFrame, probeId: Column, probeEmb: Column,
+      k: Int = 5, m: Int = 8, ks: Int = 16,
+      refineIterations: Int = 0,
+      seed: Long = 42L,
+      portableSample: Boolean = false): DataFrame = {
+    val books = pqCodebooks(
+      corpus, corpusId, corpusEmb, m, ks, refineIterations, seed, portableSample)
+    val enc = pqEncoded(corpus.select(corpusId.as("__pqid"), corpusEmb.as("__e")),
+      col("__e"), books)
+      .select(col("__pqid"), col("__recon"))
+    knnBruteForce(
+      enc, col("__pqid"), col("__recon"),
+      probes, probeId, probeEmb, k)
+  }
 }

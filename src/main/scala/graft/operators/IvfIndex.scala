@@ -109,7 +109,7 @@ object IvfIndex {
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(neededCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("emb"), col("nrm"), col("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))

@@ -257,6 +257,20 @@ object DedupQueries {
       |SELECT id_a, id_b, jaccard FROM pairs
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered exact Jaccard join ([[Dedup.prefixJaccardPairs]],
+    * AllPairs/PPJoin) — all three candidate filters are LOSSLESS, so the
+    * oracle is the SAME full inverted-index SQL as q_near_dup_pairs: the
+    * gate proves the filtered join loses nothing, the same
+    * cost-differs-answer-must-not discipline as q_price_quantiles_2pass.
+    * Candidate-count reduction is pinned by DedupSpec.
+    */
+  def jaccardPrefixPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.prefixJaccardPairs(
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Per-document SimHash fingerprints, oracle-gated end to end: the token
     * hash is the Karp–Rabin character fold already proven cross-engine by
     * q_fingerprints, so DuckDB reproduces every step — per-token hash,
@@ -541,6 +555,7 @@ object DedupQueries {
     "q_exact_dedup" -> (exactDedup _),
     "q_near_dup_pairs" -> (nearDupPairs _),
     "q_near_dup_pairs_capped" -> (nearDupPairsCapped _),
+    "q_jaccard_prefix_pairs" -> (jaccardPrefixPairs _),
     "q_minhash_pairs" -> (minHashPairs _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_simhash" -> (simHashFingerprints _),
@@ -552,6 +567,7 @@ object DedupQueries {
     "q_exact_dedup" -> exactDedupSql,
     "q_near_dup_pairs" -> nearDupPairsSql,
     "q_near_dup_pairs_capped" -> nearDupPairsCappedSql,
+    "q_jaccard_prefix_pairs" -> nearDupPairsSql,
     "q_minhash_pairs" -> minHashPairsSql,
     "q_simhash_pairs" -> simHashPairsSqlOf(rotations = 8, window = 4, maxHamming = 3),
     "q_dedup_clusters" -> dedupClustersSql,

@@ -55,12 +55,14 @@ object EmbeddingQueries {
     * ANDed into the candidate predicate (the ANN hamming ball).
     */
   private def knnGraphSql(srcCte: String, vec: String,
-      probeExtra: String = "", extraPred: String = ""): String = {
+      probeExtra: String = "", extraPred: String = "",
+      probeVec: String = ""): String = {
+    val pv = if (probeVec.nonEmpty) probeVec else vec
     val dotPC = dotSql("p.pe", s"e.$vec")
     val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
     val normC = s"sqrt(${dotSql(s"e.$vec", s"e.$vec")})"
     s"""$srcCte,
-       |probes AS (SELECT vec_id AS probe_id, $vec AS pe$probeExtra FROM src),
+       |probes AS (SELECT vec_id AS probe_id, $pv AS pe$probeExtra FROM src),
        |scored AS (
        |  SELECT p.probe_id, e.vec_id AS neighbor_id,
        |    round(coalesce($dotPC / nullif($normP * $normC, 0.0), 0.0), 4) AS cosine
@@ -383,7 +385,93 @@ object EmbeddingQueries {
        |WHERE cosine >= CAST($threshold AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The 5-NN graph over PQ-RECONSTRUCTED vectors, portable-sample
+    * codebooks, refine=0 ([[Embeddings.pqTopK]]) — codebook sampling,
+    * normalization, per-subspace assignment argmin, reconstruction, and
+    * scoring are all exact arithmetic, so the DuckDB oracle replays the
+    * ENTIRE product-quantization mechanism bit-for-bit (the
+    * q_embedding_ivf_flat discipline). The Lloyd-refined production
+    * codebooks stay rows-only (q_embedding_pq) with recall spec-gates.
+    */
+  def embeddingPqFlat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.pqTopK(
+      e, $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
+      k = K, m = 8, ks = 16, refineIterations = 0, portableSample = true)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  /** Production PQ: per-subspace Lloyd-refined codebooks (2 iterations).
+    * Rows-gated by declared design — the refinement's distributed
+    * averages carry fold-order float noise — with the MECHANISM fully
+    * oracled by q_embedding_pq_flat and recall vs the exact graph gated
+    * in EmbeddingsSpec.
+    */
+  def embeddingPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.pqTopK(
+      e, $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
+      k = K, m = 8, ks = 16, refineIterations = 2, portableSample = true)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  /** Oracle for [[embeddingPqFlat]]: codebook = first `ks` rows under the
+    * md5('pq:'||id) hex order, normalized with the explicit
+    * left-associated sum-of-squares fold; per-(vector, subspace)
+    * assignment = row_number over the explicit squared-L2 expansion with
+    * the (dist, ci) tie rule (Spark: array_position of array_min);
+    * reconstruction = ordered concatenation of codeword slices; scoring =
+    * the shared knn skeleton with corpus vec `recon` and probe vec
+    * `embedding`.
+    */
+  private[queries] def embeddingPqFlatSql(dim: Int, m: Int, ks: Int): String = {
+    val sub = dim / m
+    // explicit left-associated fold of (n.ne[i]-c.ne[i])² over subspace
+    // j's indices — replays DotFExpr.dot(diff, diff) bit-for-bit
+    val dist = (0 until sub).map { i =>
+      val a = s"n.ne[j.j*$sub+${i + 1}]"
+      val b = s"c.ne[j.j*$sub+${i + 1}]"
+      s"($a - $b) * ($a - $b)"
+    }.mkString("0.0 + ", " + ", "")
+    val srcCte =
+      s"""WITH nrm AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CASE WHEN n = 0 THEN [CAST(embedding[i] AS DOUBLE) for i in range(1, ${dim + 1})]
+         |         ELSE [CAST(embedding[i] AS DOUBLE) / n for i in range(1, ${dim + 1})] END AS ne
+         |  FROM (SELECT vec_id, embedding,
+         |          sqrt(${sumSqExplicitSql("embedding", dim)}) AS n
+         |        FROM embeddings)),
+         |cb AS MATERIALIZED (
+         |  SELECT ci, ne FROM (
+         |    SELECT row_number() OVER (
+         |      ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) AS ci, ne
+         |    FROM nrm)
+         |  WHERE ci <= $ks),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, j, ci FROM (
+         |    SELECT n.vec_id, j.j, c.ci,
+         |      row_number() OVER (PARTITION BY n.vec_id, j.j
+         |        ORDER BY $dist, c.ci) AS rn
+         |    FROM nrm n CROSS JOIN range(0, $m) j(j) CROSS JOIN cb c)
+         |  WHERE rn = 1),
+         |recon AS MATERIALIZED (
+         |  SELECT vec_id, flatten(list(sub ORDER BY j)) AS recon FROM (
+         |    SELECT codes.vec_id, codes.j,
+         |      cb.ne[codes.j*$sub+1 : codes.j*$sub+$sub] AS sub
+         |    FROM codes JOIN cb USING (ci))
+         |  GROUP BY vec_id),
+         |src AS (SELECT e.vec_id, e.embedding, r.recon
+         |        FROM embeddings e JOIN recon r USING (vec_id))""".stripMargin
+    knnGraphSql(srcCte, "recon", probeVec = "embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embedding_pq_flat" -> (embeddingPqFlat _),
+    "q_embedding_pq" -> (embeddingPq _),
     "q_cosine_dedup" -> (cosineDedup _),
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),
@@ -417,5 +505,6 @@ object EmbeddingQueries {
     "q_embedding_q8_knn" -> embeddingQ8KnnSql,
     "q_embedding_ann" -> embeddingAnnSql,
     "q_embedding_ivf_flat" -> embeddingIvfFlatSql(dim = 64, nprobe = 12, replicas = 2),
+    "q_embedding_pq_flat" -> embeddingPqFlatSql(dim = 64, m = 8, ks = 16),
     "q_label_cohesion" -> labelCohesionSql)
 }

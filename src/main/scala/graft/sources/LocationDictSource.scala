@@ -25,12 +25,12 @@ object LocationDictSource {
   def fromJsonString(json: String): LocationDict = {
     val root = new ObjectMapper().readTree(json)
     require(root != null && root.isObject, "location dictionary must be a JSON object")
-    // fields() is deprecated in newer Jackson for properties(), but this
-    // build's properties() does NOT preserve insertion order (spec-caught:
-    // province order shuffled) while fields() iterates the underlying
-    // LinkedHashMap in file order — file order is this source's contract
-    val entries = root.fields().asScala.map { e =>
-      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    // NOT properties(): this build's properties() does not preserve
+    // insertion order (spec-caught: province order shuffled), while
+    // fieldNames() iterates the underlying LinkedHashMap in file order —
+    // file order is this source's contract
+    val entries = root.fieldNames().asScala.map { k =>
+      k -> root.get(k).elements().asScala.map(_.asText()).toSeq
     }.toSeq
     LocationDict(entries)
   }

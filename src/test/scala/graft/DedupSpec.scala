@@ -390,4 +390,77 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq === Seq(1L))
   }
+
+  // ------------------------------------------- prefix-filtered Jaccard join
+
+  /** Distinct candidate pairs of the FULL inverted-index join (every pair
+    * sharing >= 1 shingle) — the baseline prefixCandidates must beat.
+    */
+  private def invertedCandidates(docs: org.apache.spark.sql.DataFrame): Long = {
+    val sh = docs.select(col("doc_id").as("__id"),
+        Dedup.wordShingles(col("text"), 3).as("__sh"))
+      .filter(size(col("__sh")) >= 1)
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    ex.select(col("__id").as("ia"), col("__s"))
+      .join(ex.select(col("__id").as("ib"), col("__s")), Seq("__s"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct().count()
+  }
+
+  test("prefixJaccardPairs equals the full inverted-index join on the corpus") {
+    import spark.implicits._
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    for (t <- Seq(0.5, 0.8)) {
+      val want = Dedup.nearDuplicatePairsExact(docs, $"doc_id", $"text", threshold = t)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      val got = Dedup.prefixJaccardPairs(docs, $"doc_id", $"text", threshold = t)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      assert(got == want, s"threshold $t: prefix join diverged from exact join")
+      assert(want.nonEmpty || t > 0.5) // the 0.5 gate corpus has planted pairs
+    }
+  }
+
+  test("prefix filtering shrinks the candidate set on the corpus") {
+    import spark.implicits._
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val sh = docs.select($"doc_id".as("__id"),
+        Dedup.wordShingles($"text", 3).as("__sh"))
+      .filter(size($"__sh") >= 1)
+    val full = invertedCandidates(docs)
+    val pruned = Dedup.prefixCandidates(sh, threshold = 0.5).count()
+    assert(pruned < full,
+      s"prefix candidates $pruned not below inverted-index candidates $full")
+    // and every surviving true pair is still found (subset sanity is the
+    // equality test above; this pins that the reduction is real, not 0%)
+    assert(pruned <= full / 2,
+      s"expected >= 2x candidate reduction at t=0.5, got $pruned vs $full")
+  }
+
+  test("boilerplate stop-shingles never enter the prefix index") {
+    import spark.implicits._
+    // 120 docs: 6 unique lead tokens each (no cross-doc overlap), then the
+    // SAME 12-token boilerplate tail. Pairwise jaccard = 10/(10+2*4) = 0.357
+    // < 0.8, so the true answer is EMPTY — but every pair shares the 10
+    // boilerplate shingles, so the inverted index generates all C(120,2)
+    // candidates. Rarest-first prefixes are the doc-unique lead shingles;
+    // the hot boilerplate keys (df=120) sort last and are never indexed.
+    val boiler = (1 to 12).map(i => s"terms of service clause$i").mkString(" ")
+    val docs = (1 to 120).map(d =>
+        (d.toLong, (1 to 6).map(i => s"u${d}w$i").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id".as("__id"),
+        Dedup.wordShingles($"text", 3).as("__sh"))
+      .filter(size($"__sh") >= 1)
+    val full = invertedCandidates(docs)
+    assert(full == 120L * 119 / 2) // quadratic by construction
+    val pruned = Dedup.prefixCandidates(sh, threshold = 0.8).count()
+    assert(pruned == 0,
+      s"boilerplate corpus should yield zero prefix candidates at t=0.8, got $pruned")
+    // and a genuinely near-identical pair still surfaces through the prefix
+    val planted = docs.union(Seq(
+      (1000L, (1 to 6).map(i => s"u7w$i").mkString(" ") + " " + boiler)).toDF("doc_id", "text"))
+    val got = Dedup.prefixJaccardPairs(planted, $"doc_id", $"text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((7L, 1000L, 1.0)))
+  }
 }

@@ -293,7 +293,7 @@ class EmbeddingsSpec extends SparkSpec {
     def timeMin2(build: => org.apache.spark.sql.DataFrame): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        build.agg(count(lit(1))).head
+        build.agg(count(lit(1))).head()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up: codegen + JIT
@@ -353,5 +353,75 @@ class EmbeddingsSpec extends SparkSpec {
     val cand = withB.as("c").join(withB.as("p"), $"c.b" === $"p.b")
       .filter($"c.vec_id" =!= $"p.vec_id").select($"c.vec_id", $"p.vec_id").distinct().count()
     assert(cand < 40L * 39L) // strictly fewer than all-pairs
+  }
+
+  // ------------------------------------------------- product quantization
+
+  test("PQ codes pack into 32 bits and unpack losslessly") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Embeddings.pqCodebooks(
+      df, $"vec_id", $"embedding", m = 8, ks = 16,
+      refineIterations = 0, seed = 42L, portableSample = true)
+    assert(books.size == 8 && books.forall(_.size == 16) &&
+      books.forall(_.forall(_.size == 8)))
+    val enc = Embeddings.pqEncoded(
+      df.select($"vec_id", $"embedding"), $"embedding", books)
+    val packed = enc.select($"vec_id", $"__codes",
+      Embeddings.pqPack($"__codes", 8, 16).as("pk"))
+    // 8 codes × 4 bits = 32 bits: a 256-byte float64 vector at rest in
+    // HALF A LONG — and the roundtrip is exact
+    val bad = packed.filter($"pk" < 0 || $"pk" >= (1L << 32)).count()
+    assert(bad == 0)
+    val mismatch = packed
+      .withColumn("back", Embeddings.pqUnpack($"pk", 8, 16))
+      .filter(not($"back" === $"__codes")).count()
+    assert(mismatch == 0)
+  }
+
+  test("PQ neighbors stay within their planted cluster (refined codebooks)") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.pqTopK(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding",
+      k = 5, m = 8, ks = 16, refineIterations = 2, portableSample = true)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // 64-fold compression must not cross cluster boundaries: every
+    // reported neighbor shares the probe's planted cluster (within-cluster
+    // RANK agreement is not promised — same-cluster members can share
+    // codes and tie)
+    val crossCluster = got.count { case (p, n) => p / 8 != n / 8 }
+    assert(crossCluster == 0,
+      s"$crossCluster of ${got.length} PQ neighbors crossed a planted cluster boundary")
+  }
+
+  test("PQ recall@5 floor on the real sf0.001 table; zero vectors are safe") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Embeddings.knnBruteForce(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    def run(refine: Int) = Embeddings.pqTopK(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding",
+      k = 5, m = 8, ks = 16, refineIterations = refine, portableSample = true)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val rFlat = recallAt5(exact, run(0))
+    val rRefined = recallAt5(exact, run(2))
+    info(f"PQ recall@5 vs exact (near-random corpus, 64x compression): " +
+      f"flat $rFlat%.3f, refined $rRefined%.3f")
+    // near-random 64-dim vectors are the documented worst case for a
+    // 32-bit code (the honest q_embedding_ivf convention) — the gate pins
+    // "far better than chance" (random 5-of-499 ~ 0.01), not rank parity
+    assert(rRefined >= 0.15, s"refined PQ recall@5 $rRefined < 0.15")
+    // zero vectors: encode without NaN poisoning, never crash
+    val withZero = df.select($"vec_id", $"embedding").limit(10)
+      .union(Seq((9999L, Array.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val encoded = Embeddings.pqEncoded(withZero, $"embedding",
+      Embeddings.pqCodebooks(df, $"vec_id", $"embedding", 8, 16, 0, 42L, true))
+    val zrow = encoded.filter($"vec_id" === 9999L)
+      .select($"__recon").as[Seq[Double]].head()
+    assert(zrow.length == 64 && !zrow.exists(_.isNaN))
   }
 }
