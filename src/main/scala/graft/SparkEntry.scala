@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TemporalQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, MultimodalQueries, PipelineQueries, RelationalQueries, RetrievalQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ EmbeddingQueries.queries ++
       PipelineQueries.queries ++ MultimodalQueries.queries ++
-      CurationQueries.queries ++ TemporalQueries.queries
+      CurationQueries.queries ++ TemporalQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
     RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ EmbeddingQueries.oracles ++
       PipelineQueries.oracles ++ MultimodalQueries.oracles ++
-      CurationQueries.oracles ++ TemporalQueries.oracles
+      CurationQueries.oracles ++ TemporalQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -151,6 +151,54 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Weighted sample WITHOUT replacement — the exponential-keys scheme
+    * (Efraimidis & Spirtakis, "Weighted random sampling with a
+    * reservoir", IPL 2006, A-ES): each row draws u ~ Uniform(0,1]
+    * deterministically from md5(salt:key) and takes priority
+    * `ln(u) / w`; the k rows with the LARGEST priority are distributed
+    * exactly as a sequential weighted draw without replacement. The
+    * training-mix use case: sample a fixed-size corpus slice where a
+    * document's inclusion odds follow its quality/importance weight,
+    * reproducibly (fate is a pure function of the key — stable across
+    * re-runs, repartitioning, and appends, like [[stratifiedSample]]).
+    *
+    * Scale shape: a zero-shuffle codegen projection (md5 + ln per row)
+    * into a TakeOrdered top-k (per-partition heaps) — no global sort, no
+    * per-group state; rk is assigned over the k survivors only.
+    *
+    * Float discipline: u is an exact 52-bit rational `(hex53 + 1) /
+    * (2^52 + 1)` (never 0, so ln never sees -inf); ln carries the usual
+    * cross-engine 1-ulp noise, so the priority rounds to 9 decimals
+    * BEFORE ranking with the key as tie-break (the q_tfidf_terms rule).
+    * A non-positive or null weight THROWS — silently dropping the row
+    * would skew the sample exactly the way the weighted-quantile
+    * truncation bug did.
+    *
+    * Output: (rk, key AS id, priority), rk 1..k by (priority DESC, key).
+    */
+  def weightedSample(
+      df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "graft-ws"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hex13 = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 13)
+    val u = (conv(hex13, 16, 10).cast("long").cast("double") + lit(1.0)) /
+      lit(4503599627370497.0) // 2^52 + 1
+    val w = weight.cast("double")
+    // + 0.0 normalizes the round's -0.0 to 0.0 (a priority within 5e-10
+    // of zero rounds to a signed zero, and engines disagree on the sign);
+    // IEEE leaves every other value untouched
+    val priority = round(
+      when(w > 0.0, log(u) / w).otherwise(raise_error(concat(
+        lit("weightedSample: non-positive or null weight for key "),
+        key.cast("string"))).cast("double")), 9) + lit(0.0)
+    val top = df.select(key.as("id"), priority.as("priority"))
+      .orderBy(col("priority").desc, col("id"))
+      .limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("priority").desc, col("id"))))
+      .select(col("rk"), col("id"), col("priority"))
+  }
+
   /** Token-budget sequence packing — the batch-construction step between
     * a curated corpus and a trainer: assign documents to packs such that
     * each pack's token total stays within `budget` (greedy first-fit in

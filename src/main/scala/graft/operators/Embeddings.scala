@@ -818,4 +818,78 @@ object Embeddings {
       enc, col("__pqid"), col("__recon"),
       probes, probeId, probeEmb, k)
   }
+
+  /** PQ top-k by ASYMMETRIC DISTANCE COMPUTATION (ADC — Jégou et al.
+    * 2011 §IV.A): the probe precomputes one m·ks lookup table
+    * `tab[j·ks + c] = dot(probe_sub_j, book_j_c)` and every corpus row is
+    * scored with m TABLE LOOKUPS + (m−1) adds instead of a dim-wide dot —
+    * the compute side of the PQ trade that [[pqTopK]]'s
+    * reconstruct-then-dot leaves on the table. Per scored pair the work
+    * drops dim multiply-adds → m lookups (8× at dim=64/m=8), and the
+    * corpus side of the join carries only (id, m codes, recon norm) —
+    * the float matrix never enters the join at all (vs [[pqTopK]], which
+    * re-materializes a dim-wide reconstruction per corpus row).
+    *
+    * Numerically EQUAL to scoring against the reconstruction, by operand
+    * identity: `recon_sub_j` IS `book_j(code_j)` element-for-element, so
+    * `tab(j·ks + code_j)` carries the bit-exact per-subspace dot, and the
+    * left-associated sum over j replays grouped summation the oracle
+    * writes as explicit per-subspace `list_sum` slices joined with `+`.
+    * (Grouped ≠ the flat 64-term fold of [[pqTopK]] in IEEE rounding —
+    * which is why q_embedding_pq_adc carries its own oracle SQL rather
+    * than reusing q_embedding_pq_flat's.) Norms are flat folds exactly as
+    * [[knnBruteForce]]: probe `norm(emb)`, corpus `norm(recon)` taken
+    * once at encode time and carried as a scalar.
+    *
+    * Same output contract: (probe_id, rk, neighbor_id, cosine·1e-4),
+    * rank by (cosine DESC, neighbor_id).
+    */
+  def pqTopKAdc(
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      probes: DataFrame, probeId: Column, probeEmb: Column,
+      k: Int = 5, m: Int = 8, ks: Int = 16,
+      refineIterations: Int = 0,
+      seed: Long = 42L,
+      portableSample: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val books = pqCodebooks(
+      corpus, corpusId, corpusEmb, m, ks, refineIterations, seed, portableSample)
+    val sub = books.head.head.size
+    // corpus side of the join: (id, m codes, |recon|) — 4 bytes of code
+    // per 32 float dims; the reconstruction exists only inside this
+    // projection and is dropped before the join
+    val enc = pqEncoded(
+      corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__e")),
+      col("__e"), books)
+      .withColumn("__rn", norm(col("__recon")))
+      .select(col("neighbor_id"), col("__codes"), col("__rn"))
+    // probe side: one flattened m·ks table (ks·dim multiply-adds, paid
+    // once per probe, amortized over every corpus row it scores).
+    // Slices are materialized projections — the HOF capture discipline
+    // of [[pqEncoded]]/[[i8Scale]].
+    val p0 = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
+      .withColumn("__pn", norm(col("__pe")))
+      .withColumn("__ped", col("__pe").cast("array<double>"))
+    val withSubs = (0 until m).foldLeft(p0) { (d, j) =>
+      d.withColumn(s"__ps$j",
+        slice(col("__ped"), j * sub + 1, sub))
+    }
+    val p = withSubs
+      .withColumn("__tab", flatten(array((0 until m).map(j =>
+        transform(typedLit(books(j)), c => dot(col(s"__ps$j"), c))): _*)))
+      .select(col("probe_id"), col("__pn"), col("__tab"))
+    val adcDot = (0 until m).map(j =>
+      element_at(col("__tab"),
+        (col("__codes").getItem(j) + lit(j * ks)).cast("int")))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(coalesce(adcDot / nullif(col("__pn") * col("__rn"), lit(0.0)),
+          lit(0.0)), 4).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over a document corpus — the query-side
+  * counterpart of the dedup/embedding pillars: BM25 term scoring
+  * (Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
+  * and Beyond", FnTIR 2009; the idf form is Lucene's non-negative
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`) and reciprocal rank fusion
+  * (Cormack, Clarke & Buettcher, SIGIR'09) for combining a lexical arm
+  * with an embedding-neighbor arm — the standard first stage of a
+  * RAG / retrieval pipeline.
+  *
+  * Reference tie-in: the reference ranks tweets per topic by engagement
+  * counts (utils.py top-N selection); these operators generalize that
+  * "rank documents for a query" surface to scored lexical retrieval.
+  *
+  * Cross-engine float discipline (the q_tfidf_terms rules): `ln` is the
+  * one non-bit-portable operation, so scores round to 6 decimals BEFORE
+  * ranking and ties break on doc id. Per-term contributions are summed
+  * as explicit left-associated column additions (one column per query
+  * term — queries are short by construction), never a float SUM
+  * aggregation whose fold order the partitioning would pick.
+  */
+object Retrieval {
+
+  /** Terms: lowercase alphanumeric runs of >= 3 chars — the
+    * [[graft.queries.TextQueries]] tokenizer, kept identical so lexical
+    * retrieval and TF-IDF agree on the vocabulary.
+    */
+  val TermRegex = "[a-z0-9]{3,}"
+
+  /** Top-k documents for `queryTerms` under BM25.
+    *
+    * Output: (rk, doc_id, bm25), rk 1..k by (bm25 DESC, doc_id), score
+    * rounded to 6. Documents containing none of the query terms are not
+    * candidates (their score is identically 0 — the retrieval
+    * convention, and it keeps the candidate set df-bounded).
+    *
+    * Scale shape: dl (document length) is a zero-shuffle `size()`
+    * projection; tf touches only tokens IN THE QUERY (the explode is
+    * filtered before the exchange, so the shuffled grain is
+    * candidate-docs × query-terms, not the token stream); df and the
+    * corpus stats arrive as a broadcast 1-row cross join; the final
+    * top-k is TakeOrdered (orderBy.limit — per-partition heaps, never a
+    * global sort), with rk assigned over the k survivors only.
+    */
+  def bm25TopK(
+      docs: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(queryTerms.distinct == queryTerms,
+      s"bm25TopK: duplicate query terms in ${queryTerms.mkString(",")}")
+    val base = docs.select(id.as("__did"),
+      regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
+    val dl = base.select(col("__did"), size(col("__toks")).as("__dl"))
+    // corpus stats: one 2-column row, broadcast — avgdl = Σdl / N as a
+    // single double division (identical expression on the oracle side)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      sum(col("__dl")).cast("long").as("__tot"))
+    // token stream filtered to query terms BEFORE the count exchange
+    val tf = base
+      .select(col("__did"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col("__did"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val contrib = tf.join(broadcast(df), Seq("__term"))
+      .join(dl, Seq("__did"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__tot").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5))))
+      .withColumn("__c",
+        col("__idf") * (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+    // one column per query term (max of a singleton is exact), summed
+    // left-to-right in QUERY ORDER — fold order is part of the contract
+    val pivoted = contrib.groupBy(col("__did"))
+      .agg(
+        max(when(col("__term") === queryTerms.head, col("__c"))).as("__c0"),
+        queryTerms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("__term") === t, col("__c"))).as(s"__c${i + 1}")
+        }: _*)
+    val score = queryTerms.indices.map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduce(_ + _)
+    val top = pivoted
+      .select(col("__did").as("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("bm25"))
+  }
+
+  /** Reciprocal rank fusion of ranked arms: each arm is (doc_id, rk) and
+    * contributes `1 / (rrfK + rk)` for documents it ranked; fused score
+    * is the left-associated sum over arms IN THE GIVEN ORDER (coalesce 0
+    * for arms that missed the doc), rounded to 6, top-k by
+    * (rrf DESC, doc_id).
+    *
+    * The arithmetic is exact rational work on small integers — the same
+    * doubles on any engine — so the fusion layer adds NO float
+    * portability caveat beyond what the arms themselves carry.
+    */
+  def reciprocalRankFusion(
+      arms: Seq[DataFrame], rrfK: Int = 60, k: Int = 20): DataFrame = {
+    require(arms.nonEmpty, "reciprocalRankFusion: no arms")
+    val named = arms.zipWithIndex.map { case (a, i) =>
+      a.select(col("doc_id"), col("rk").as(s"__rk$i"))
+    }
+    val joined = named.reduce((l, r) => l.join(r, Seq("doc_id"), "full_outer"))
+    val score = arms.indices.map(i =>
+      coalesce(lit(1.0) / (lit(rrfK).cast("double") + col(s"__rk$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    val top = joined.select(col("doc_id"), round(score, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("rrf"))
+  }
+}

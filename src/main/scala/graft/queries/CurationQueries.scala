@@ -125,6 +125,38 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val WeightedSampleK = 50
+  private val WeightedSampleSalt = "graft-ws"
+
+  /** Weighted sample without replacement over orders, weight =
+    * o_totalprice ([[Curation.weightedSample]], A-ES exponential keys) —
+    * stands in for "sample a training mix by document importance
+    * weight". Every step is md5 + exact rational arithmetic except the
+    * single ln, which follows the round-before-rank discipline, so the
+    * oracle replays the full priority computation.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.weightedSample(
+      Tables(spark, dir, "orders"), $"o_orderkey", $"o_totalprice",
+      k = WeightedSampleK, salt = WeightedSampleSalt)
+      .orderBy($"rk")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH pri AS (
+       |  SELECT o_orderkey AS id,
+       |    round(ln((CAST(CAST(concat('0x',
+       |        substr(md5('$WeightedSampleSalt:' || o_orderkey), 1, 13))
+       |        AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370497.0) /
+       |      CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS priority
+       |  FROM orders)
+       |SELECT rk, id, priority FROM (
+       |  SELECT id, priority,
+       |    row_number() OVER (ORDER BY priority DESC, id) AS rk
+       |  FROM pri)
+       |WHERE rk <= $WeightedSampleK ORDER BY rk""".stripMargin
+
   /** Gopher-style repetition signals: duplicate n-gram fraction at n=2,3,5
     * per document ([[Curation.dupNgramFrac]]) — the filter input that
     * catches boilerplate and looping machine text.
@@ -618,6 +650,7 @@ object CurationQueries {
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_stratified_sample" -> (stratifiedSample _),
+    "q_weighted_sample" -> (weightedSample _),
     "q_repetition_signals" -> (repetitionSignals _),
     "q_pii_redact" -> (piiRedact _),
     "q_quality_quantile" -> (qualityQuantile _),
@@ -633,6 +666,7 @@ object CurationQueries {
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateSql, // bloom path: cost differs, answer must not
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_repetition_signals" -> repetitionSignalsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_quality_quantile" -> qualityQuantileSql,

@@ -56,9 +56,10 @@ object EmbeddingQueries {
     */
   private def knnGraphSql(srcCte: String, vec: String,
       probeExtra: String = "", extraPred: String = "",
-      probeVec: String = ""): String = {
+      probeVec: String = "", dotPcOverride: String = ""): String = {
     val pv = if (probeVec.nonEmpty) probeVec else vec
-    val dotPC = dotSql("p.pe", s"e.$vec")
+    val dotPC =
+      if (dotPcOverride.nonEmpty) dotPcOverride else dotSql("p.pe", s"e.$vec")
     val normP = s"sqrt(${dotSql("p.pe", "p.pe")})"
     val normC = s"sqrt(${dotSql(s"e.$vec", s"e.$vec")})"
     s"""$srcCte,
@@ -419,6 +420,24 @@ object EmbeddingQueries {
       .orderBy($"probe_id", $"rk")
   }
 
+  /** The 5-NN graph scored by ADC lookup tables
+    * ([[Embeddings.pqTopKAdc]], refine=0, portable sample): the probe's
+    * m·ks dot table replaces the per-pair dim-wide dot, and the corpus
+    * enters the scoring join as (id, codes, norm) — no float vectors.
+    * Fully oracled: table lookups are bit-equal to per-subspace dots of
+    * the reconstruction (operand identity), so the DuckDB side replays
+    * the grouped sum without ever building a table.
+    */
+  def embeddingPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.pqTopKAdc(
+      e, $"vec_id", $"embedding",
+      e, $"vec_id", $"embedding",
+      k = K, m = 8, ks = 16, refineIterations = 0, portableSample = true)
+      .orderBy($"probe_id", $"rk")
+  }
+
   /** Oracle for [[embeddingPqFlat]]: codebook = first `ks` rows under the
     * md5('pq:'||id) hex order, normalized with the explicit
     * left-associated sum-of-squares fold; per-(vector, subspace)
@@ -428,7 +447,17 @@ object EmbeddingQueries {
     * the shared knn skeleton with corpus vec `recon` and probe vec
     * `embedding`.
     */
-  private[queries] def embeddingPqFlatSql(dim: Int, m: Int, ks: Int): String = {
+  private[queries] def embeddingPqFlatSql(dim: Int, m: Int, ks: Int): String =
+    knnGraphSql(pqSrcCte(dim, m, ks), "recon", probeVec = "embedding")
+
+  /** The PQ encode chain (normalize → portable codebook → per-subspace
+    * assignment → reconstruction) as the shared `src` CTE of the PQ
+    * oracles — one SQL rendering of [[Embeddings.pqCodebooks]] +
+    * [[Embeddings.pqEncoded]] at refine=0, used by both the
+    * reconstruct-then-dot oracle (q_embedding_pq_flat) and the ADC
+    * oracle (q_embedding_pq_adc).
+    */
+  private def pqSrcCte(dim: Int, m: Int, ks: Int): String = {
     val sub = dim / m
     // explicit left-associated fold of (n.ne[i]-c.ne[i])² over subspace
     // j's indices — replays DotFExpr.dot(diff, diff) bit-for-bit
@@ -437,8 +466,7 @@ object EmbeddingQueries {
       val b = s"c.ne[j.j*$sub+${i + 1}]"
       s"($a - $b) * ($a - $b)"
     }.mkString("0.0 + ", " + ", "")
-    val srcCte =
-      s"""WITH nrm AS MATERIALIZED (
+    s"""WITH nrm AS MATERIALIZED (
          |  SELECT vec_id,
          |    CASE WHEN n = 0 THEN [CAST(embedding[i] AS DOUBLE) for i in range(1, ${dim + 1})]
          |         ELSE [CAST(embedding[i] AS DOUBLE) / n for i in range(1, ${dim + 1})] END AS ne
@@ -466,12 +494,33 @@ object EmbeddingQueries {
          |  GROUP BY vec_id),
          |src AS (SELECT e.vec_id, e.embedding, r.recon
          |        FROM embeddings e JOIN recon r USING (vec_id))""".stripMargin
-    knnGraphSql(srcCte, "recon", probeVec = "embedding")
+  }
+
+  /** Oracle for [[embeddingPqAdc]]: the SAME encode chain as
+    * [[embeddingPqFlatSql]] (shared [[pqSrcCte]]) but the pair score
+    * replays ADC's GROUPED summation — per-subspace `list_sum` slices
+    * (each bit-equal to the Spark table entry `dot(probe_sub_j,
+    * book(code_j))`, by operand identity with the recon slice) joined
+    * left-associatively across subspaces, exactly
+    * [[Embeddings.pqTopKAdc]]'s `reduce(_ + _)`. Norms stay flat folds.
+    */
+  private[queries] def embeddingPqAdcSql(dim: Int, m: Int, ks: Int): String = {
+    val sub = dim / m
+    // parenthesized as a unit: the skeleton interpolates this into
+    // `<dot> / nullif(...)`, and an unwrapped `a + b / n` would divide
+    // only the last subspace term
+    val grouped = (0 until m).map { j =>
+      s"list_sum([CAST(p.pe[i] AS DOUBLE) * e.recon[i] " +
+        s"for i in range(${j * sub + 1}, ${(j + 1) * sub + 1})])"
+    }.mkString("(", " + ", ")")
+    knnGraphSql(pqSrcCte(dim, m, ks), "recon", probeVec = "embedding",
+      dotPcOverride = grouped)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embedding_pq_flat" -> (embeddingPqFlat _),
     "q_embedding_pq" -> (embeddingPq _),
+    "q_embedding_pq_adc" -> (embeddingPqAdc _),
     "q_cosine_dedup" -> (cosineDedup _),
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),
@@ -506,5 +555,6 @@ object EmbeddingQueries {
     "q_embedding_ann" -> embeddingAnnSql,
     "q_embedding_ivf_flat" -> embeddingIvfFlatSql(dim = 64, nprobe = 12, replicas = 2),
     "q_embedding_pq_flat" -> embeddingPqFlatSql(dim = 64, m = 8, ks = 16),
+    "q_embedding_pq_adc" -> embeddingPqAdcSql(dim = 64, m = 8, ks = 16),
     "q_label_cohesion" -> labelCohesionSql)
 }

@@ -375,4 +375,41 @@ class CurationSpec extends SparkSpec {
       Curation.splitColumn(lit("x"), trainPct = -1, valPct = 5)
     }
   }
+
+  test("weightedSample is deterministic and partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val a = Curation.weightedSample(df, $"id", $"w", k = 20)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val b = Curation.weightedSample(df.repartition(13), $"id", $"w", k = 20)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(a == b, "sample changed under repartitioning")
+    assert(a.map(_._1) == (1 to 20), "rk not dense ascending")
+    // priorities are ln(u)/w <= 0 and ranked descending
+    assert(a.map(_._3) == a.map(_._3).sorted.reverse)
+  }
+
+  test("weightedSample inclusion tracks weights across salts (A-ES property)") {
+    import spark.implicits._
+    // two heavy items among 18 light ones: P(top-1 is heavy) =
+    // (w_h1 + w_h2) / Σw = 18/36 = 0.5 per salt; across 120 independent
+    // salts the heavy-top count concentrates near 60 (±3.3σ ≈ ±18)
+    val df = (1L to 20L).map(i => (i, if (i <= 2) 9.0 else 1.0)).toDF("id", "w")
+    val heavyTops = (0 until 120).count { s =>
+      val top = Curation.weightedSample(df, $"id", $"w", k = 1, salt = s"salt$s")
+        .select($"id").as[Long].head()
+      top <= 2L
+    }
+    assert(heavyTops > 42 && heavyTops < 78,
+      s"heavy items topped $heavyTops/120 samples; expected ~60 for weight share 0.5")
+  }
+
+  test("weightedSample throws on non-positive weight instead of skewing silently") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0), (2L, 0.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Curation.weightedSample(df, $"id", $"w", k = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

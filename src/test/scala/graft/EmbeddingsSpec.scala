@@ -424,4 +424,58 @@ class EmbeddingsSpec extends SparkSpec {
       .select($"__recon").as[Seq[Double]].head()
     assert(zrow.length == 64 && !zrow.exists(_.isNaN))
   }
+
+  test("ADC table lookups are bit-identical to grouped dots of the reconstruction") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(80)
+    val (m, ks, sub) = (8, 16, 8)
+    val books = Embeddings.pqCodebooks(
+      df, $"vec_id", $"embedding", m, ks, refineIterations = 0,
+      seed = 42L, portableSample = true)
+    // reference: score every pair against the RECONSTRUCTION with the
+    // same grouped summation ADC uses — per-subspace DotFExpr folds over
+    // recon slices, reduced left-associatively. ADC's table entries carry
+    // the same operand sequences (recon_sub_j IS book_j(code_j)), so the
+    // two paths must agree on every pair to the last bit, pre-rounding.
+    val enc = Embeddings.pqEncoded(
+      df.select($"vec_id".as("neighbor_id"), $"embedding".as("__e")),
+      col("__e"), books)
+      .select($"neighbor_id", $"__recon")
+    val p = df.select($"vec_id".as("probe_id"),
+      $"embedding".cast("array<double>").as("__ped"),
+      Embeddings.norm($"embedding").as("__pn"))
+    val groupedDot = (0 until m).map(j =>
+      Embeddings.dot(
+        slice($"__ped", j * sub + 1, sub),
+        slice($"__recon", j * sub + 1, sub))).reduce(_ + _)
+    val want = enc.join(p, $"neighbor_id" =!= $"probe_id")
+      .select($"probe_id", $"neighbor_id",
+        round(coalesce(groupedDot /
+          nullif($"__pn" * Embeddings.norm($"__recon"), lit(0.0)), lit(0.0)), 4)
+          .as("cosine"))
+    val got = Embeddings.pqTopKAdc(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding",
+      k = 5, m = m, ks = ks, refineIterations = 0, portableSample = true)
+    // every reported (probe, neighbor, cosine) must exist with the SAME
+    // rounded score in the reference pair set — a single flipped ulp
+    // would move the 4-decimal rounding on some pair across 2500 scores
+    val mismatch = got.join(want, Seq("probe_id", "neighbor_id"), "left")
+      .filter(want("cosine").isNull || got("cosine") =!= want("cosine"))
+      .count()
+    assert(mismatch == 0, s"$mismatch ADC scores diverged from grouped-dot reference")
+  }
+
+  test("ADC neighbors stay within their planted cluster (refined codebooks)") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Embeddings.pqTopKAdc(
+      df, $"vec_id", $"embedding", df, $"vec_id", $"embedding",
+      k = 5, m = 8, ks = 16, refineIterations = 2, portableSample = true)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val crossCluster = got.count { case (p, n) => p / 8 != n / 8 }
+    assert(crossCluster == 0,
+      s"$crossCluster of ${got.length} ADC neighbors crossed a planted cluster boundary")
+  }
 }

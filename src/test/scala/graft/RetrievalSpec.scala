@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BM25 ranks the term-dense document first and respects idf") {
+    // "rare" appears in one doc, "common" in all four: the rare-term doc
+    // must outrank every common-term-only doc for the query (rare, common)
+    val docs = Seq(
+      (1L, "rare common alpha beta gamma"),
+      (2L, "common alpha beta gamma delta"),
+      (3L, "common alpha beta gamma delta"),
+      (4L, "common common alpha beta gamma")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, $"doc_id", $"text",
+      Seq("rare", "common"), k = 4)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.head._2 == 1L, s"rare-term doc not ranked first: $got")
+    // doc 4 (tf=2 for common) outranks docs 2/3 (tf=1, same length)
+    assert(got(1)._2 == 4L, s"tf ordering violated: $got")
+    assert(got.map(_._1) == Seq(1, 2, 3, 4)) // rk dense ascending
+  }
+
+  test("BM25 length normalization: same tf, longer document scores lower") {
+    val docs = Seq(
+      (1L, "hit one two"),
+      (2L, "hit one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, $"doc_id", $"text", Seq("hit"), k = 2)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 2L), s"length norm violated: $got")
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("BM25 candidate set excludes documents without query terms") {
+    val docs = Seq(
+      (1L, "vector data"), (2L, "nothing relevant here")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, $"doc_id", $"text", Seq("vector"), k = 10)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("RRF fuses arms by hand-computed reciprocal ranks") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rk")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rk")
+    val got = Retrieval.reciprocalRankFusion(Seq(lex, vec), rrfK = 60, k = 10)
+      .as[(Int, Long, Double)].collect().toSeq
+    // doc 20: 1/62 + 1/61 = .032524; doc 10: 1/61 = .016393;
+    // doc 40: 1/62 = .016129; doc 30: 1/63 = .015873
+    assert(got.map(_._2) == Seq(20L, 10L, 40L, 30L), s"fusion order wrong: $got")
+    val expected = Seq(
+      math.round((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6,
+      math.round(1.0 / 61 * 1e6) / 1e6,
+      math.round(1.0 / 62 * 1e6) / 1e6,
+      math.round(1.0 / 63 * 1e6) / 1e6)
+    assert(got.map(_._3) == expected, s"fusion scores wrong: $got")
+  }
+
+  test("BM25 top-k plans as TakeOrdered, not a global sort") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Retrieval.bm25TopK(docs, $"doc_id", $"text",
+      Seq("vector", "merge"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
+}
