@@ -180,6 +180,47 @@ object Curation {
       df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = "graft-ws"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val top = df.select(key.as("id"), aesPriority(key, weight, salt).as("priority"))
+      .orderBy(col("priority").desc, col("id"))
+      .limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("priority").desc, col("id"))))
+      .select(col("rk"), col("id"), col("priority"))
+  }
+
+  /** [[weightedSample]] per stratum: an independent exponential-keys
+    * draw of `kPerGroup` rows within every `group` value — the
+    * language-quota / source-quota form of weighted sampling (sample the
+    * best-weighted N documents of EACH language, not of the pool). The
+    * priority is a pure function of (salt, key), NOT of the group, so
+    * regrouping the same corpus re-slices the same per-row draws —
+    * moving a document between strata cannot change its priority, only
+    * which quota it competes in.
+    *
+    * Scale shape: the per-row projection plus
+    * [[ScaleOps.topKPerGroup]]'s partial-per-partition heaps — each
+    * partition ships at most kPerGroup rows per local group into the
+    * single exchange, never the full stratum.
+    *
+    * Output: (rk, grp, id, priority), rk 1..kPerGroup within each grp by
+    * (priority DESC, id).
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame, group: Column, key: Column, weight: Column,
+      kPerGroup: Int, salt: String = "graft-ws"): DataFrame = {
+    val base = df.select(group.as("grp"), key.as("id"),
+      aesPriority(key, weight, salt).as("priority"))
+    ScaleOps.topKPerGroup(base, Seq("grp"), orderCol = "priority",
+        tieCol = "id", k = kPerGroup, descending = true)
+      .select(col("rk"), col("grp"), col("id"), col("priority"))
+  }
+
+  /** The A-ES priority `round(ln(u)/w, 9)` with u the md5-derived exact
+    * 52-bit uniform in (0,1] — shared by [[weightedSample]] and
+    * [[weightedSamplePerGroup]]; see weightedSample's scaladoc for the
+    * float discipline.
+    */
+  private def aesPriority(key: Column, weight: Column, salt: String): Column = {
     val hex13 = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 13)
     val u = (conv(hex13, 16, 10).cast("long").cast("double") + lit(1.0)) /
       lit(4503599627370497.0) // 2^52 + 1
@@ -187,16 +228,10 @@ object Curation {
     // + 0.0 normalizes the round's -0.0 to 0.0 (a priority within 5e-10
     // of zero rounds to a signed zero, and engines disagree on the sign);
     // IEEE leaves every other value untouched
-    val priority = round(
+    round(
       when(w > 0.0, log(u) / w).otherwise(raise_error(concat(
         lit("weightedSample: non-positive or null weight for key "),
         key.cast("string"))).cast("double")), 9) + lit(0.0)
-    val top = df.select(key.as("id"), priority.as("priority"))
-      .orderBy(col("priority").desc, col("id"))
-      .limit(k)
-    top.withColumn("rk",
-      row_number().over(Window.orderBy(col("priority").desc, col("id"))))
-      .select(col("rk"), col("id"), col("priority"))
   }
 
   /** Token-budget sequence packing — the batch-construction step between

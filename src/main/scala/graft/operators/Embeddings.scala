@@ -113,6 +113,41 @@ object Embeddings {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** HARD-NEGATIVE MINING: for each probe, the top-k most-similar corpus
+    * rows with a DIFFERENT label — the contrastive-training data step
+    * (the negatives that look most like positives are the ones a
+    * dual-encoder learns from; random negatives are too easy). Identical
+    * join/rank shape to [[knnBruteForce]] with the label inequality
+    * pushed INTO the join condition, so disqualified pairs are dropped
+    * before the scoring projection, not filtered after.
+    *
+    * Output contract: (probe_id, rk, neighbor_id, cosine), rank by
+    * (cosine DESC, neighbor_id). A null label never pairs (SQL null
+    * semantics drop the row) — matching the oracle's `<>`.
+    */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column, corpusLabel: Column,
+      probes: DataFrame, probeId: Column, probeEmb: Column, probeLabel: Column,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"),
+        probeLabel.as("__pl"))
+      .withColumn("__pn", norm(col("__pe")))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce"),
+        corpusLabel.as("__cl"))
+      .withColumn("__cn", norm(col("__ce")))
+    val scored = c.join(broadcast(p),
+        col("neighbor_id") =!= col("probe_id") && col("__cl") =!= col("__pl"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosinePrenormed(col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
   // ---------------------------------------------------- hyperplane LSH
 
   /** Seeded random hyperplanes: `h` unit-free gaussian directions in
@@ -660,7 +695,8 @@ object Embeddings {
   private[graft] def pqCodebooks(
       corpus: DataFrame, corpusId: Column, corpusEmb: Column,
       m: Int, ks: Int, refineIterations: Int, seed: Long,
-      portableSample: Boolean): Seq[Seq[Seq[Double]]] = {
+      portableSample: Boolean,
+      normalize: Boolean = true): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && ks >= 1, s"pqCodebooks: need m >= 1, ks >= 1 (got $m, $ks)")
     val sampleOrd =
       if (portableSample) md5(concat(lit("pq:"), col("__cid").cast("string")))
@@ -684,7 +720,10 @@ object Embeddings {
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
     val sub = dim / m
     val seedBooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      vecs.toSeq.map(v => normalizeVec(v).slice(j * sub, (j + 1) * sub))
+      vecs.toSeq.map { v =>
+        val nv = if (normalize) normalizeVec(v) else v
+        nv.slice(j * sub, (j + 1) * sub)
+      }
     }
     (0 until refineIterations).foldLeft(seedBooks) { (books, _) =>
       // one corpus pass: normalize, encode every subspace against the
@@ -692,7 +731,7 @@ object Embeddings {
       // cell. Map-side combine bounds the exchange at m·ks·sub cells per
       // task regardless of corpus size.
       val enc = pqEncoded(
-        corpus.select(corpusEmb.as("__e")), col("__e"), books)
+        corpus.select(corpusEmb.as("__e")), col("__e"), books, normalize)
       val exploded = enc.select(explode(arrays_zip(
           sequence(lit(0), lit(m - 1)).as("j"),
           col("__codes").as("code"))).as("__z"), col("__ne"))
@@ -734,16 +773,21 @@ object Embeddings {
     * `row_number() OVER (ORDER BY dist, ci)`.
     */
   private[graft] def pqEncoded(
-      df: DataFrame, emb: Column, books: Seq[Seq[Seq[Double]]]): DataFrame = {
+      df: DataFrame, emb: Column, books: Seq[Seq[Seq[Double]]],
+      normalize: Boolean = true): DataFrame = {
     val m = books.size
     val sub = books.head.head.size
     // norm materialized BEFORE the divide lambda (an inlined sqrt(dot)
-    // capture would re-run the O(dim) norm once per element)
-    val withNe = df.withColumn("__nrm", norm(emb))
-      .withColumn("__ne",
-        when(col("__nrm") === 0.0, emb.cast("array<double>"))
-          .otherwise(transform(emb, x => x.cast("double") / col("__nrm"))))
-      .drop("__nrm")
+    // capture would re-run the O(dim) norm once per element).
+    // normalize=false (residual encoding — [[IvfPqIndex]]) takes the
+    // input vector as-is, only widening to double.
+    val withNe =
+      if (!normalize) df.withColumn("__ne", emb.cast("array<double>"))
+      else df.withColumn("__nrm", norm(emb))
+        .withColumn("__ne",
+          when(col("__nrm") === 0.0, emb.cast("array<double>"))
+            .otherwise(transform(emb, x => x.cast("double") / col("__nrm"))))
+        .drop("__nrm")
     val withSubs = (0 until m).foldLeft(withNe) { (d, j) =>
       d.withColumn(s"__sub$j", slice(col("__ne"), lit(j * sub + 1), lit(sub)))
     }

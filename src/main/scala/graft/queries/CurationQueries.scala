@@ -157,6 +157,36 @@ object CurationQueries {
        |  FROM pri)
        |WHERE rk <= $WeightedSampleK ORDER BY rk""".stripMargin
 
+  private val GroupSampleK = 5
+
+  /** Per-language weighted sample ([[Curation.weightedSamplePerGroup]]):
+    * an independent A-ES draw of the top-[[GroupSampleK]] documents per
+    * lang, weighted by n_chars — the per-stratum quota form (sample N of
+    * EACH language by importance). Same oracle arithmetic as
+    * q_weighted_sample with the rank partitioned by the stratum.
+    */
+  def weightedSampleGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.weightedSamplePerGroup(
+      Tables(spark, dir, "documents"), $"lang", $"doc_id", $"n_chars",
+      kPerGroup = GroupSampleK, salt = WeightedSampleSalt)
+      .orderBy($"grp", $"rk")
+  }
+
+  val weightedSampleGroupSql: String =
+    s"""WITH pri AS (
+       |  SELECT lang AS grp, doc_id AS id,
+       |    round(ln((CAST(CAST(concat('0x',
+       |        substr(md5('$WeightedSampleSalt:' || doc_id), 1, 13))
+       |        AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370497.0) /
+       |      CAST(n_chars AS DOUBLE), 9) + 0.0 AS priority
+       |  FROM documents)
+       |SELECT rk, grp, id, priority FROM (
+       |  SELECT grp, id, priority,
+       |    row_number() OVER (PARTITION BY grp ORDER BY priority DESC, id) AS rk
+       |  FROM pri)
+       |WHERE rk <= $GroupSampleK ORDER BY grp, rk""".stripMargin
+
   /** Gopher-style repetition signals: duplicate n-gram fraction at n=2,3,5
     * per document ([[Curation.dupNgramFrac]]) — the filter input that
     * catches boilerplate and looping machine text.
@@ -651,6 +681,7 @@ object CurationQueries {
     "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_weighted_sample" -> (weightedSample _),
+    "q_weighted_sample_group" -> (weightedSampleGroup _),
     "q_repetition_signals" -> (repetitionSignals _),
     "q_pii_redact" -> (piiRedact _),
     "q_quality_quantile" -> (qualityQuantile _),
@@ -667,6 +698,7 @@ object CurationQueries {
     "q_decontaminate_bloom" -> decontaminateSql, // bloom path: cost differs, answer must not
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_weighted_sample" -> weightedSampleSql,
+    "q_weighted_sample_group" -> weightedSampleGroupSql,
     "q_repetition_signals" -> repetitionSignalsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_quality_quantile" -> qualityQuantileSql,

@@ -438,6 +438,28 @@ object EmbeddingQueries {
       .orderBy($"probe_id", $"rk")
   }
 
+  /** Hard-negative mining ([[Embeddings.hardNegatives]]): for every
+    * vector, the 5 most-cosine-similar vectors carrying a DIFFERENT
+    * label — the contrastive-training negatives step. Fully oracled: the
+    * shared knn skeleton with the label inequality in the candidate
+    * predicate.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    Embeddings.hardNegatives(
+      e, $"vec_id", $"embedding", $"label",
+      e, $"vec_id", $"embedding", $"label", k = K)
+      .orderBy($"probe_id", $"rk")
+  }
+
+  private[queries] val hardNegativesSql: String =
+    knnGraphSql(
+      "WITH src AS (SELECT vec_id, embedding, label FROM embeddings)",
+      "embedding",
+      probeExtra = ", label AS pl",
+      extraPred = " AND e.label <> p.pl")
+
   /** Oracle for [[embeddingPqFlat]]: codebook = first `ks` rows under the
     * md5('pq:'||id) hex order, normalized with the explicit
     * left-associated sum-of-squares fold; per-(vector, subspace)
@@ -521,6 +543,7 @@ object EmbeddingQueries {
     "q_embedding_pq_flat" -> (embeddingPqFlat _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_embedding_pq_adc" -> (embeddingPqAdc _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_cosine_dedup" -> (cosineDedup _),
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),
@@ -556,5 +579,6 @@ object EmbeddingQueries {
     "q_embedding_ivf_flat" -> embeddingIvfFlatSql(dim = 64, nprobe = 12, replicas = 2),
     "q_embedding_pq_flat" -> embeddingPqFlatSql(dim = 64, m = 8, ks = 16),
     "q_embedding_pq_adc" -> embeddingPqAdcSql(dim = 64, m = 8, ks = 16),
+    "q_hard_negatives" -> hardNegativesSql,
     "q_label_cohesion" -> labelCohesionSql)
 }

@@ -404,6 +404,29 @@ class CurationSpec extends SparkSpec {
       s"heavy items topped $heavyTops/120 samples; expected ~60 for weight share 0.5")
   }
 
+  test("weightedSamplePerGroup draws an independent quota per stratum") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i, 1.0 + (i % 5)))
+      .toDF("g", "id", "w")
+    val got = Curation.weightedSamplePerGroup(df, $"g", $"id", $"w", kPerGroup = 7)
+      .collect().toSeq.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // exactly 7 per group, rk dense, and priorities descend within a group
+    for (g <- Seq("a", "b", "c")) {
+      val rows = got.filter(_._2 == g).sortBy(_._1)
+      assert(rows.map(_._1) == (1 to 7), s"group $g ranks: ${rows.map(_._1)}")
+      assert(rows.map(_._4) == rows.map(_._4).sorted.reverse)
+    }
+    // a row's priority is group-independent: the same (id, w) under a
+    // different grouping keeps its priority (pure function of salt:id)
+    val regrouped = Curation.weightedSamplePerGroup(
+        df.withColumn("g", lit("all")), $"g", $"id", $"w", kPerGroup = 300)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val direct = Curation.weightedSample(df, $"id", $"w", k = 300)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(regrouped == direct)
+  }
+
   test("weightedSample throws on non-positive weight instead of skewing silently") {
     import spark.implicits._
     val df = Seq((1L, 2.0), (2L, 0.0)).toDF("id", "w")

@@ -465,6 +465,27 @@ class EmbeddingsSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch ADC scores diverged from grouped-dot reference")
   }
 
+  test("hardNegatives returns the nearest DIFFERENT-label rows only") {
+    import spark.implicits._
+    // two tight clusters; labels split each cluster in half, so the
+    // nearest different-label rows are the probe's own cluster-mates of
+    // the other label — never the far cluster
+    val vecs = planted(nClusters = 2, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("label", (($"vec_id" % 8) < 4).cast("int"))
+    val got = Embeddings.hardNegatives(
+      df, $"vec_id", $"embedding", $"label",
+      df, $"vec_id", $"embedding", $"label", k = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 16 * 3)
+    val byId = vecs.map(_._1).map(i => i -> ((i % 8) < 4)).toMap
+    for ((p, n) <- got) {
+      assert(byId(p) != byId(n), s"probe $p got same-label negative $n")
+      assert(p / 8 == n / 8, s"probe $p pulled a far-cluster negative $n " +
+        "(harder negatives existed in its own cluster)")
+    }
+  }
+
   test("ADC neighbors stay within their planted cluster (refined codebooks)") {
     import spark.implicits._
     val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)

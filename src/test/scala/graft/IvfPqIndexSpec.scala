@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, IvfIndex, IvfPqIndex}
+
+/** [[IvfPqIndex]] — IVFADC lifecycle: recall on clustered corpora, the
+  * at-rest compression that justifies the residual quantization, probe
+  * partition pruning, and append idempotency.
+  */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private def planted(nClusters: Int, perCluster: Int, dim: Int,
+      noise: Double = 0.05): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val n = Array.fill(dim)((rnd.nextGaussian() * noise).toFloat)
+      ((c * perCluster + i).toLong, centers(c).zip(n).map { case (a, b) => a + b })
+    }
+  }
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("ivfpq").toString
+
+  private def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  test("probe keeps neighbors inside their planted cluster and recalls the exact set") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 8, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" % 4 === 0)
+    val path = tmpDir()
+    IvfPqIndex.build(df, $"vec_id", $"embedding", path,
+      nlist = 8, replicas = 2, refineIterations = 1, m = 8, ks = 16, pqRefine = 1)
+    val got = IvfPqIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+        k = 5, nprobe = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    val crossCluster = got.count { case (p, n) => p / 8 != n / 8 }
+    assert(crossCluster == 0,
+      s"$crossCluster of ${got.length} IVFPQ neighbors crossed a planted cluster boundary")
+    // recall@5 vs exact — residual quantization on a clustered corpus
+    // must preserve most of the true neighbor set, not just the cluster
+    val exact = Embeddings.knnBruteForce(
+        df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+    val byProbe = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = got.count { case (p, n) => byProbe.getOrElse(p, Set.empty)(n) }
+    val recall = hits.toDouble / exact.length
+    info(f"IVFPQ recall@5 on planted clusters: $recall%.3f")
+    assert(recall >= 0.5, s"IVFPQ recall@5 $recall < 0.5")
+  }
+
+  test("PQ cells store at least 4x smaller than the flat IVF cells") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 20, perCluster = 400, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val flatPath = tmpDir()
+    val pqPath = tmpDir()
+    IvfIndex.build(df, $"vec_id", $"embedding", flatPath,
+      nlist = 20, replicas = 1, refineIterations = 0)
+    IvfPqIndex.build(df, $"vec_id", $"embedding", pqPath,
+      nlist = 20, replicas = 1, refineIterations = 0, m = 8, ks = 16, pqRefine = 0)
+    val flatBytes = dirBytes(s"$flatPath/cells")
+    val pqBytes = dirBytes(s"$pqPath/cells")
+    info(f"cells at rest: flat $flatBytes%d B, pq $pqBytes%d B " +
+      f"(${flatBytes.toDouble / pqBytes}%.1fx)")
+    assert(pqBytes * 4 < flatBytes,
+      s"expected >= 4x compression, got flat=$flatBytes pq=$pqBytes")
+  }
+
+  test("append lands encoded rows against stored codebooks; replay is idempotent") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 6, perCluster = 8, dim = 64)
+    val (first, second) = vecs.partition(_._1 < 24)
+    val path = tmpDir()
+    IvfPqIndex.build(first.toDF("vec_id", "embedding"), $"vec_id", $"embedding",
+      path, nlist = 6, replicas = 2, m = 8, ks = 16)
+    IvfPqIndex.append(spark, second.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 1L)
+    val probes = vecs.filter(_._1 % 8 == 0).toDF("vec_id", "embedding")
+    def run() = IvfPqIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+        k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val got = run()
+    for (p <- Seq(24L, 32L, 40L)) {
+      val nbrs = got.filter(_._1 == p).map(_._3)
+      assert(nbrs.subsetOf((p until p + 8).toSet - p),
+        s"probe $p pulled cross-cluster neighbors: $nbrs")
+      assert(nbrs.size == 5)
+    }
+    IvfPqIndex.append(spark, second.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 1L)
+    assert(run() == got)
+  }
+
+  test("probe scans only the probed cells' partitions") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 8, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+    val path = tmpDir()
+    IvfPqIndex.build(df, $"vec_id", $"embedding", path, nlist = 8, replicas = 1)
+    val oneProbe = df.filter($"vec_id" === 0)
+    val plan = IvfPqIndex.probe(spark, path, oneProbe, $"vec_id", $"embedding",
+      k = 3, nprobe = 2)
+    plan.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val scans = allNodes(plan.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    assert(scans.nonEmpty, "no file scan over the cells store found")
+    val scanned = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= 2, s"probe read $scanned cell partitions, wanted <= 2")
+  }
+}
