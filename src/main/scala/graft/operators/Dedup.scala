@@ -368,9 +368,13 @@ object Dedup {
     *     ⌈t/(1+t)·(na+nb)⌉. Applied per collision; a qualifying pair's
     *     FIRST common shingle always passes (all its common shingles sit
     *     at or after that position in both prefixes).
-    * Verification then fetches the two full shingle arrays by doc id —
-    * candidate-grain work, arrays shuffle once per surviving candidate
-    * side, never through the exploded join.
+    * Verification restricts the COUNT-BASED intersection
+    * ([[nearDuplicatePairsExact]]'s identity jaccard = c/(na+nb−c)) to
+    * the candidate set: candidates re-join the exploded shingle stream on
+    * (doc, shingle) and a map-side-combinable count recovers c — no
+    * shingle ARRAY ever crosses a join (an earlier array-fetch-and-
+    * compare verification shuffled two ~100-element arrays per candidate
+    * and was 2–3× slower at sf0.1).
     *
     * Epsilon slack (1e-9) on every real-valued bound keeps float rounding
     * from STRENGTHENING an integer threshold (ceil(t·n) computed as
@@ -387,35 +391,41 @@ object Dedup {
       threshold: Double, shingleLen: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
+    // explode_outer, not explode/size-filter — the
+    // InferFiltersFromGenerate re-inlining trap documented at
+    // [[nearDuplicatePairsExact]]; null __s rows die in the equi-joins
     val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
       .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
-      .filter(size(col("__sh")) >= 1)
-    val cand = prefixCandidates(sh, threshold)
-    val a = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
-    val b = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .withColumn("jaccard", round(jaccard(col("__sha"), col("__shb")), 4))
+      .select(col("__id"), col("__sh"), size(col("__sh")).as("__n"))
+    val ex = sh.select(col("__id"), col("__n"), explode_outer(col("__sh")).as("__s"))
+    val cand = prefixCandidates(ex, threshold)
+    val exA = ex.select(col("__id").as("id_a"), col("__s"))
+    val exB = ex.select(col("__id").as("id_b"), col("__s"))
+    cand.join(exA, Seq("id_a")).join(exB, Seq("id_b", "__s"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("jaccard",
+        round(col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Candidate (id_a, id_b) pairs of [[prefixJaccardPairs]] — the state of
-    * the join AFTER the prefix/length/positional filters and BEFORE exact
-    * verification. `private[graft]` so DedupSpec can measure candidate
-    * counts against the full inverted-index join.
+  /** Candidate (id_a, id_b, __na, __nb) pairs of [[prefixJaccardPairs]] —
+    * the state of the join AFTER the prefix/length/positional filters and
+    * BEFORE exact verification. `private[graft]` so DedupSpec can measure
+    * candidate counts against the full inverted-index join.
     *
-    * Input: (__id, __sh) with non-empty distinct shingle arrays.
+    * Input: the EXPLODED shingle stream (__id, __n, __s) — possibly with
+    * null __s rows from explode_outer; they die in the df join here.
     */
   private[graft] def prefixCandidates(
-      sh: DataFrame, threshold: Double): DataFrame = {
+      ex: DataFrame, threshold: Double): DataFrame = {
     val eps = 1e-9
     // Global order = (document frequency ASC, shingle ASC): rarest first,
     // deterministic. Positions are per-document ranks under that order —
     // derived by sorting each doc's own (df, shingle) structs, so no
     // global rank assignment (no sort of the full shingle universe) is
     // ever materialized.
-    val ex = sh.select(col("__id"), size(col("__sh")).as("__n"),
-      explode(col("__sh")).as("__s"))
     val dfs = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
     val prefix = ex.join(dfs, Seq("__s"))
       .groupBy(col("__id"), col("__n"))
@@ -443,7 +453,7 @@ object Dedup {
       .filter((lit(1) + least(col("__na") - col("__pa"),
         col("__nb") - col("__pb"))).cast("double") >=
         t / (lit(1.0) + t) * (col("__na") + col("__nb")) - lit(eps))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb")).distinct()
   }
 
   // ------------------------------------------------ components / clusters

@@ -420,14 +420,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  private def explodedShingles(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id").as("__id"),
+        Dedup.wordShingles(col("text"), 3).as("__sh"))
+      .select(col("__id"), size(col("__sh")).as("__n"),
+        explode_outer(col("__sh")).as("__s"))
+
   test("prefix filtering shrinks the candidate set on the corpus") {
     import spark.implicits._
     val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
-    val sh = docs.select($"doc_id".as("__id"),
-        Dedup.wordShingles($"text", 3).as("__sh"))
-      .filter(size($"__sh") >= 1)
     val full = invertedCandidates(docs)
-    val pruned = Dedup.prefixCandidates(sh, threshold = 0.5).count()
+    val pruned = Dedup.prefixCandidates(explodedShingles(docs), threshold = 0.5).count()
     assert(pruned < full,
       s"prefix candidates $pruned not below inverted-index candidates $full")
     // and every surviving true pair is still found (subset sanity is the
@@ -448,12 +451,9 @@ class DedupSpec extends SparkSpec {
     val docs = (1 to 120).map(d =>
         (d.toLong, (1 to 6).map(i => s"u${d}w$i").mkString(" ") + " " + boiler))
       .toDF("doc_id", "text")
-    val sh = docs.select($"doc_id".as("__id"),
-        Dedup.wordShingles($"text", 3).as("__sh"))
-      .filter(size($"__sh") >= 1)
     val full = invertedCandidates(docs)
     assert(full == 120L * 119 / 2) // quadratic by construction
-    val pruned = Dedup.prefixCandidates(sh, threshold = 0.8).count()
+    val pruned = Dedup.prefixCandidates(explodedShingles(docs), threshold = 0.8).count()
     assert(pruned == 0,
       s"boilerplate corpus should yield zero prefix candidates at t=0.8, got $pruned")
     // and a genuinely near-identical pair still surfaces through the prefix
