@@ -154,6 +154,49 @@ object IvfPqIndex {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** [[probe]] with an exact-rescore tail: the PQ index produces a
+    * `shortlist`-deep candidate set per probe (ADC-ranked), the float
+    * corpus is joined back BY ID for those rows only, and the final
+    * top-k ranks on exact cosine — the standard two-stage ANN serving
+    * shape (shortlist from the compressed index, rescore from the
+    * source of truth). This recovers exact rank order inside near-tie
+    * clusters, where 32-bit residual codes rank ~randomly (see
+    * IvfCrossover's containment-vs-rank-recall discussion), at the cost
+    * of one id-equi-join touching probes·shortlist corpus rows — NOT a
+    * corpus scan.
+    *
+    * `corpus` must carry the same (id, emb) rows the index was built
+    * from; rows missing from it simply drop from the shortlist (the
+    * caller deleted them — the rescore is the natural place stale index
+    * entries fall out).
+    */
+  def probeRescored(
+      spark: SparkSession, path: String,
+      corpus: DataFrame, corpusId: Column, corpusEmb: Column,
+      probes: DataFrame, probeId: Column, probeEmb: Column,
+      k: Int = 5, nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = probe(spark, path, probes, probeId, probeEmb,
+        k = shortlist, nprobe = nprobe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val p = probes.select(probeId.as("probe_id"), probeEmb.as("__pe"))
+      .withColumn("__pn", Embeddings.norm(col("__pe")))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusEmb.as("__ce"))
+      .withColumn("__cn", Embeddings.norm(col("__ce")))
+    val scored = short
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(Embeddings.cosinePrenormed(
+          col("__pe"), col("__ce"), col("__pn"), col("__cn")), 4).as("cosine"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
+  }
+
   // --------------------------------------------------------- internals
 
   /** Normalized rows, (replica-)assigned, with residual `__r` vs the

@@ -379,6 +379,30 @@ object RelationalQueries {
     * value range on the real table instead (beside the HLL accuracy
     * gates — the sketch-accuracy home).
     */
+  /** [[distinctUsers]] through HyperLogLog++ (Heule, Nunkesser &
+    * Hall, EDBT'13 — Spark's `approx_count_distinct`, rsd 1 %): the
+    * constant-state alternative when per-group exact distinct-count
+    * state (one entry per distinct user per group in every partial
+    * aggregate) outgrows memory — the 100 TB cardinality shape. Sketch
+    * state is a few KB per group at any corpus size, map-side
+    * combinable, mergeable across partitions.
+    *
+    * Rows-gated by declared design (the GK-sketch q_price_quantiles_
+    * approx convention: no ANSI replay of the HLL register layout);
+    * RelationalSpec gates |hll − exact| <= 2 % per group at the
+    * registered rsd, and determinism across partitionings (the sketch
+    * merge is order-insensitive).
+    */
+  def distinctUsersApprox(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd = 0.01).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.wide(spark, dir, "lineitem")
@@ -629,6 +653,7 @@ object RelationalQueries {
     "q_price_quantiles" -> (priceQuantiles _),
     "q_price_quantiles_approx" -> (priceQuantilesApprox _),
     "q_distinct_users" -> (distinctUsers _),
+    "q_distinct_users_approx" -> (distinctUsersApprox _),
     "q_pricing_summary" -> (pricingSummary _),
     "q_region_revenue" -> (regionRevenue _),
     "q_top_parts_per_brand" -> (topPartsPerBrand _),

@@ -61,6 +61,39 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVFPQ recall@5 $recall < 0.5")
   }
 
+  test("probeRescored recovers exact rank order that raw ADC cannot") {
+    import spark.implicits._
+    // tight clusters of 12 with k=5: raw PQ keeps neighbors in-cluster
+    // but ranks near-ties ~randomly; the float rescore of the shortlist
+    // must match the exact top-5 almost everywhere
+    val vecs = planted(nClusters = 6, perCluster = 12, dim = 64, noise = 0.02)
+    val df = vecs.toDF("vec_id", "embedding")
+    val probes = df.filter($"vec_id" % 6 === 0)
+    val path = tmpDir()
+    IvfPqIndex.build(df, $"vec_id", $"embedding", path,
+      nlist = 6, replicas = 2, m = 8, ks = 16)
+    val exact = Embeddings.knnBruteForce(
+        df, $"vec_id", $"embedding", probes, $"vec_id", $"embedding", k = 5)
+      .select($"probe_id", $"rk", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rescored = IvfPqIndex.probeRescored(
+        spark, path, df, $"vec_id", $"embedding",
+        probes, $"vec_id", $"embedding", k = 5, nprobe = 3, shortlist = 11)
+      .select($"probe_id", $"rk", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rankRecall = (exact intersect rescored).size.toDouble / exact.size
+    info(f"rescored rank-recall@5 (exact (probe, rk, neighbor) triples): $rankRecall%.3f")
+    assert(rankRecall >= 0.95,
+      s"rescored rank-recall $rankRecall < 0.95 — the float rescore should " +
+        "recover exact order whenever the true neighbor is in the shortlist")
+    // and raw ADC on the same corpus does NOT achieve this rank fidelity
+    val raw = IvfPqIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+        k = 5, nprobe = 3)
+      .select($"probe_id", $"rk", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rawRankRecall = (exact intersect raw).size.toDouble / exact.size
+    info(f"raw ADC rank-recall@5: $rawRankRecall%.3f")
+    assert(rawRankRecall < rankRecall,
+      "rescore did not improve rank fidelity — shortlist or rescore is wired wrong")
+  }
+
   test("PQ cells store at least 4x smaller than the flat IVF cells") {
     import spark.implicits._
     val vecs = planted(nClusters = 20, perCluster = 400, dim = 64)

@@ -34,6 +34,20 @@ class SketchSpec extends SparkSpec {
     assert(whole == repart) // HLL registers merge associatively
   }
 
+  test("registered q_distinct_users_approx tracks q_distinct_users within 2%") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.RelationalQueries.distinctUsers(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.RelationalQueries.distinctUsersApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (tpe, n) =>
+      val err = math.abs(approx(tpe) - n).toDouble / n
+      assert(err <= 0.02,
+        s"$tpe: q_distinct_users_approx ${approx(tpe)} vs exact $n (err $err > 2%)")
+    }
+  }
+
   test("approx percentile query tracks the exact one within the GK rank-error bound") {
     val dir = "/root/testdata/sf0.01"
     val exact = graft.queries.RelationalQueries.priceQuantiles(spark, dir)
