@@ -148,6 +148,70 @@ object Embeddings {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** DIVERSITY-AWARE selection — Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR'98): greedily pick k rows maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set`. The
+    * training-mix use: "take the k best documents, but not k copies of
+    * the same mode" — pure relevance top-k drains one dense cluster,
+    * MMR spreads across modes.
+    *
+    * Greedy is inherently sequential in k, so this is k driver-ROUND
+    * iterations (not driver-side data: each round is one distributed
+    * argmax over the corpus, with the selected set — at most k·dim
+    * doubles, config-scale like a centroid matrix — inlined as a
+    * literal). The corpus projection is materialized once
+    * ([[Checkpoints.materializeFrame]]) so the k scans never re-read the
+    * source. λ=1 degenerates to pure relevance ranking (spec-pinned).
+    *
+    * Deterministic (ties break on id ascending) but iterative-greedy, so
+    * no ANSI oracle — spec-gated (the ivf/bpe convention). Output:
+    * (rk, id, relevance, max_sim_selected, mmr) in selection order;
+    * max_sim_selected is 0.0 for the first pick.
+    */
+  def mmrSelect(
+      corpus: DataFrame, id: Column, emb: Column, relevance: Column,
+      k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"mmrSelect: k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmrSelect: lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = Checkpoints.materializeFrame(
+      corpus.select(id.cast("long").as("id"),
+          emb.cast("array<double>").as("__e"),
+          relevance.cast("double").as("rel"))
+        .withColumn("__n", norm(col("__e"))))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Double, Double, Double)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    val pickedNorms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (round <- 1 to k) {
+      val remaining = base.filter(!col("id").isin(picked.map(_._2).toSeq: _*))
+      val maxSim =
+        if (pickedVecs.isEmpty) lit(0.0)
+        else array_max(array(pickedVecs.indices.map { i =>
+          cosinePrenormed(col("__e"), typedLit(pickedVecs(i)),
+            col("__n"), lit(pickedNorms(i)))
+        }: _*))
+      val best = remaining
+        .withColumn("__ms", maxSim)
+        .withColumn("__mmr",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+        .orderBy(col("__mmr").desc, col("id"))
+        .limit(1)
+        .select(col("id"), col("rel"), col("__ms"), col("__mmr"), col("__e"), col("__n"))
+        .collect()
+      if (best.nonEmpty) {
+        val r = best.head
+        picked += ((round, r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3)))
+        pickedVecs += r.getSeq[Double](4)
+        pickedNorms += r.getDouble(5)
+      }
+    }
+    Checkpoints.freeFrame(base)
+    picked.toSeq.toDF("rk", "id", "relevance", "max_sim_selected", "mmr")
+  }
+
   // ---------------------------------------------------- hyperplane LSH
 
   /** Seeded random hyperplanes: `h` unit-free gaussian directions in

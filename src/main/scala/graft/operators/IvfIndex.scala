@@ -164,4 +164,61 @@ object IvfIndex {
       .write.mode("overwrite")
       .partitionBy("cell")
       .parquet(s"$path/cells/batch=$batchId")
+
+  /** Consolidate `batch=` partitions with id <= `upToBatch` into one,
+    * preserving the cell partitioning — see [[IvfCells.compact]] for the
+    * safety contract.
+    */
+  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
+    IvfCells.compact(spark, path, upToBatch)
+}
+
+/** Shared cells-tree compaction for the persistent vector indexes
+  * ([[IvfIndex]], [[IvfPqIndex]] — same `cells/batch=B/cell=C` layout,
+  * different row payloads). Append-many accumulates one directory tree
+  * per batch; a serving probe then pays per-batch file listing and one
+  * parquet footer per tiny file. Compaction consolidates history the
+  * same way [[IncrementalDedup.compactStore]] does:
+  *
+  *  - batches with id <= `upToBatch` merge under the LARGEST EXISTING
+  *    id <= upToBatch (never a fresh id — the caller hands out ids past
+  *    its last committed batch, and a future batch landing on a fresh
+  *    consolidated id would overwrite-replace the whole consolidation);
+  *  - later batches are copied verbatim;
+  *  - the new tree is written BESIDE the store and swapped in, with the
+  *    [[IncrementalDedup]] adopt-on-restart self-heal for a crash
+  *    between delete and rename.
+  *
+  * SAFETY CONTRACT: only compact batch ids whose producer is fully
+  * committed — replaying a COMPACTED id afterward would land a fresh
+  * `batch=` dir whose rows duplicate part of the consolidated one.
+  * Probe results before and after compaction are identical (the scan
+  * unions the same rows; spec-pinned).
+  */
+private[operators] object IvfCells {
+
+  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit = {
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal: a crash between the old tree's delete and the rename
+    // left the only copy at __next — adopt it
+    if (!fs.exists(cells) && fs.exists(next)) { fs.rename(next, cells); return }
+    require(fs.exists(cells), s"IvfCells.compact: no cells tree at $cells")
+    val batchIds = fs.listStatus(cells).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (!batchIds.exists(_ <= upToBatch)) return
+    val target = batchIds.filter(_ <= upToBatch).max
+    fs.delete(next, true) // stale leftover from an interrupted attempt
+    spark.read.parquet(cells.toString)
+      .filter(col("batch") <= upToBatch).drop("batch")
+      .write.partitionBy("cell").parquet(s"$next/batch=$target")
+    batchIds.filter(_ > upToBatch).foreach { b =>
+      spark.read.parquet(s"$cells/batch=$b")
+        .write.partitionBy("cell").parquet(s"$next/batch=$b")
+    }
+    fs.delete(cells, true)
+    fs.rename(next, cells)
+    ()
+  }
 }

@@ -197,6 +197,13 @@ object IvfPqIndex {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Consolidate `batch=` partitions with id <= `upToBatch` into one,
+    * preserving the cell partitioning — see [[IvfCells.compact]] for the
+    * safety contract.
+    */
+  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
+    IvfCells.compact(spark, path, upToBatch)
+
   // --------------------------------------------------------- internals
 
   /** Normalized rows, (replica-)assigned, with residual `__r` vs the

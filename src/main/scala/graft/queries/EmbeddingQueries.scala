@@ -460,6 +460,27 @@ object EmbeddingQueries {
       probeExtra = ", label AS pl",
       extraPred = " AND e.label <> p.pl")
 
+  /** Diversified retrieval ([[Embeddings.mmrSelect]]): the 10 most
+    * relevant-but-mutually-diverse vectors for probe 7, relevance =
+    * cosine to the probe, λ=0.7 — the RAG answer-diversification shape
+    * (top-k pure cosine returns near-duplicates of one mode; MMR trades
+    * a little relevance for coverage). Rows-gated by declared design
+    * (iterative greedy — no ANSI replay); the selection mechanics are
+    * spec-gated in EmbeddingsSpec (mode spread, λ=1 degeneration,
+    * partitioning invariance).
+    */
+  def mmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.wide(spark, dir, "embeddings")
+    val probe = e.filter($"vec_id" === 7L)
+      .select($"embedding".as("__probe")).head().getSeq[Float](0)
+    Embeddings.mmrSelect(
+      e.filter($"vec_id" =!= 7L), $"vec_id", $"embedding",
+      Embeddings.cosine($"embedding", typedLit(probe)),
+      k = 10, lambda = 0.7)
+      .orderBy($"rk")
+  }
+
   /** Oracle for [[embeddingPqFlat]]: codebook = first `ks` rows under the
     * md5('pq:'||id) hex order, normalized with the explicit
     * left-associated sum-of-squares fold; per-(vector, subspace)
@@ -544,6 +565,7 @@ object EmbeddingQueries {
     "q_embedding_pq" -> (embeddingPq _),
     "q_embedding_pq_adc" -> (embeddingPqAdc _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_mmr_diverse" -> (mmrDiverse _),
     "q_cosine_dedup" -> (cosineDedup _),
     "q_embedding_knn" -> (embeddingKnn _),
     "q_embedding_q8_knn" -> (embeddingQ8Knn _),

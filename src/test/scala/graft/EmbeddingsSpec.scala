@@ -465,6 +465,34 @@ class EmbeddingsSpec extends SparkSpec {
     assert(mismatch == 0, s"$mismatch ADC scores diverged from grouped-dot reference")
   }
 
+  test("mmrSelect spreads across modes; lambda=1 degenerates to relevance top-k") {
+    import spark.implicits._
+    // 5 tight clusters of 8; uniform relevance except cluster 0 slightly
+    // ahead. Pure relevance picks all of cluster 0; MMR must touch every
+    // cluster by k=5.
+    val vecs = planted(nClusters = 5, perCluster = 8, dim = 64)
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("rel", when($"vec_id" < 8, 1.0).otherwise(0.9))
+    val mmr = Embeddings.mmrSelect(df, $"vec_id", $"embedding", $"rel",
+        k = 5, lambda = 0.5)
+      .select($"rk", $"id").as[(Int, Long)].collect().toSeq
+    assert(mmr.map(_._1) == (1 to 5))
+    val clusters = mmr.map(_._2 / 8).toSet
+    assert(clusters.size == 5,
+      s"MMR picked from only ${clusters.size} clusters: $mmr")
+    assert(mmr.head._2 < 8, "first pick must be the max-relevance row")
+    // lambda=1: pure relevance, ties by id — exactly ids 0..4
+    val pure = Embeddings.mmrSelect(df, $"vec_id", $"embedding", $"rel",
+        k = 5, lambda = 1.0)
+      .select($"id").as[Long].collect().toSeq
+    assert(pure == Seq(0L, 1L, 2L, 3L, 4L), s"lambda=1 gave $pure")
+    // determinism under repartitioning
+    val again = Embeddings.mmrSelect(df.repartition(7), $"vec_id", $"embedding",
+        $"rel", k = 5, lambda = 0.5)
+      .select($"rk", $"id").as[(Int, Long)].collect().toSeq
+    assert(again == mmr)
+  }
+
   test("hardNegatives returns the nearest DIFFERENT-label rows only") {
     import spark.implicits._
     // two tight clusters; labels split each cluster in half, so the

@@ -137,6 +137,40 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(run() == got)
   }
 
+  test("compact consolidates batch history without changing probe results") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 6, perCluster = 8, dim = 64)
+    val parts = vecs.grouped(16).toSeq
+    val path = tmpDir()
+    IvfPqIndex.build(parts(0).toDF("vec_id", "embedding"), $"vec_id", $"embedding",
+      path, nlist = 6, replicas = 2)
+    IvfPqIndex.append(spark, parts(1).toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 1L)
+    IvfPqIndex.append(spark, parts(2).toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 2L)
+    val probes = vecs.filter(_._1 % 8 == 0).toDF("vec_id", "embedding")
+    def run() = IvfPqIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+        k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val before = run()
+    IvfPqIndex.compact(spark, path, upToBatch = 1L)
+    val batchDirs = new java.io.File(s"$path/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    // 0 and 1 consolidated under 1 (largest existing <= upToBatch); 2 kept
+    assert(batchDirs == Seq("batch=1", "batch=2"), s"got $batchDirs")
+    assert(run() == before, "probe results changed across compaction")
+    // appends continue with fresh ids after compaction
+    IvfPqIndex.append(spark,
+      Seq((9990L, vecs.head._2)).toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 3L)
+    assert(run().nonEmpty)
+    // full compaction folds everything into the largest id
+    IvfPqIndex.compact(spark, path, upToBatch = Long.MaxValue)
+    val after = new java.io.File(s"$path/cells").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(after == Seq("batch=3"), s"got $after")
+  }
+
   test("probe scans only the probed cells' partitions") {
     import spark.implicits._
     val vecs = planted(nClusters = 8, perCluster = 8, dim = 64)
