@@ -777,6 +777,9 @@ object Embeddings {
       }
       r.getSeq[Double](1)
     }
+    require(vecs.length >= ks,
+      s"pqCodebooks: corpus has only ${vecs.length} rows for a $ks-word " +
+        "codebook — seed the index from a corpus of at least ks vectors")
     val dims = vecs.map(_.length).distinct
     require(dims.length == 1,
       s"pqCodebooks: mixed embedding widths ${dims.mkString(",")}")

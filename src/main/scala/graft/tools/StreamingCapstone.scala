@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
-import graft.operators.{IncrementalDedup, IncrementalSegmentDedup}
+import graft.operators.{IncrementalDedup, IncrementalSegmentDedup, IvfPqIndex}
 import graft.sources.LocationDictSource
 
 /** End-to-end STREAMING capstone: every stage of the reference pipeline
@@ -41,12 +41,26 @@ import graft.sources.LocationDictSource
 object StreamingCapstone {
 
   final case class Stores(
-    curatedDir: String, lshStore: String, segStore: String, segOut: String)
+    curatedDir: String, lshStore: String, segStore: String, segOut: String,
+    vecStore: String = "")
 
-  /** One micro-batch through the full pipeline; returns rows landed. */
+  /** One micro-batch through the full pipeline; returns rows landed.
+    *
+    * `vectors` (with a non-empty `stores.vecStore`) adds STREAMING ANN
+    * INDEX MAINTENANCE: the landed batch's embeddings (vec_id = doc_id)
+    * land in a persistent [[IvfPqIndex]] — built from the first
+    * vector-bearing batch, appended thereafter as the idempotent
+    * `batch=` partition append() already is. Replay safety follows the
+    * other stores' argument: only the last uncommitted batch replays;
+    * a replayed build batch rebuilds wholesale (only reachable before
+    * any append committed), a replayed append overwrites its own
+    * partition.
+    */
   private[graft] def processBatch(
       spark: SparkSession, batch: DataFrame, stores: Stores, batchId: Long,
-      dict: DictionaryLocator.LocationDict, minTokens: Int = 5): Long = {
+      dict: DictionaryLocator.LocationDict, minTokens: Int = 5,
+      vectors: Option[DataFrame] = None,
+      minVecBuildRows: Int = 64, vecKs: Int = 16): Long = {
     val cleaned = batch
       .withColumn("clean_text",
         TextFunctions.cleanTweetText(
@@ -73,7 +87,59 @@ object StreamingCapstone {
       spark, landed, col("doc_id"), col("clean_text"),
       stores.segStore, batchId)
     seg.write.mode("overwrite").parquet(s"${stores.segOut}/batch=$batchId")
+    for (emb <- vectors if stores.vecStore.nonEmpty)
+      maintainVectorIndex(spark, landed, emb, stores.vecStore, batchId,
+        minVecBuildRows, vecKs)
     landed.count()
+  }
+
+  /** Streaming ANN-index maintenance: landed docs' embeddings accumulate
+    * in a STAGED partition store until `minVecBuildRows` have arrived
+    * (a PQ codebook cannot be seeded from a toy sample — the index
+    * build is deferred, not degraded), then the index is built from the
+    * full staged set; every later batch appends as its own idempotent
+    * `batch=` partition.
+    *
+    * Replay safety: the staged write is a per-batch partition overwrite;
+    * the `_built_through` marker is written BEFORE the build, so a crash
+    * between them leaves no index and a stale marker that the rebuild
+    * path simply overwrites; a replayed pre-build batch (batchId <=
+    * marker) is already inside the built base and is skipped; a
+    * replayed post-build batch overwrites its own append partition.
+    */
+  private[graft] def maintainVectorIndex(
+      spark: SparkSession, landed: DataFrame, embeddings: DataFrame,
+      vecStore: String, batchId: Long,
+      minVecBuildRows: Int, vecKs: Int): Unit = {
+    val vecs = embeddings.join(landed.select(col("doc_id").as("__vid")),
+        col("vec_id") === col("__vid"))
+      .select(col("vec_id"), col("embedding"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val centroids = new org.apache.hadoop.fs.Path(s"$vecStore/centroids")
+    val marker = new org.apache.hadoop.fs.Path(s"$vecStore/_built_through")
+    val fs = centroids.getFileSystem(conf)
+    def readMarker(): Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (!fs.exists(centroids)) {
+      val staged = s"$vecStore/staged"
+      vecs.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
+      val all = spark.read.parquet(staged)
+        .select(col("vec_id"), col("embedding"))
+      if (all.count() >= minVecBuildRows) {
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        IvfPqIndex.build(all, col("vec_id"), col("embedding"), vecStore,
+          replicas = 2, ks = vecKs)
+      }
+    } else if (batchId > readMarker() && !vecs.isEmpty) {
+      IvfPqIndex.append(spark, vecs, col("vec_id"), col("embedding"),
+        vecStore, batchId)
+    }
   }
 
   /** Start the capstone stream over a JSONL landing directory with
@@ -83,7 +149,9 @@ object StreamingCapstone {
       spark: SparkSession, landingDir: String, stores: Stores,
       checkpointDir: String, dict: DictionaryLocator.LocationDict,
       maxFilesPerTrigger: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      vectors: Option[DataFrame] = None,
+      minVecBuildRows: Int = 64, vecKs: Int = 16): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string").add("lang", "string")
     spark.readStream
@@ -95,7 +163,8 @@ object StreamingCapstone {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          processBatch(spark, batch, stores, batchId, dict)
+          processBatch(spark, batch, stores, batchId, dict,
+            vectors = vectors, minVecBuildRows = minVecBuildRows, vecKs = vecKs)
           ()
         }
       }
@@ -126,15 +195,18 @@ object StreamingCapstone {
     val total = spark.read.json(landing).count()
 
     val stores = Stores(s"$work/curated", s"$work/lsh_store",
-      s"$work/seg_store", s"$work/seg_out")
+      s"$work/seg_store", s"$work/seg_out", s"$work/vec_index")
     val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
+    val embeddings = graft.Tables(spark, sfDir, "embeddings")
     val t0 = System.nanoTime()
-    val q = start(spark, landing, stores, s"$work/ckpt", dict)
+    val q = start(spark, landing, stores, s"$work/ckpt", dict,
+      vectors = Some(embeddings))
     q.awaitTermination()
     val wallS = (System.nanoTime() - t0) / 1e9
     val landed = spark.read.parquet(stores.curatedDir).count()
     val survivors = IncrementalDedup.survivors(spark, stores.lshStore).count()
-    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
+    val vecRows = spark.read.parquet(s"${stores.vecStore}/cells").count()
+    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"vec_rows":$vecRows,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,6 +90,41 @@ class StreamingCapstoneSpec extends SparkSpec {
     assert(segKept.count() >= 1)
   }
 
+  test("vector stage maintains a probeable IVF-PQ index across batches") {
+    val dir = tmpDir("capvec")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (s, i) => writeSlice(landing, s"b$i.json", s, i) }
+    // deterministic toy embeddings for the 7 doc ids: two modes, ids
+    // 1-3 near e1, ids 4-7 near e2 (gated doc 3 simply never lands)
+    val emb = (1L to 7L).map { i =>
+      val base = if (i <= 3) 0 else 32
+      (i, Array.tabulate(64)(j =>
+        (if (j == base) 1.0f else 0.0f) + (i.toFloat / 1000f)))
+    }.toDF("vec_id", "embedding")
+    val st = stores(dir).copy(vecStore = s"$dir/vecidx")
+    // minVecBuildRows=4: batch 0 stages its 2 vectors, batch 1 reaches
+    // the threshold and builds, batch 2 appends — all three paths of the
+    // staged lifecycle run
+    val q = StreamingCapstone.start(spark, landing, st, s"$dir/ck",
+      DictionaryLocator.Indonesian, maxFilesPerTrigger = 1,
+      trigger = Trigger.AvailableNow(), vectors = Some(emb),
+      minVecBuildRows = 4, vecKs = 4)
+    q.awaitTermination()
+    // only LANDED docs' vectors enter the index (doc 3 was gated out)
+    val indexed = spark.read.parquet(s"${st.vecStore}/cells")
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!indexed.contains(3L), "gated doc's vector reached the index")
+    assert(indexed.subsetOf(Set(1L, 2L, 4L, 5L, 6L, 7L)) && indexed.size >= 5)
+    // the index is probeable and respects the planted modes
+    val probes = emb.filter($"vec_id" === 4L)
+    val got = graft.operators.IvfPqIndex.probe(spark, st.vecStore,
+        probes, $"vec_id", $"embedding", k = 3, nprobe = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.subsetOf(Set(5L, 6L, 7L)),
+      s"probe of doc 4 pulled cross-mode neighbors: $got")
+  }
+
   test("mid-run kill + checkpoint resume equals the uninterrupted run") {
     val interrupted = tmpDir("capstone-kill")
     val straight = tmpDir("capstone-straight")
