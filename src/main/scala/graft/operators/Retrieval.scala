@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,17 @@ object Retrieval {
       .groupBy(col("__did"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
+  }
+
+  /** The shared BM25 scoring tail: per-(doc, term) tf × per-term df ×
+    * per-doc dl × broadcast (n, tot) → pivoted fixed-order fold →
+    * TakeOrdered top-k. One arithmetic for both the ad-hoc and the
+    * indexed path, so the shared-oracle gate compares like with like.
+    */
+  private def scoreAndRank(
+      tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame,
+      queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
     val contrib = tf.join(broadcast(df), Seq("__term"))
       .join(dl, Seq("__did"))
       .crossJoin(broadcast(stats))
@@ -96,6 +107,85 @@ object Retrieval {
     top.withColumn("rk",
       row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
       .select(col("rk"), col("doc_id"), col("bm25"))
+  }
+
+  /** PERSISTENT BM25 index — the serving shape of [[bm25TopK]]. The
+    * ad-hoc form tokenizes the corpus at query time (four passes: tf,
+    * df, dl, stats); at 100 TB that is four corpus scans PER QUERY for
+    * statistics that are query-independent. [[buildIndex]] pays the
+    * tokenize once and stores:
+    *
+    *  - `postings/bucket=B/` — (term, doc_id, tf), term-BUCKETED by
+    *    `pmod(xxhash64(term), buckets)` so a query's terms resolve to a
+    *    static partition filter (the [[IvfIndex.probe]] cell-prune
+    *    discipline: the parquet reader lists only the query's buckets,
+    *    never the vocabulary);
+    *  - `tdf/bucket=B/` — (term, df), bucketed identically;
+    *  - `dl/` — (doc_id, dl); `stats/` — one (n, tot) row.
+    *
+    * [[queryIndex]] then scores a query with NO corpus access: filtered
+    * posting pages × df × broadcast stats, the same pivoted fixed-order
+    * fold as [[bm25TopK]] — registered against the SAME oracle SQL
+    * (q_bm25_indexed vs q_bm25), so the index must change cost only,
+    * never the answer.
+    */
+  def buildIndex(
+      docs: DataFrame, id: Column, text: Column, path: String,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buildIndex: buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val base = docs.select(id.as("doc_id"),
+      regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
+    val dl = base.select(col("doc_id"), size(col("__toks")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/dl")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val tf = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+    tf.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tdf")
+    // bucket count is part of the layout: record it for queryIndex
+    spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Top-k BM25 against a [[buildIndex]] store — identical output
+    * contract and arithmetic to [[bm25TopK]], zero corpus scans: only
+    * the query terms' posting/df buckets are listed and read (static
+    * partition filter, spec-asserted).
+    */
+  def queryIndex(
+      spark: SparkSession, path: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryIndex: empty query")
+    require(queryTerms.distinct == queryTerms,
+      s"queryIndex: duplicate query terms in ${queryTerms.mkString(",")}")
+    val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val neededBuckets = {
+      // derive the buckets with ONE tiny Spark job over the literal terms
+      // (xxhash64's exact seed/variant is an engine internal — never
+      // reimplement it driver-side)
+      import spark.implicits._
+      queryTerms.toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+        .distinct().as[Long].collect().toIndexedSeq.sorted
+    }
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term").as("__term"), col("doc_id").as("__did"),
+        col("tf").as("__tf"))
+    val df = spark.read.parquet(s"$path/tdf")
+      .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term").as("__term"), col("df").as("__df"))
+    val dl = spark.read.parquet(s"$path/dl")
+      .select(col("doc_id").as("__did"), col("dl").as("__dl"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n").as("__n"), col("tot").as("__tot"))
+    scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
   }
 
   /** Reciprocal rank fusion of ranked arms: each arm is (doc_id, rk) and

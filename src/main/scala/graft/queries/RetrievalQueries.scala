@@ -32,6 +32,23 @@ object RetrievalQueries {
       .orderBy($"rk")
   }
 
+  /** [[bm25]] through the PERSISTENT index ([[Retrieval.buildIndex]] /
+    * [[Retrieval.queryIndex]]): the query touches only its terms'
+    * posting buckets, never the corpus. Registered against the SAME
+    * oracle SQL as q_bm25 — the index must change cost only, never the
+    * answer (the q_near_dup_pairs_capped / q_topk_bounded discipline).
+    * The build runs inside the query here (the registered surface has
+    * no cross-query state); a serving deployment builds once.
+    */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Retrieval.buildIndex(
+      Tables.wide(spark, dir, "documents"), $"doc_id", $"text", path, buckets = 16)
+    Retrieval.queryIndex(spark, path, QueryTerms, k1 = 1.2, b = 0.75, k = 10)
+      .orderBy($"rk")
+  }
+
   /** Hybrid retrieval: BM25 arm (top-[[ArmK]]) fused with the
     * 50-nearest-neighbor arm of embedding [[HybridProbe]] by reciprocal
     * rank fusion ([[Retrieval.reciprocalRankFusion]], rrfK=60) — the
@@ -138,9 +155,11 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> (bm25 _),
+    "q_bm25_indexed" -> (bm25Indexed _),
     "q_hybrid_rrf" -> (hybridRrf _))
 
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
+    "q_bm25_indexed" -> bm25Sql,
     "q_hybrid_rrf" -> hybridRrfSql)
 }

@@ -58,6 +58,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._3) == expected, s"fusion scores wrong: $got")
   }
 
+  test("indexed BM25 equals the ad-hoc path bit-for-bit") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("vector", "merge", "window")
+    val adhoc = Retrieval.bm25TopK(docs, $"doc_id", $"text", terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    Retrieval.buildIndex(docs, $"doc_id", $"text", path, buckets = 16)
+    val indexed = Retrieval.queryIndex(spark, path, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    assert(indexed == adhoc)
+  }
+
+  test("index query reads only the query terms' posting buckets") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Retrieval.buildIndex(docs, $"doc_id", $"text", path, buckets = 16)
+    val q = Retrieval.queryIndex(spark, path, Seq("vector", "merge"), k = 5)
+    q.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val postingScans = allNodes(q.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(postingScans.nonEmpty, "no posting-store scan found")
+    val scanned = postingScans.map(_.selectedPartitions.partitionCount).sum
+    // two query terms hash to at most 2 of the 16 buckets
+    assert(scanned <= 2, s"query read $scanned posting buckets, wanted <= 2")
+  }
+
   test("BM25 top-k plans as TakeOrdered, not a global sort") {
     val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
     val plan = Retrieval.bm25TopK(docs, $"doc_id", $"text",
