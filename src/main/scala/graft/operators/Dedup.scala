@@ -170,9 +170,21 @@ object Dedup {
   }
 
   /** End-to-end MinHash LSH near-duplicate pairs: signature → band buckets →
-    * bucket self-join (the only shuffle, keyed on (band, hash)) → exact
-    * Jaccard verification on the candidates. Returns (id_a, id_b, jaccard)
-    * with id_a < id_b, deduplicated across bands.
+    * bucket self-join (keyed on (band, hash), carrying IDS AND SIZES ONLY) →
+    * count-based exact Jaccard verification on the candidates. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b, deduplicated across bands.
+    *
+    * Verification is the [[prefixJaccardPairs]] shape: no shingle ARRAY
+    * ever crosses a join. The band join ships (id, n, band) rows — a
+    * previous formulation duplicated each document's full shingle array
+    * across all `bands` band rows through the exchange and then carried
+    * TWO arrays per candidate pair into an `array_intersect`, a linear
+    * 16× shuffle-freight constant this shape deletes. Candidate pairs
+    * re-join the exploded (doc, shingle) stream with a map-side-combinable
+    * count to recover c = |A∩B| (shingle arrays are distinct, so the match
+    * count IS the intersection size), and jaccard = c / (na + nb − c) —
+    * the same double, to the bit, as size(∩)/size(∪), which is what keeps
+    * the q_minhash_pairs oracle hash unchanged across the rewrite.
     *
     * `portable = true` swaps the xxhash64 shingle hash for the Karp–Rabin
     * fold and the band hashes for value-rendering string keys, making every
@@ -190,6 +202,9 @@ object Dedup {
       shingleLen: Int = 3, seed: Long = 42L,
       portable: Boolean = false,
       maxBandBucketQuantile: Option[Double] = None): DataFrame = {
+    require(threshold > 0.0,
+      s"minHashNearDuplicates: threshold must be > 0 (count-based " +
+        s"verification drops zero-overlap candidates), got $threshold")
     // Empty-shingle docs (shorter than shingleLen tokens) all hash to the
     // identity signature [Long.MaxValue]*k, i.e. the SAME band buckets — on a
     // real corpus (many short docs) that one bucket makes the self-join
@@ -204,11 +219,18 @@ object Dedup {
     val bandCol =
       if (portable) lshBandKeys(col("__sig"), k, bands)
       else lshBandHashes(col("__sig"), k, bands)
-    val base = df.select(id.as("__id"), tokens(text).as("__toks"))
-      .filter(size(col("__toks")) >= shingleLen)
-      .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
+    // Materialized once: four downstream branches read this frame (the
+    // band join's two sides and the verification stream's two sides).
+    // Without the checkpoint each branch would re-scan the source and
+    // re-run tokenize+shingle — four corpus scans where one suffices.
+    val docs = Checkpoints.materializeFrame(
+      df.select(id.as("__id"), tokens(text).as("__toks"))
+        .filter(size(col("__toks")) >= shingleLen)
+        .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh")))
+    val base = docs
       .withColumn("__sig", minHashSignature(col("__sh"), k, seed, shingleHash))
-      .withColumn("__band", explode_outer(bandCol))
+      .select(col("__id"), size(col("__sh")).as("__n"),
+        explode_outer(bandCol).as("__band"))
     // Opt-in hot-bucket guard (the nearDuplicatePairsExact
     // maxShingleDfQuantile shape): m documents landing in one band bucket
     // contribute m²/2 candidate rows on that join key, so a degenerate
@@ -233,14 +255,37 @@ object Dedup {
           .select(col("__band"))
         base.join(kept, Seq("__band"))
     }
-    val a = banded.select(col("__id").as("id_a"), col("__sh").as("sh_a"), col("__band"))
-    val b = banded.select(col("__id").as("id_b"), col("__sh").as("sh_b"), col("__band"))
-    a.join(b, Seq("__band"))
+    val a = banded.select(col("__id").as("id_a"), col("__n").as("__na"), col("__band"))
+    val b = banded.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__band"))
+    val cand = a.join(b, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("__na"), col("__nb")).distinct()
+    // count-based verification: recover c = |A∩B| by re-joining the
+    // candidates against the exploded (doc, shingle) stream. explode_outer
+    // for the InferFiltersFromGenerate reason documented at
+    // [[nearDuplicatePairsExact]]; the null __s rows die in the equi-join.
+    // A hash-collision candidate with zero common shingles loses every
+    // match row and drops out of the inner join — jaccard 0 < threshold,
+    // exactly what the array formulation's filter did.
+    //
+    // Join order matters: cand joins FIRST (left side), so when the
+    // candidate set is broadcast-sized — the common case after banding —
+    // AQE builds the hash relation from cand and the exploded stream
+    // passes through both joins with ZERO exchanges; only the matched
+    // rows reach the (map-side-combined) count aggregate. When candidates
+    // outgrow broadcast the joins degrade to shuffles of the exploded
+    // stream — linear in corpus token volume, vs the array formulation's
+    // 16× band freight plus two arrays per candidate pair.
+    val ex = docs.select(col("__id"), explode_outer(col("__sh")).as("__s"))
+    val exA = ex.select(col("__id").as("id_a"), col("__s"))
+    val exB = ex.select(col("__id").as("id_b"), col("__s"))
+    cand.join(exA, Seq("id_a")).join(exB, Seq("id_b", "__s"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("id_a"), col("id_b"),
+        (col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("jaccard")).as("jaccard"))
   }
 
   /** EXACT near-duplicate pairs via an inverted-index (shared-shingle)
@@ -380,6 +425,10 @@ object Dedup {
     * from STRENGTHENING an integer threshold (ceil(t·n) computed as
     * 2.0000000001 would shorten the prefix and lose recall); slack only
     * ever weakens a filter, which costs candidates, never correctness.
+    * The candidate filters additionally run at threshold − 5e-5 (the
+    * 4-decimal rounding quantum): verification keeps round(j, 4) >= t,
+    * which admits true jaccard down to t − 5e-5, so losslessness must
+    * cover that window too (see [[prefixCandidates]]).
     *
     * Cost vs [[nearDuplicatePairsExact]]: one extra df aggregate and one
     * per-doc sort of its own shingles (bounded by document length). The
@@ -421,6 +470,17 @@ object Dedup {
   private[graft] def prefixCandidates(
       ex: DataFrame, threshold: Double): DataFrame = {
     val eps = 1e-9
+    // The verification filter keeps pairs by round(jaccard, 4) >=
+    // threshold, which admits TRUE jaccard down to threshold − 5e-5 —
+    // but the prefix/length/positional filters are only lossless for
+    // true jaccard >= threshold. A pair in that half-open rounding
+    // window (reachable once shingle counts hit ~1e4, i.e. long
+    // documents) would pass the exact path's rounded filter yet be
+    // pruned here, diverging from [[nearDuplicatePairsExact]]. Loosen
+    // every candidate-side bound by the rounding quantum: losslessness
+    // then covers everything the rounded verification can admit, at the
+    // cost of a few extra candidates (one-sided, correctness-safe).
+    val t0 = math.max(threshold - 5e-5 - eps, 1e-6)
     // Global order = (document frequency ASC, shingle ASC): rarest first,
     // deterministic. Positions are per-document ranks under that order —
     // derived by sorting each doc's own (df, shingle) structs, so no
@@ -432,7 +492,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"))
       // p = n − ⌈t·n⌉ + 1 prefix shingles suffice for jaccard ≥ t
       .withColumn("__p",
-        (col("__n") - ceil(lit(threshold) * col("__n") - lit(eps)) + 1)
+        (col("__n") - ceil(lit(t0) * col("__n") - lit(eps)) + 1)
           .cast("int"))
       .select(col("__id"), col("__n"),
         posexplode(slice(col("__ord"), lit(1), col("__p"))).as(Seq("__pos0", "__e")))
@@ -442,7 +502,7 @@ object Dedup {
       col("__pos").as("__pa"), col("__s"))
     val pb = prefix.select(col("__id").as("id_b"), col("__n").as("__nb"),
       col("__pos").as("__pb"), col("__s"))
-    val t = lit(threshold)
+    val t = lit(t0)
     pa.join(pb, Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       // length filter: size-imbalanced pairs cannot reach t

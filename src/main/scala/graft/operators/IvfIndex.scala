@@ -108,7 +108,7 @@ object IvfIndex {
     // reliance on dynamic pruning kicking in. Bounded by probes·nprobe.
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(IvfCells.resolveCells(spark, path))
       .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("emb"), col("nrm"), col("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))
@@ -197,19 +197,46 @@ object IvfIndex {
   */
 private[operators] object IvfCells {
 
+  /** Resolve the readable cells tree at `path`, healing a crashed
+    * [[compact]] first: a crash between the old tree's delete and the
+    * rename leaves the ONLY copy at `cells__next`, and until round 9 only
+    * the next compact() call adopted it — every serving read (probe /
+    * readIndex) failed on the missing path in the meantime. All read
+    * paths now resolve through here, so the store self-heals on first
+    * touch. Returns the cells path string for `spark.read.parquet`.
+    */
+  def resolveCells(spark: SparkSession, path: String): String = {
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
+    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cells) && fs.exists(next)) {
+      require(fs.rename(next, cells),
+        s"IvfCells: failed to adopt $next as $cells")
+    }
+    cells.toString
+  }
+
   def compact(spark: SparkSession, path: String, upToBatch: Long): Unit = {
     val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
     val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
     val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // self-heal: a crash between the old tree's delete and the rename
-    // left the only copy at __next — adopt it
-    if (!fs.exists(cells) && fs.exists(next)) { fs.rename(next, cells); return }
+    // left the only copy at __next — adopt it (checked: a silently failed
+    // rename here would fall through to the require below)
+    if (!fs.exists(cells) && fs.exists(next)) {
+      require(fs.rename(next, cells),
+        s"IvfCells.compact: failed to adopt $next as $cells")
+      return
+    }
     require(fs.exists(cells), s"IvfCells.compact: no cells tree at $cells")
     val batchIds = fs.listStatus(cells).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
     if (!batchIds.exists(_ <= upToBatch)) return
     val target = batchIds.filter(_ <= upToBatch).max
-    fs.delete(next, true) // stale leftover from an interrupted attempt
+    // stale leftover from an interrupted attempt (delete(missing) returns
+    // false, so only a PRESENT-but-undeletable path may fail the check)
+    require(fs.delete(next, true) || !fs.exists(next),
+      s"IvfCells.compact: failed to clear stale $next")
     spark.read.parquet(cells.toString)
       .filter(col("batch") <= upToBatch).drop("batch")
       .write.partitionBy("cell").parquet(s"$next/batch=$target")
@@ -217,8 +244,13 @@ private[operators] object IvfCells {
       spark.read.parquet(s"$cells/batch=$b")
         .write.partitionBy("cell").parquet(s"$next/batch=$b")
     }
-    fs.delete(cells, true)
-    fs.rename(next, cells)
+    // the swap: a crash between these two leaves only __next, which both
+    // resolveCells and the adopt branch above recover; a FAILED call must
+    // surface, not serve a half-swapped store
+    require(fs.delete(cells, true),
+      s"IvfCells.compact: failed to delete old $cells")
+    require(fs.rename(next, cells),
+      s"IvfCells.compact: failed to swap $next into $cells")
     ()
   }
 }

@@ -130,7 +130,7 @@ object IvfPqIndex {
       .select(col("probe_id"), col("cell"), col("__cdot"), col("__pn"), col("__tab"))
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(IvfCells.resolveCells(spark, path))
       .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("code"), col("nrm"), col("cell"))
       .withColumn("__codes", Embeddings.pqUnpack(col("code"), m, ks))

@@ -101,11 +101,18 @@ object StreamingCapstone {
     * `batch=` partition.
     *
     * Replay safety: the staged write is a per-batch partition overwrite;
-    * the `_built_through` marker is written BEFORE the build, so a crash
-    * between them leaves no index and a stale marker that the rebuild
-    * path simply overwrites; a replayed pre-build batch (batchId <=
-    * marker) is already inside the built base and is skipped; a
-    * replayed post-build batch overwrites its own append partition.
+    * the `_built_through` marker is written AFTER the build completes and
+    * is the ONLY signal that a complete index exists — a crash anywhere
+    * mid-build (even with centroids already committed) leaves the marker
+    * absent, so the replayed batch re-stages and rebuilds from the full
+    * staged set (IvfPqIndex.build overwrites wholesale, idempotent). An
+    * earlier version wrote the marker BEFORE the build and keyed "built"
+    * on centroids existence; a crash between centroids and the cells
+    * tree then skipped both the rebuild branch and the append branch on
+    * replay, silently dropping the entire staged base from the index. A
+    * replayed pre-build batch (batchId <= marker) is already inside the
+    * built base and is skipped; a replayed post-build batch overwrites
+    * its own append partition.
     */
   private[graft] def maintainVectorIndex(
       spark: SparkSession, landed: DataFrame, embeddings: DataFrame,
@@ -125,16 +132,17 @@ object StreamingCapstone {
         try new String(in.readAllBytes(), "UTF-8").trim.toLong
         finally in.close()
       }
-    if (!fs.exists(centroids)) {
+    if (readMarker() < 0L) {
       val staged = s"$vecStore/staged"
       vecs.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
       val all = spark.read.parquet(staged)
         .select(col("vec_id"), col("embedding"))
       if (all.count() >= minVecBuildRows) {
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
         IvfPqIndex.build(all, col("vec_id"), col("embedding"), vecStore,
           replicas = 2, ks = vecKs)
+        // marker last: build-complete commit point
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       }
     } else if (batchId > readMarker() && !vecs.isEmpty) {
       IvfPqIndex.append(spark, vecs, col("vec_id"), col("embedding"),
