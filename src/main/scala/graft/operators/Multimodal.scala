@@ -197,31 +197,88 @@ object Multimodal {
     * all-zero grid; they are dropped before the join (the empty-shingle
     * precedent: corrupt blobs are not near-dups of each other, and one
     * corrupt-payload bucket would go quadratic).
+    *
+    * Scale guards (the [[graft.operators.Embeddings.cosineNearDuplicates]]
+    * pattern — dHash needs them MORE than random sketches do, because it
+    * collides massively on real corpora: every solid-color / placeholder /
+    * letterboxed thumbnail has an all-zero gradient grid, so one hot hash
+    * value used to put m rows in every band bucket ⇒ m² candidate rows):
+    *
+    *  1. **Identical-hash pre-collapse**: one representative per DISTINCT
+    *     hash enters the band join — equal hashes share every band, so
+    *     collapse + expand reproduces the uncollapsed pair set EXACTLY.
+    *     Intra-hash pairs (hamming 0) are emitted directly (they are the
+    *     output's own duplicate clusters), and rep pairs expand back to
+    *     member pairs afterward. A 300-copy placeholder image now
+    *     contributes ONE band row per band, not 300.
+    *  2. **`maxBandBucketQuantile`** (opt-in): drops (band, key) buckets
+    *     whose REPRESENTATIVE count exceeds the given quantile of the
+    *     observed bucket-size distribution — the outlier-hot tail that
+    *     survives collapse (many distinct-but-near hashes sharing a band
+    *     byte). One-sided: a dropped bucket only removes candidates,
+    *     never adds a spurious pair.
+    *
+    * Output-invariant vs the uncollapsed join (default cap off);
+    * oracle-registered as q_dhash_pairs, which replays grid → gradient
+    * signs → band keys → band join → Hamming in DuckDB from the same
+    * deterministic payload arithmetic.
     */
   def dHashNearDuplicates(
       df: DataFrame, id: Column, payload: Column,
-      maxHamming: Int = 6, batchSize: Int = 32): DataFrame = {
+      maxHamming: Int = 6, batchSize: Int = 32,
+      maxBandBucketQuantile: Option[Double] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be within [0, 7] (8-band pigeonhole bound), got $maxHamming")
     val decoded = decodeFeatures(
       df.select(id.cast("long").as("__id"), payload.as("__p")), "__p",
       ImageIODecoder(), batchSize)
-    val hashed = decoded
+    // materialized: decode is the expensive stage and the frame below
+    // feeds the intra-pair join, the rep band join, and the expansion —
+    // without the checkpoint every branch would re-decode the corpus
+    val members = Checkpoints.materializeFrame(decoded
       .filter(col("dec_width") > 0)
       .select(col("__id"), dHash64(col("feat")).as("__dh"))
-    val banded = hashed.select(col("__id"), col("__dh"),
-      explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-        shiftrightunsigned(col("__dh"), b * 8).bitwiseAND(lit(0xffL))
-          .as("key"))): _*)).as("__b"))
-    val a = banded.select(col("__id").as("id_a"), col("__dh").as("dh_a"), col("__b"))
-    val b = banded.select(col("__id").as("id_b"), col("__dh").as("dh_b"), col("__b"))
-    a.join(b, Seq("__b"))
+      .withColumn("__rep", min(col("__id")).over(Window.partitionBy(col("__dh")))))
+    // intra-hash pairs: hamming 0 by construction, the dup clusters
+    // themselves — inherent output mass, never join candidates
+    val ma = members.select(col("__dh"), col("__id").as("id_a"))
+    val mb = members.select(col("__dh"), col("__id").as("id_b"))
+    val intra = ma.join(mb, Seq("__dh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    // one representative per distinct hash enters the band join
+    val reps = members.filter(col("__id") === col("__rep"))
+      .select(col("__rep"), col("__dh"),
+        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("__dh"), b * 8).bitwiseAND(lit(0xffL))
+            .as("key"))): _*)).as("__b"))
+    val repsKept = maxBandBucketQuantile match {
+      case None => reps
+      case Some(q) =>
+        val sizes = reps.groupBy(col("__b")).agg(count(lit(1)).as("__bs"))
+        val capRow = sizes.agg(expr(s"percentile(__bs, $q)").as("__cap"))
+        val kept = sizes.join(broadcast(capRow),
+            col("__bs").cast("double") <= col("__cap"))
+          .select(col("__b"))
+        reps.join(kept, Seq("__b"))
+    }
+    val ra = repsKept.select(col("__rep").as("__ra"), col("__dh").as("dh_a"), col("__b"))
+    val rb = repsKept.select(col("__rep").as("__rb"), col("__dh").as("dh_b"), col("__b"))
+    val repPairs = ra.join(rb, Seq("__b"))
+      .filter(col("__ra") < col("__rb"))
+      .select(col("__ra"), col("__rb"),
         bit_count(col("dh_a").bitwiseXOR(col("dh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("hamming")).as("hamming"))
+      .distinct()
+    // expand rep pairs back to member pairs — every member of A × every
+    // member of B shares the reps' hamming (equal hashes within a group)
+    val gA = members.select(col("__rep").as("__ra"), col("__id").as("__ida"))
+    val gB = members.select(col("__rep").as("__rb"), col("__id").as("__idb"))
+    val cross = repPairs.join(gA, Seq("__ra")).join(gB, Seq("__rb"))
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Decode/feature-extract `payloadCol` in bounded batches per partition,

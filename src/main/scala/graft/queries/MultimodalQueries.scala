@@ -165,11 +165,136 @@ object MultimodalQueries {
        |FROM hexed ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ q_dhash_pairs
+
+  /** Perceptual-dedup constants shared by the Spark payload builder and
+    * the DuckDB oracle (shared-constant discipline, the q_minhash_pairs
+    * precedent). Grid bit i (i = row·8 + col) of doc d:
+    *
+    *  - corrupt docs (d % 11 == 5): payload is 0x00 + raw text bytes —
+    *    undecodable by contract; the operator must DROP them;
+    *  - family docs (d % 11 == 0): groups g = (d/11) % 8 share a base
+    *    gradient pattern; variant r = (d/88) % 3 flips 0 / 1 / 3 bits at
+    *    g-derived positions — planted near-dup clusters, including
+    *    hamming-0 classes that exercise the identical-hash pre-collapse;
+    *  - everything else: popcount-parity pseudorandom bits (expected
+    *    pairwise hamming 32 — band-bucket noise, no pairs).
+    *
+    * bit_count parity (popcount of a linear form) is the hash because
+    * BOTH engines compute it natively over BIGINT — a multiplicative
+    * residue hash collapses docs into mod-p classes and floods the
+    * corpus with accidental near-dups.
+    */
+  private val DhG = 8 // family group count
+
+  /** The 64 grid bits of doc `d` as Spark columns (b(0)..b(63)). */
+  private def dhashBits(d: Column): IndexedSeq[Column] = {
+    val fam = d % 11 === 0
+    val g = floor(d / 11).cast("long") % DhG
+    val r = floor(d / 88).cast("long") % 3
+    (0 until 64).map { i =>
+      val base = bit_count(g * 40503L + lit(i.toLong) * 2654435761L) % 2
+      val flip = when((r === 1 || r === 2) && lit(i.toLong) === (g * 5) % 64, 1)
+        .when(r === 2 &&
+          (lit(i.toLong) === (g * 7 + 13) % 64 ||
+            lit(i.toLong) === (g * 3 + 29) % 64), 1)
+        .otherwise(0)
+      when(fam, (base + flip) % 2)
+        .otherwise(bit_count(d * 40503L + lit(i.toLong) * 2654435761L + 777L) % 2)
+        .cast("int")
+    }
+  }
+
+  /** REAL image-decode path, cross-engine: each document synthesizes a
+    * 9×8 24-bit BMP whose pixel gray values encode a deterministic
+    * 64-bit gradient-sign pattern (doc_id arithmetic, [[dhashBits]]),
+    * plus planted corrupt payloads. The SPARK side runs the full
+    * production pipeline — payload bytes → batched `javax.imageio`
+    * decode → luminance grid → [[Multimodal.dHash64]] → identical-hash
+    * pre-collapse → banded candidate join → Hamming verify. The DuckDB
+    * oracle never decodes: it re-derives the grid bits from the same
+    * arithmetic, folds them into the 8 band bytes, replays band join +
+    * bit_count Hamming — so the encode → decode → grid → hash chain is
+    * verified end-to-end across two engines (the q_image_dims
+    * discipline, one level deeper: actual pixels, not just headers).
+    *
+    * Pixel construction: v(0, y) = 100; v(x+1, y) = v(x, y) ± 2 by bit
+    * (y·8 + x) — values stay in [84, 116], and the 9×8 image maps 1:1
+    * onto the decoder's 9×8 grid, so decoded cell luma IS the pixel
+    * value (integer Rec.601 of gray: (299v+587v+114v)/1000 = v).
+    */
+  def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"doc_id"
+    val bits = dhashBits(d)
+    // grid values per (x, y); hex of one gray byte, repeated ×3 (B, G, R)
+    val v = Array.tabulate(8, 9) { (y, x) =>
+      (0 until x).map(x0 => bits(y * 8 + x0) * 2 - 1)
+        .foldLeft(lit(100): Column)((acc, s) => acc + s * 2)
+    }
+    def px(y: Int, x: Int): Column = {
+      val h = lpad(hex(v(y)(x)), 2, "0")
+      concat(h, h, h)
+    }
+    // 54-byte header: BM, size 278, offset 54; BITMAPINFOHEADER 9×8,
+    // 1 plane, 24 bpp, BI_RGB, image size 224 (8 rows of 27+1 pad)
+    val header = "424D16010000000000003600000028000000" +
+      "0900000008000000" + "01001800" + "00000000" + "E0000000" +
+      "130B0000130B0000" + "0000000000000000"
+    val rows = (7 to 0 by -1).map(yTop => // bottom-up row order
+      concat((0 until 9).map(x => px(yTop, x)) :+ lit("00"): _*))
+    val bmp = unhex(concat(lit(header) +: rows: _*))
+    val payload = when(d % 11 === 5,
+        concat(unhex(lit("00")), encode($"text", "UTF-8")))
+      .otherwise(bmp)
+    val media = Tables(spark, dir, "documents")
+      .select(d.as("doc_id"), payload.as("payload"))
+    Multimodal.dHashNearDuplicates(media, $"doc_id", $"payload", maxHamming = 6)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** DuckDB side: same bits from the same arithmetic (no decode), folded
+    * into 8 band bytes; pairs = band-join matches with total Hamming ≤ 6.
+    */
+  val dhashPairsSql: String =
+    """WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id % 11 <> 5),
+      |bits AS (
+      |  SELECT d, i,
+      |    CASE WHEN d % 11 = 0 THEN
+      |      (bit_count(((d // 11) % 8) * 40503 + i * 2654435761) % 2
+      |       + CASE WHEN ((d // 88) % 3 IN (1, 2))
+      |                   AND i = (((d // 11) % 8) * 5) % 64 THEN 1
+      |              WHEN (d // 88) % 3 = 2
+      |                   AND (i = (((d // 11) % 8) * 7 + 13) % 64
+      |                     OR i = (((d // 11) % 8) * 3 + 29) % 64) THEN 1
+      |              ELSE 0 END) % 2
+      |    ELSE bit_count(d * 40503 + i * 2654435761 + 777) % 2 END AS b
+      |  FROM ids, range(64) t(i)),
+      |bands AS (
+      |  SELECT d, i // 8 AS band,
+      |    CAST(sum(b * (1::BIGINT << (i % 8))) AS BIGINT) AS key
+      |  FROM bits GROUP BY d, i // 8),
+      |cand AS (
+      |  SELECT DISTINCT a.d AS id_a, b.d AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.d < b.d),
+      |ham AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(sum(bit_count(xor(ka.key, kb.key))) AS INT) AS hamming
+      |  FROM cand c
+      |  JOIN bands ka ON ka.d = c.id_a
+      |  JOIN bands kb ON kb.d = c.id_b AND kb.band = ka.band
+      |  GROUP BY c.id_a, c.id_b)
+      |SELECT id_a, id_b, hamming FROM ham
+      |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_stats" -> (binaryStats _),
-    "q_image_dims" -> (imageDims _))
+    "q_image_dims" -> (imageDims _),
+    "q_dhash_pairs" -> (dhashPairs _))
 
   val oracles: Map[String, String] = Map(
     "q_binary_stats" -> binaryStatsSql,
-    "q_image_dims" -> imageDimsSql)
+    "q_image_dims" -> imageDimsSql,
+    "q_dhash_pairs" -> dhashPairsSql)
 }

@@ -176,4 +176,86 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "unrelated image paired")
     assert(!got.exists(p => p._1 >= 5L || p._2 >= 5L), "corrupt payloads paired")
   }
+
+  // ------------------------- dHash scale guards (pre-collapse + cap)
+
+  /** 9×8 24-bit BMP whose gradient-sign pattern IS `bits` (64 entries,
+    * bit i = row·8 + col): v(0,y)=128, v(x+1,y) = v(x,y) ± 2 by bit.
+    * The 1:1 grid mapping makes decoded luma equal the pixel value, so
+    * the image's dHash64 equals the requested bit pattern exactly.
+    */
+  private def bmpOfBits(bits: Seq[Int]): Array[Byte] = {
+    require(bits.length == 64)
+    val v = Array.ofDim[Int](8, 9)
+    for (y <- 0 until 8) {
+      v(y)(0) = 128
+      for (x <- 0 until 8)
+        v(y)(x + 1) = v(y)(x) + (if (bits(y * 8 + x) == 1) 2 else -2)
+    }
+    val sb = new StringBuilder("424D16010000000000003600000028000000" +
+      "0900000008000000" + "01001800" + "00000000" + "E0000000" +
+      "130B0000130B0000" + "0000000000000000")
+    for (ys <- 0 until 8) {
+      val yTop = 7 - ys // bottom-up row order
+      for (x <- 0 until 9; _ <- 0 until 3) sb.append(f"${v(yTop)(x)}%02X")
+      sb.append("00")
+    }
+    sb.toString.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  test("dHash pre-collapse: identical-image flood yields the full pair set") {
+    import spark.implicits._
+    // 300 byte-identical flat images (the solid-color placeholder case:
+    // gradient signs all zero) — one representative enters the band
+    // join; the output must still contain every C(300,2) intra pair —
+    // plus one planted near-dup pair far from the flood
+    val flat = bmpOfBits(Seq.fill(64)(0))
+    val x = Seq.tabulate(64)(i => i % 2) // alternating — hamming 32 from flat
+    val y = x.updated(10, 1 - x(10))     // hamming 1 from x
+    val rows = (1L to 300L).map((_, flat)) ++
+      Seq((301L, bmpOfBits(x)), (302L, bmpOfBits(y)))
+    val got = Multimodal.dHashNearDuplicates(
+        rows.toDF("id", "payload"), $"id", $"payload", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.size == 300 * 299 / 2 + 1)
+    assert(got.contains((301L, 302L, 1)))
+    assert(got.filter(_._3 == 0).size == 300 * 299 / 2)
+    // invariance against brute force over the decoded hashes
+    val hashes = rows.map { case (i, p) =>
+      val (feat, w, _) = Multimodal.ImageIODecoder().decodeBatch(Seq(p)).head
+      assert(w == 9)
+      val bits = for (yy <- 0 until 8; xx <- 0 until 8)
+        yield if (feat(yy * 9 + xx + 1) > feat(yy * 9 + xx)) 1 else 0
+      (i, bits)
+    }
+    val brute = (for {
+      (ia, ba) <- hashes; (ib, bb) <- hashes if ia < ib
+      h = ba.zip(bb).count(p => p._1 != p._2) if h <= 6
+    } yield (ia, ib, h)).toSet
+    assert(got == brute)
+  }
+
+  test("dHash bucket-quantile cap is one-sided and kills hot buckets") {
+    import spark.implicits._
+    // X and Y: hamming 6 spread over bands 1..6 (equal in bands 0 and 7);
+    // six fillers each flip one ENTIRE mid band (hamming 8 from X — never
+    // a pair), making every shared bucket hot
+    val xBits = Seq.tabulate(64)(i => if (i % 3 == 0) 1 else 0)
+    val yBits = (1 to 6).foldLeft(xBits)((b, band) =>
+      b.updated(band * 8 + 3, 1 - b(band * 8 + 3)))
+    val fillers = (0 until 6).map { k =>
+      (10L + k, bmpOfBits(Seq.tabulate(64)(i =>
+        if (i / 8 == k + 1) 1 - xBits(i) else xBits(i))))
+    }
+    val rows = Seq((1L, bmpOfBits(xBits)), (2L, bmpOfBits(yBits))) ++ fillers
+    def run(cap: Option[Double]) = Multimodal.dHashNearDuplicates(
+        rows.toDF("id", "payload"), $"id", $"payload", maxHamming = 6,
+        maxBandBucketQuantile = cap)
+      .as[(Long, Long, Int)].collect().toSet
+    val uncapped = run(None)
+    assert(uncapped == Set((1L, 2L, 6)))
+    val capped = run(Some(0.1)) // cap below every hot bucket's size
+    assert(capped.subsetOf(uncapped), "cap must never add pairs")
+    assert(capped.isEmpty, "every candidate bucket was hot; cap drops them all")
+  }
 }
