@@ -70,12 +70,26 @@ object Bench {
     // `cold` = first run (the rounds<=4 methodology); the headline total
     // stays the cold sum for round-over-round continuity.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Contention self-diagnosis (the round-8 adjudication: the driver's
+    // record showed q_minhash_pairs steady 24.7 s > its own 9.7 s cold —
+    // machine contention, physically impossible for a stable plan, but
+    // invisible in the record). Each query row carries its driver-JVM GC
+    // millis and a wall-clock start timestamp, and any steady > cold
+    // query is flagged in `contended` — so a contended window
+    // self-identifies instead of masquerading as a regression.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val benchStart = java.time.Instant.now().toString
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Option[(Double, Long)] = {
+      def timed(): Option[(Double, Long, Long)] = {
         val t0 = System.nanoTime()
+        val gc0 = gcMillis()
         try {
           val (_, rows) = materialize(fn(spark, sfDir))
-          Some(((System.nanoTime() - t0) / 1e9, rows))
+          Some(((System.nanoTime() - t0) / 1e9, rows, gcMillis() - gc0))
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -101,12 +115,18 @@ object Bench {
       val t = steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
       val c = cold.fold(-1.0)(_._1)
       val r = cold.fold(0L)(_._2)
-      s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r + "}"
+      val g = steady.fold(-1L)(_._3)
+      s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
+        ",\"gc_ms\":" + g + "}"
     }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val contended = results.collect {
+      case (k, (Some(c), Some(s))) if s._1 > c._1 => k
+    }
+    val contJson = contended.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum
     val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"$benchStart","contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.
