@@ -218,10 +218,12 @@ object Curation {
   /** The A-ES priority `round(ln(u)/w, 9)` with u the md5-derived exact
     * 52-bit uniform in (0,1] — shared by [[weightedSample]] and
     * [[weightedSamplePerGroup]]; see weightedSample's scaladoc for the
-    * float discipline.
+    * float discipline. Public (and SQL-registered as `aes_priority`) so
+    * pure-SQL pipelines can run Efraimidis–Spirtakis sampling with a
+    * plain ORDER BY priority DESC LIMIT k.
     */
-  private def aesPriority(key: Column, weight: Column, salt: String): Column = {
-    val hex13 = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 13)
+  def aesPriority(key: Column, weight: Column, salt: Column): Column = {
+    val hex13 = substring(md5(concat_ws(":", salt, key.cast("string"))), 1, 13)
     val u = (conv(hex13, 16, 10).cast("long").cast("double") + lit(1.0)) /
       lit(4503599627370497.0) // 2^52 + 1
     val w = weight.cast("double")
@@ -233,6 +235,9 @@ object Curation {
         lit("weightedSample: non-positive or null weight for key "),
         key.cast("string"))).cast("double")), 9) + lit(0.0)
   }
+
+  private def aesPriority(key: Column, weight: Column, salt: String): Column =
+    aesPriority(key, weight, lit(salt))
 
   /** Token-budget sequence packing — the batch-construction step between
     * a curated corpus and a trainer: assign documents to packs such that

@@ -96,7 +96,7 @@ object IncrementalDedup {
     * adopt it before any read. The same discipline as the curated-store
     * merge ([[graft.streaming.StreamingIngest]]).
     */
-  private def adoptNext(
+  private[operators] def adoptNext(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
     val next = new org.apache.hadoop.fs.Path(p.toString + "__next")
     val live = fs.exists(p) && fs.listStatus(p).nonEmpty

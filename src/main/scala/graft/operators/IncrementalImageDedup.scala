@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch PERCEPTUAL image near-duplicate suppression against a
+  * persistent dHash store — the incremental form of
+  * [[Multimodal.dHashNearDuplicates]], completing the incremental-store
+  * family ([[IncrementalDedup]] for whole-document text,
+  * [[IncrementalSegmentDedup]] for paragraphs): media arrives over crawl
+  * batches, and each batch must suppress against every image ever
+  * accepted without re-decoding or re-scanning the accepted corpus.
+  *
+  * The store keeps one slim row per media item EVER SEEN — survivors and
+  * suppressed alike — holding its 64-bit perceptual hash and its cluster
+  * representative. Keeping suppressed items' hashes makes suppression
+  * TRANSITIVE across batches (the [[IncrementalDedup]] argument): an
+  * image within the Hamming radius of a previously-suppressed near-dup
+  * joins that item's cluster through its rep, even when it is outside
+  * the radius of the cluster's own survivor. Payload bytes are NEVER
+  * stored — 17 bytes of state per item, not the image.
+  *
+  * Per batch:
+  *  1. batched REAL decode ([[Multimodal.ImageIODecoder]]) → dHash64;
+  *     undecodable payloads carry a null hash: they can never match or
+  *     be matched, and land as their own survivors (the short-doc
+  *     convention);
+  *  2. batch-internal edges: identical-hash pre-collapse (member→rep
+  *     chain edges, NOT the C(m,2) intra clique — connected components
+  *     only needs connectivity), then the 8×8-bit banded self-join over
+  *     DISTINCT hashes with exact Hamming verification;
+  *  3. batch×store: batch's distinct hashes join the store's distinct
+  *     hashes on shared band bytes (store side pre-aggregated to
+  *     (dh, min rep) — equal hashes share suppression fate, so the
+  *     collapse is exact); per batch item, the minimum store rep within
+  *     `maxHamming`;
+  *  4. batch-internal clusters via [[Dedup.connectedComponents]]; each
+  *     cluster adopts the minimum store rep any member matched, else its
+  *     minimum member id;
+  *  5. the labeled batch lands at `batch=<batchId>` with mode=overwrite —
+  *     idempotent under streaming replay, append-only across distinct
+  *     batches. [[IncrementalDedup.compactStore]] applies to this store
+  *     unchanged (same `batch=` layout, content-agnostic consolidation).
+  *
+  * Monotonicity contract: identical to [[IncrementalDedup]] — emitted
+  * survivors are never retracted; a later bridge image suppresses under
+  * the smaller rep without merging already-emitted survivors.
+  *
+  * Scale shape: per batch, the store contributes 8 band rows per
+  * DISTINCT hash (collapse absorbs placeholder floods — the store-side
+  * analogue of [[Multimodal.dHashNearDuplicates]]'s guard); batch
+  * payloads decode exactly once; all joins carry (hash, rep) longs.
+  * Requirements: `id` non-negative long, unique across all batches ever
+  * fed to one store.
+  */
+object IncrementalImageDedup {
+
+  private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "media_id BIGINT, dh BIGINT, rep_id BIGINT, survivor BOOLEAN")
+
+  /** (band, key) rows for a 64-bit hash column: 8 bands of 8 bits. */
+  private def bandStruct(dh: Column): Column =
+    explode(array((0 until 8).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(dh, b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*))
+
+  /** Suppress one batch against the store at `storePath`, then persist
+    * the labeled batch into `batch=<batchId>`. Returns (media_id,
+    * rep_id, survivor).
+    */
+  def dhashDedupBatch(
+      spark: SparkSession, batch: DataFrame, id: Column, payload: Column,
+      storePath: String, batchId: Long,
+      maxHamming: Int = 6, batchSize: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be within [0, 7] (8-band pigeonhole bound), got $maxHamming")
+    val decoded = Multimodal.decodeFeatures(
+      batch.select(id.cast("long").as("media_id"), payload.as("__p")), "__p",
+      Multimodal.ImageIODecoder(), batchSize)
+    // hashed once, materialized: feeds the member chain, both band joins,
+    // and the final labeling — decode must not re-run per branch
+    val hashed = Checkpoints.materialize(decoded
+      .select(col("media_id"),
+        when(col("dec_width") > 0, Multimodal.dHash64(col("feat")))
+          .otherwise(lit(null).cast("long")).as("dh")))
+    val members = hashed.filter(col("dh").isNotNull)
+      .withColumn("__rep", min(col("media_id")).over(Window.partitionBy(col("dh"))))
+    // chain edges connect identical-hash members to their in-batch rep;
+    // band-join edges connect distinct hashes within the radius
+    val chainEdges = members.filter(col("media_id") =!= col("__rep"))
+      .select(col("__rep").as("a"), col("media_id").as("b"))
+    val reps = members.filter(col("media_id") === col("__rep"))
+      .select(col("__rep"), col("dh"), bandStruct(col("dh")).as("__b"))
+    val ra = reps.select(col("__rep").as("a"), col("dh").as("__dha"), col("__b"))
+    val rb = reps.select(col("__rep").as("b"), col("dh").as("__dhb"), col("__b"))
+    val repEdges = ra.join(rb, Seq("__b"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("__dha").bitwiseXOR(col("__dhb"))) <= maxHamming)
+      .select(col("a"), col("b")).distinct()
+
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed compactStore swap leaves the only copy at __next
+    IncrementalDedup.adoptNext(fs, p)
+    val store =
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
+        spark.read.parquet(storePath)
+          .select(col("media_id"), col("dh"), col("rep_id"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+          .select(col("media_id"), col("dh"), col("rep_id"))
+    // store side collapsed to (distinct hash, min rep): equal hashes
+    // matched each other at ingest, so min-rep per hash is exactly the
+    // rep the full row set would contribute
+    val sReps = store.filter(col("dh").isNotNull)
+      .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
+      .select(col("dh").as("__sdh"), col("__srep"), bandStruct(col("dh")).as("__b"))
+    val bEx = reps.select(col("__rep"), col("dh"), col("__b"))
+    val storeRep = bEx.join(sReps, Seq("__b"))
+      .filter(bit_count(col("dh").bitwiseXOR(col("__sdh"))) <= maxHamming)
+      .groupBy(col("__rep")).agg(min(col("__srep")).as("__crep"))
+      // back to every member of the batch hash group
+      .join(members.select(col("media_id"), col("__rep")), Seq("__rep"))
+      .select(col("media_id"), col("__crep"))
+
+    val edges = chainEdges.unionByName(repEdges)
+    val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
+    val ids = hashed.select(col("media_id"))
+    val compOf = ids
+      .join(comp, ids("media_id") === comp("node"), "left")
+      .select(col("media_id"), coalesce(col("cluster_rep"), col("media_id")).as("__comp"))
+    val compRep = compOf.join(storeRep, Seq("media_id"), "left")
+      .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+    val labeled = compOf.join(compRep, Seq("__comp"))
+      .select(col("media_id"),
+        coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
+    val out = hashed.join(labeled, Seq("media_id"))
+      .select(col("media_id"), col("dh"), col("rep_id"),
+        (col("rep_id") === col("media_id")).as("survivor"))
+
+    out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    Checkpoints.free(hashed)
+    spark.read.parquet(s"$storePath/batch=$batchId")
+      .select(col("media_id"), col("rep_id"), col("survivor"))
+  }
+
+  /** The store's accepted (surviving) media ids. */
+  def survivors(spark: SparkSession, storePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    IncrementalDedup.adoptNext(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    spark.read.parquet(storePath)
+      .filter(col("survivor"))
+      .select(col("media_id"))
+  }
+}

@@ -187,36 +187,98 @@ object MultimodalQueries {
     */
   private val DhG = 8 // family group count
 
-  /** The 64 grid bits of doc `d` as Spark columns (b(0)..b(63)). */
-  private def dhashBits(d: Column): IndexedSeq[Column] = {
+  /** Grid bit i of doc `d` (both arguments are columns — `i` may be a
+    * lambda variable inside a higher-order fold).
+    */
+  private def dhashBit(d: Column, i: Column): Column = {
     val fam = d % 11 === 0
     val g = floor(d / 11).cast("long") % DhG
     val r = floor(d / 88).cast("long") % 3
-    (0 until 64).map { i =>
-      val base = bit_count(g * 40503L + lit(i.toLong) * 2654435761L) % 2
-      val flip = when((r === 1 || r === 2) && lit(i.toLong) === (g * 5) % 64, 1)
-        .when(r === 2 &&
-          (lit(i.toLong) === (g * 7 + 13) % 64 ||
-            lit(i.toLong) === (g * 3 + 29) % 64), 1)
-        .otherwise(0)
-      when(fam, (base + flip) % 2)
-        .otherwise(bit_count(d * 40503L + lit(i.toLong) * 2654435761L + 777L) % 2)
-        .cast("int")
+    val base = bit_count(g * 40503L + i * 2654435761L) % 2
+    val flip = when((r === 1 || r === 2) && i === (g * 5) % 64, 1)
+      .when(r === 2 &&
+        (i === (g * 7 + 13) % 64 || i === (g * 3 + 29) % 64), 1)
+      .otherwise(0)
+    when(fam, (base + flip) % 2)
+      .otherwise(bit_count(d * 40503L + i * 2654435761L + 777L) % 2)
+      .cast("long")
+  }
+
+  /** The 64 grid bits of doc `d` as Spark columns (b(0)..b(63)). */
+  private def dhashBits(d: Column): IndexedSeq[Column] =
+    (0 until 64).map(i => dhashBit(d, lit(i.toLong)).cast("int"))
+
+  /** Deterministic synthetic media frame (media_id, payload) — a real
+    * 9×8 24-bit BMP per doc encoding [[dhashBits]]'s gradient-sign
+    * pattern, or a corrupt payload (0x00 + raw text bytes) for planted
+    * corrupt docs. Shared by [[dhashPairs]] (the oracle corpus) and the
+    * streaming capstone's image stage (the testdata has no media table;
+    * the payload bytes and every decode downstream of them are real).
+    *
+    * Codegen discipline: the whole builder is a few hundred expression
+    * nodes. The 64 bits fold into two 32-bit half-longs via a
+    * higher-order `aggregate` (the lambda body — one [[dhashBit]] —
+    * is generated ONCE and looped at runtime), and every pixel derives
+    * from the halves via small arithmetic inside a `transform` over
+    * pixel index. Two earlier formulations unrolled the 64 bit trees
+    * (and then the 72 pixel trees referencing them) into the
+    * projection, generating a 20k-line `processNext` that blew janino's
+    * 64 KB method limit and silently dropped the stage to the
+    * interpreted path.
+    */
+  def syntheticMedia(docs: DataFrame, d: Column, text: Column): DataFrame = {
+    // bits folded into two non-negative 32-bit halves (a single signed-64
+    // pack would be fine two's-complement-wise, but halves keep every
+    // value positive for the double-exact pow arithmetic below)
+    def half(lo: Int): Column =
+      aggregate(sequence(lit(lo.toLong), lit(lo + 31L)), lit(0L),
+        (acc, i) => acc + dhashBit(d, i) *
+          pow(lit(2.0), i - lo).cast("long"))
+    val staged = docs.select(
+      d.as("media_id"), text.as("__text"),
+      half(0).as("__dhLo"), half(32).as("__dhHi"))
+    // one row's 28 storage bytes (9 gray pixels ×3 + pad): the row byte
+    // comes out of its half by a literal shift (y is unrolled in Scala),
+    // and v(x, y) = 100 + 4·popcount(row-prefix bits below x) − 2x with
+    // the prefix mask as exact double pow (x ≤ 8) inside the transform
+    def rowHex(y: Int): Column = {
+      val halfCol = if (y < 4) col("__dhLo") else col("__dhHi")
+      val rowByte = shiftrightunsigned(halfCol, (y % 4) * 8)
+        .bitwiseAND(lit(0xffL)).cast("double")
+      concat(array_join(
+        transform(sequence(lit(0), lit(8)), x => {
+          val pc = bit_count(pmod(rowByte, pow(lit(2.0), x)).cast("long"))
+          val v = (lit(100) + pc * 4 - x * 2).cast("int")
+          val h = lpad(hex(v), 2, "0")
+          concat(h, h, h)
+        }), ""), lit("00"))
     }
+    // 54-byte header: BM, size 278, offset 54; BITMAPINFOHEADER 9×8,
+    // 1 plane, 24 bpp, BI_RGB, image size 224 (8 rows of 27+1 pad)
+    val header = "424D16010000000000003600000028000000" +
+      "0900000008000000" + "01001800" + "00000000" + "E0000000" +
+      "130B0000130B0000" + "0000000000000000"
+    val rows = (7 to 0 by -1).map(rowHex) // bottom-up row order
+    val bmp = unhex(concat(lit(header) +: rows: _*))
+    val payload = when(col("media_id") % 11 === 5,
+        concat(unhex(lit("00")), encode(col("__text"), "UTF-8")))
+      .otherwise(bmp)
+    staged.select(col("media_id"), payload.as("payload"))
   }
 
   /** REAL image-decode path, cross-engine: each document synthesizes a
     * 9×8 24-bit BMP whose pixel gray values encode a deterministic
     * 64-bit gradient-sign pattern (doc_id arithmetic, [[dhashBits]]),
-    * plus planted corrupt payloads. The SPARK side runs the full
-    * production pipeline — payload bytes → batched `javax.imageio`
-    * decode → luminance grid → [[Multimodal.dHash64]] → identical-hash
-    * pre-collapse → banded candidate join → Hamming verify. The DuckDB
-    * oracle never decodes: it re-derives the grid bits from the same
-    * arithmetic, folds them into the 8 band bytes, replays band join +
-    * bit_count Hamming — so the encode → decode → grid → hash chain is
-    * verified end-to-end across two engines (the q_image_dims
-    * discipline, one level deeper: actual pixels, not just headers).
+    * plus planted corrupt payloads — see [[syntheticPayload]]. The SPARK
+    * side runs the full production pipeline — payload bytes → batched
+    * `javax.imageio` decode → luminance grid → [[Multimodal.dHash64]] →
+    * identical-hash pre-collapse → banded candidate join → Hamming
+    * verify. The DuckDB oracle never decodes: it re-derives the grid
+    * bits from the same arithmetic, folds them into the 8 band bytes,
+    * replays band join + bit_count Hamming — so the encode → decode →
+    * grid → hash chain is verified end-to-end across two engines (the
+    * q_image_dims discipline, one level deeper: actual pixels, not just
+    * headers).
     *
     * Pixel construction: v(0, y) = 100; v(x+1, y) = v(x, y) ± 2 by bit
     * (y·8 + x) — values stay in [84, 116], and the 9×8 image maps 1:1
@@ -225,31 +287,9 @@ object MultimodalQueries {
     */
   def dhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = $"doc_id"
-    val bits = dhashBits(d)
-    // grid values per (x, y); hex of one gray byte, repeated ×3 (B, G, R)
-    val v = Array.tabulate(8, 9) { (y, x) =>
-      (0 until x).map(x0 => bits(y * 8 + x0) * 2 - 1)
-        .foldLeft(lit(100): Column)((acc, s) => acc + s * 2)
-    }
-    def px(y: Int, x: Int): Column = {
-      val h = lpad(hex(v(y)(x)), 2, "0")
-      concat(h, h, h)
-    }
-    // 54-byte header: BM, size 278, offset 54; BITMAPINFOHEADER 9×8,
-    // 1 plane, 24 bpp, BI_RGB, image size 224 (8 rows of 27+1 pad)
-    val header = "424D16010000000000003600000028000000" +
-      "0900000008000000" + "01001800" + "00000000" + "E0000000" +
-      "130B0000130B0000" + "0000000000000000"
-    val rows = (7 to 0 by -1).map(yTop => // bottom-up row order
-      concat((0 until 9).map(x => px(yTop, x)) :+ lit("00"): _*))
-    val bmp = unhex(concat(lit(header) +: rows: _*))
-    val payload = when(d % 11 === 5,
-        concat(unhex(lit("00")), encode($"text", "UTF-8")))
-      .otherwise(bmp)
-    val media = Tables(spark, dir, "documents")
-      .select(d.as("doc_id"), payload.as("payload"))
-    Multimodal.dHashNearDuplicates(media, $"doc_id", $"payload", maxHamming = 6)
+    val media = syntheticMedia(
+      Tables(spark, dir, "documents"), $"doc_id", $"text")
+    Multimodal.dHashNearDuplicates(media, $"media_id", $"payload", maxHamming = 6)
       .orderBy($"id_a", $"id_b")
   }
 

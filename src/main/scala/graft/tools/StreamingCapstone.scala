@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
-import graft.operators.{IncrementalDedup, IncrementalSegmentDedup, IvfPqIndex}
+import graft.operators.{IncrementalDedup, IncrementalImageDedup, IncrementalSegmentDedup, IvfPqIndex}
 import graft.sources.LocationDictSource
 
 /** End-to-end STREAMING capstone: every stage of the reference pipeline
@@ -25,8 +25,11 @@ import graft.sources.LocationDictSource
   *  4. land the enriched batch as its own idempotent `batch=` partition
   *     (replay overwrites, never appends);
   *  5. feed the INCREMENTAL LSH near-dup store (signatures persisted,
-  *     never recomputed) and the segment-dedup store (cross-batch
-  *     boilerplate suppression) — both checkpoint-replay-safe.
+  *     never recomputed), the segment-dedup store (cross-batch
+  *     boilerplate suppression), and — when media payloads ride along —
+  *     the PERCEPTUAL image-dedup store ([[IncrementalImageDedup]]:
+  *     real decode, dHash, cross-batch suppression) — all
+  *     checkpoint-replay-safe.
   *
   * The foreachBatch body is deterministic per (batch, store state), every
   * store write is an idempotent partition overwrite keyed by batchId, and
@@ -42,7 +45,7 @@ object StreamingCapstone {
 
   final case class Stores(
     curatedDir: String, lshStore: String, segStore: String, segOut: String,
-    vecStore: String = "")
+    vecStore: String = "", imgStore: String = "")
 
   /** One micro-batch through the full pipeline; returns rows landed.
     *
@@ -60,8 +63,9 @@ object StreamingCapstone {
       spark: SparkSession, batch: DataFrame, stores: Stores, batchId: Long,
       dict: DictionaryLocator.LocationDict, minTokens: Int = 5,
       vectors: Option[DataFrame] = None,
-      minVecBuildRows: Int = 64, vecKs: Int = 16): Long = {
-    val cleaned = batch
+      minVecBuildRows: Int = 64, vecKs: Int = 16,
+      media: Option[DataFrame] = None): Long = {
+    val enriched = batch
       .withColumn("clean_text",
         TextFunctions.cleanTweetText(
           TextFunctions.redactPii(TextFunctions.nfcNormalize(col("text")))))
@@ -69,10 +73,23 @@ object StreamingCapstone {
       .filter(col("clean_text").isNotNull && col("__nt") >= minTokens &&
         TextFunctions.punctCount(col("clean_text")) <= col("__nt"))
       .withColumn("lang_id", TextFunctions.langId(col("clean_text")))
-      .withColumn("location", DictionaryLocator.detect(col("clean_text"), dict))
       .withColumn("sentiment",
         LexiconSentiment.label(col("clean_text"), LexiconSentiment.EngineWords))
       .drop("__nt")
+    // location via the BROADCAST-JOIN cascade (detectViaJoin), not the
+    // inlined when-chain: with the production 456-city dictionary the
+    // when-chain expression alone pushed the batch projection's generated
+    // processNext past janino's 64 KB limit — every micro-batch logged
+    // "Failed to compile" and ran the whole enrichment stage interpreted.
+    // The join is also the documented 100 TB shape (grams × broadcast
+    // dim, first-match-wins as a map-side-combinable min)
+    val loc = DictionaryLocator.detectViaJoin(
+        enriched, col("doc_id"), col("clean_text"), dict)
+      .select(col("id").as("__lid"),
+        struct(col("province"), col("city"), col("detected_from")).as("location"))
+    val cleaned = enriched
+      .join(loc, enriched("doc_id") === col("__lid"), "left")
+      .drop("__lid")
     // idempotent landing: a replayed batch rewrites its own partition
     cleaned.write.mode("overwrite")
       .parquet(s"${stores.curatedDir}/batch=$batchId")
@@ -90,6 +107,17 @@ object StreamingCapstone {
     for (emb <- vectors if stores.vecStore.nonEmpty)
       maintainVectorIndex(spark, landed, emb, stores.vecStore, batchId,
         minVecBuildRows, vecKs)
+    // perceptual image stage: the landed docs' media suppress against the
+    // cross-batch dHash store (batch=-keyed partition overwrite — the
+    // same idempotent replay contract as the text stores)
+    for (m <- media if stores.imgStore.nonEmpty) {
+      val mb = m.join(landed.select(col("doc_id").as("__mid")),
+          col("media_id") === col("__mid"))
+        .select(col("media_id"), col("payload"))
+      IncrementalImageDedup.dhashDedupBatch(
+        spark, mb, col("media_id"), col("payload"), stores.imgStore, batchId)
+      ()
+    }
     landed.count()
   }
 
@@ -159,7 +187,8 @@ object StreamingCapstone {
       maxFilesPerTrigger: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
       vectors: Option[DataFrame] = None,
-      minVecBuildRows: Int = 64, vecKs: Int = 16): StreamingQuery = {
+      minVecBuildRows: Int = 64, vecKs: Int = 16,
+      media: Option[DataFrame] = None): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string").add("lang", "string")
     spark.readStream
@@ -172,7 +201,8 @@ object StreamingCapstone {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(spark, batch, stores, batchId, dict,
-            vectors = vectors, minVecBuildRows = minVecBuildRows, vecKs = vecKs)
+            vectors = vectors, minVecBuildRows = minVecBuildRows,
+            vecKs = vecKs, media = media)
           ()
         }
       }
@@ -203,18 +233,24 @@ object StreamingCapstone {
     val total = spark.read.json(landing).count()
 
     val stores = Stores(s"$work/curated", s"$work/lsh_store",
-      s"$work/seg_store", s"$work/seg_out", s"$work/vec_index")
+      s"$work/seg_store", s"$work/seg_out", s"$work/vec_index",
+      s"$work/img_store")
     val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
     val embeddings = graft.Tables(spark, sfDir, "embeddings")
+    // synthetic media (the testdata ships no media table): the
+    // q_dhash_pairs corpus — real BMP bytes, real decode downstream
+    val media = graft.queries.MultimodalQueries.syntheticMedia(
+      graft.Tables(spark, sfDir, "documents"), col("doc_id"), col("text"))
     val t0 = System.nanoTime()
     val q = start(spark, landing, stores, s"$work/ckpt", dict,
-      vectors = Some(embeddings))
+      vectors = Some(embeddings), media = Some(media))
     q.awaitTermination()
     val wallS = (System.nanoTime() - t0) / 1e9
     val landed = spark.read.parquet(stores.curatedDir).count()
     val survivors = IncrementalDedup.survivors(spark, stores.lshStore).count()
     val vecRows = spark.read.parquet(s"${stores.vecStore}/cells").count()
-    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"vec_rows":$vecRows,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
+    val imgSurvivors = IncrementalImageDedup.survivors(spark, stores.imgStore).count()
+    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"vec_rows":$vecRows,"img_survivors":$imgSurvivors,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

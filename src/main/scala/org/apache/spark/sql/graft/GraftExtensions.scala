@@ -62,6 +62,19 @@ object GraftFunctions {
       ColumnNodeToExpressionConverter(build(ExpressionUtils.column(children.head)).node)
     })
 
+  private def composed3(
+      name: String, owner: Class[_],
+      build: (Column, Column, Column) => Column) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(owner.getName, name),
+    (children: Seq[Expression]) => {
+      requireArity(name, 3, children)
+      ColumnNodeToExpressionConverter(build(
+        ExpressionUtils.column(children.head),
+        ExpressionUtils.column(children(1)),
+        ExpressionUtils.column(children(2))).node)
+    })
+
   private val all = Seq(
     binary("partial_ratio_sim", classOf[PartialRatioSimExpr], PartialRatioSimExpr(_, _)),
     binary("partial_ratio_fw", classOf[PartialRatioFwExpr], PartialRatioFwExpr(_, _)),
@@ -93,7 +106,18 @@ object GraftFunctions {
     // PII scrub (curation layer): same regexp_replace cascade as the
     // Column API, so SQL pipelines can redact before anything else reads
     // the text
-    composed("redact_pii", TextFunctions.getClass, TextFunctions.redactPii))
+    composed("redact_pii", TextFunctions.getClass, TextFunctions.redactPii),
+    // perceptual 64-bit difference hash over a 9×8 luminance grid (the
+    // decodeFeatures `feat` column) — with the built-in bit_count(a ^ b),
+    // SQL users run image near-dup detection over decoded grids the same
+    // way simhash64 covers text
+    composed("dhash64", graft.operators.Multimodal.getClass,
+      t => graft.operators.Multimodal.dHash64(t)),
+    // Efraimidis–Spirtakis weighted-sampling priority (key, weight, salt):
+    // ORDER BY aes_priority(...) DESC LIMIT k IS a weighted sample
+    // without replacement, entirely in SQL
+    composed3("aes_priority", graft.operators.Curation.getClass,
+      (k, w, s) => graft.operators.Curation.aesPriority(k, w, s)))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

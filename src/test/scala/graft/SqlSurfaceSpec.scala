@@ -135,4 +135,41 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql === viaDf)
     assert(viaSql.head === "mail [EMAIL] from [IP] call [PHONE]")
   }
+
+  test("dhash64 registers as SQL and matches the Column API over decoded grids") {
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // a decoded-grid stand-in: any 72-float array is a valid dHash input;
+    // the SQL call must equal the Column expression bit for bit
+    val grids = Seq(
+      (1L, Array.tabulate(72)(i => (i * 37 % 23).toFloat)),
+      (2L, Array.fill(72)(5f)), // flat grid: hash 0
+      (3L, Array.tabulate(72)(i => if (i % 2 == 0) 1f else 9f)))
+    val df = grids.toDF("id", "feat")
+    df.createOrReplaceTempView("grids")
+    val viaSql = spark.sql(
+      "SELECT id, dhash64(feat) AS h FROM grids ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDf = df.select($"id",
+        graft.operators.Multimodal.dHash64($"feat").as("h"))
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf)
+    assert(viaSql(1)._2 == 0L) // flat image hashes to zero
+  }
+
+  test("aes_priority registers as SQL: ORDER BY DESC LIMIT k is weightedSample") {
+    Tables.registerAll(spark, sf)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, aes_priority(doc_id, length(text), 'graft-ws') AS priority
+        |FROM documents ORDER BY priority DESC, doc_id LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaOp = graft.operators.Curation.weightedSample(
+        Tables(spark, sf, "documents"), col("doc_id"), length(col("text")), 10)
+      .orderBy(col("rk"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql == viaOp)
+    assert(viaSql.size == 10)
+  }
 }

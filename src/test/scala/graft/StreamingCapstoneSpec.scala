@@ -54,10 +54,29 @@ class StreamingCapstoneSpec extends SparkSpec {
       doc(6, s"program makan gratis di Bandung bagus sekali $boiler"), // late dup of 1
       doc(7, s"laporan netral tanpa opini tentang kegiatan hari ini $boiler")))
 
+  // deterministic synthetic media for the 7 doc ids: docs 1/2/6 share one
+  // image (the cross-batch perceptual dup), 4 is a 2-bit tweak of it,
+  // 5 is far, 7 is corrupt — exercising suppression, near-dup radius,
+  // and the undecodable path inside the stream
+  private def mediaDf = {
+    val base = Seq.tabulate(64)(i => if (i % 5 == 0) 1 else 0)
+    Seq[(Long, Array[Byte])](
+      (1L, TestImages.bmpOfBits(base)),
+      (2L, TestImages.bmpOfBits(base)),
+      (4L, TestImages.bmpOfBits(TestImages.flip(base, 2, 11))),
+      (5L, TestImages.bmpOfBits(Seq.tabulate(64)(i => if (i % 2 == 0) 1 else 0))),
+      (6L, TestImages.bmpOfBits(base)),
+      (7L, "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+  }
+
+  private def stWithImg(dir: String) =
+    stores(dir).copy(imgStore = s"$dir/img")
+
   private def runAll(dir: String, landing: String): Unit = {
-    val q = StreamingCapstone.start(spark, landing, stores(dir), s"$dir/ck",
+    val q = StreamingCapstone.start(spark, landing, stWithImg(dir), s"$dir/ck",
       DictionaryLocator.Indonesian, maxFilesPerTrigger = 1,
-      trigger = Trigger.AvailableNow())
+      trigger = Trigger.AvailableNow(), media = Some(mediaDf))
     q.awaitTermination()
   }
 
@@ -153,5 +172,31 @@ class StreamingCapstoneSpec extends SparkSpec {
     def survivors(dir: String) = IncrementalDedup.survivors(spark, stores(dir).lshStore)
       .select($"doc_id").as[Long].collect().toSet
     assert(survivors(interrupted) == survivors(straight))
+    def imgState(dir: String) = spark.read.parquet(stWithImg(dir).imgStore)
+      .select($"media_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(imgState(interrupted) == imgState(straight))
+  }
+
+  test("image stage suppresses perceptual dups across batches in-stream") {
+    val dir = tmpDir("capimg")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (s, i) => writeSlice(landing, s"b$i.json", s, i) }
+    runAll(dir, landing)
+    val state = spark.read.parquet(stWithImg(dir).imgStore)
+      .select($"media_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (m, r, s) => (m, (r, s)) }.toMap
+    // doc 3 never lands (quality gate) → its media never reaches the store
+    assert(!state.contains(3L))
+    // 1 survives; 2 (same batch) and 6 (two batches later, identical
+    // image) suppress under it; 4 is within the hamming radius → also
+    // suppressed under 1; 5 is far and survives; corrupt 7 survives
+    assert(state(1L) == ((1L, true)))
+    assert(state(2L) == ((1L, false)))
+    assert(state(6L) == ((1L, false)), "cross-batch perceptual dup kept")
+    assert(state(4L)._2 == false && state(4L)._1 == 1L)
+    assert(state(5L)._2 == true && state(7L)._2 == true)
   }
 }
