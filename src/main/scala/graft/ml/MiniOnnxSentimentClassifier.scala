@@ -11,12 +11,18 @@ import graft.operators.SentimentClassifier
   * to a fixed-width float vector (the model's declared input) and run
   * through the parsed ONNX graph as one [N, dim] batch.
   *
-  * Intended envelope: small feed-forward classifiers (the MiniOnnx op
-  * set). Transformer checkpoints still need the real ONNX Runtime path —
-  * this class exists so a deployment WITHOUT the optional jars can still
-  * execute a distilled/exported MLP sentiment head end-to-end, and so
-  * the model seam is integration-tested against real model bytes
-  * (MiniOnnxSpec) instead of stubbed logits.
+  * Intended envelope: small float32 classifiers within the MiniOnnx op
+  * set — since round 9 that includes transformer ENCODERS (embedding
+  * Gather, multi-head attention, GELU-via-Erf, LayerNormalization):
+  * MiniOnnxTransformerSpec drives a real 2-layer toy-BERT `.onnx`
+  * through this exact class to reference-derived golden labels. A
+  * `featurize` that emits token ids as floats plus a leading `Cast`
+  * node in the graph is the id-input convention. Production-size
+  * checkpoints still want the real ONNX Runtime path for throughput
+  * (vectorized kernels); this class exists so a deployment WITHOUT the
+  * optional jars can still execute an exported sentiment head
+  * end-to-end, and so the model seam is integration-tested against
+  * real model bytes instead of stubbed logits.
   *
   * The model is loaded lazily per executor (the case class serializes as
   * the path + featurizer), mirroring OnnxSentimentClassifier's

@@ -73,6 +73,24 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainFromCorpus(df, $"text", 8) == expectedMerges)
   }
 
+  test("trainFromCorpus maxWords caps the driver-side vocabulary collect") {
+    // the per-operator driver-state cap discipline (Quantiles.maxGroups,
+    // NaiveBayes.maxClasses): the word-frequency collect is limit()ed to
+    // the top maxWords by (count desc, word asc), so a heavy-tailed
+    // corpus cannot materialize its whole vocabulary on the driver. With
+    // maxWords = 2, only {newest ×6, low ×5} survive: the merges that
+    // existed only because of 'lower'/'widest' mass must vanish, and the
+    // result equals training on the truncated count map directly.
+    import spark.implicits._
+    val rows = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = rows.toDF("id", "text").repartition(5)
+    val capped = Bpe.trainFromCorpus(df, $"text", 8, maxWords = 2)
+    assert(capped == Bpe.train(Map("newest" -> 6L, "low" -> 5L), 8))
+    assert(capped != expectedMerges)
+  }
+
   test("BPE counts feed packByTokenBudget: budgets hold in BPE tokens") {
     import spark.implicits._
     val docs = (0 until 60).map { i =>
