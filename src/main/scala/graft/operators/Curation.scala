@@ -151,6 +151,84 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Temperature-flattened corpus mixing — the multilingual pretraining
+    * recipe (mBERT's exponentiated smoothing; Conneau & Lample, XLM,
+    * §3.1; mT5 §3.2): sampling probabilities q_l ∝ p_l^α with α < 1
+    * flatten the group (language/domain) distribution, and each group's
+    * keep rate r_l = min(1, q_l · N / c_l) downsamples head groups
+    * toward the target mix — no upsampling, so the budget is whatever
+    * the flattened mix admits. α = 1 keeps everything; α = 0 equalizes
+    * groups at the smallest group's ceiling.
+    *
+    * Selection reuses [[stratifiedSample]]'s portable md5-threshold
+    * mechanism with the rate COMPUTED per group: keep iff
+    * substr(md5(salt:key), 1, 8) < hex(floor(round(r, 9) · 2³²)) — the
+    * 9-decimal rounding absorbs cross-engine pow() ulp drift before the
+    * threshold is derived (the aesPriority float discipline), and
+    * rate ≥ 1 takes the 'g' sentinel so keep-all keeps ALL.
+    *
+    * Scale shape: one tiny per-group counts aggregate, two one-row
+    * aggregates over it (total, normalizer), rates broadcast back; the
+    * data path itself is a single broadcast-join + codegen filter —
+    * stable under repartitioning, re-runs, and incremental appends.
+    */
+  def temperatureMix(
+      df: DataFrame, group: Column, key: Column, alpha: Double,
+      salt: String = "graft"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(group.as("__grp")).agg(count(lit(1)).as("__c"))
+    val tot = counts.agg(sum(col("__c")).as("__tot"))
+    val powed = counts.join(broadcast(tot))
+      .withColumn("__q", pow(col("__c") / col("__tot"), lit(alpha)))
+    val z = powed.agg(sum(col("__q")).as("__z"))
+    val rates = powed.join(broadcast(z))
+      .select(col("__grp"),
+        least(lit(1.0),
+          round(col("__q") / col("__z") * col("__tot") / col("__c"), 9))
+          .as("__rate"))
+    val threshold = when(col("__rate") >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(
+        floor(col("__rate") * 4294967296.0).cast("long"))), 8, "0"))
+    val bucket = substring(md5(concat_ws(":", lit(salt), key.cast("string"))), 1, 8)
+    df.join(broadcast(rates), group <=> col("__grp"))
+      .filter(bucket < threshold)
+      .drop("__grp", "__rate")
+  }
+
+  /** Fixed-width overlapping PASSAGE CHUNKS — the corpus → retrieval/
+    * training unit step (every RAG indexing pipeline and every
+    * long-document pretraining recipe): whitespace tokens windowed at
+    * `width` tokens every `stride` (stride < width ⇒ overlap), chunk k
+    * covering tokens [k·stride, k·stride + width). The final chunk may
+    * be short; empty documents yield no chunks. Returns
+    * (doc_id, chunk_id, n_tokens, chunk_text).
+    *
+    * Scale shape: pure narrow projections + one generator — no shuffle,
+    * no UDF; chunk count per doc is ⌈n/stride⌉.
+    */
+  def chunkPassages(
+      df: DataFrame, id: Column, text: Column,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    // posexplode_outer, not posexplode — the InferFiltersFromGenerate
+    // re-inlining trap documented at Dedup.nearDuplicatePairsExact; the
+    // null rows it keeps for empty docs die on the explicit filter below
+    df.select(id.as("doc_id"), Dedup.tokens(text).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("__n"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        // the when() guard keeps sequence() from seeing an empty doc's
+        // (0, -1, +stride) descending-bounds error under ANSI mode
+        posexplode_outer(when(col("__n") > 0,
+          sequence(lit(0), col("__n") - 1, lit(stride))))
+          .as(Seq("chunk_id", "__start")))
+      .filter(col("__start").isNotNull)
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(width), col("__n") - col("__start")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(width)), " ")
+          .as("chunk_text"))
+  }
+
   /** Weighted sample WITHOUT replacement — the exponential-keys scheme
     * (Efraimidis & Spirtakis, "Weighted random sampling with a
     * reservoir", IPL 2006, A-ES): each row draws u ~ Uniform(0,1]

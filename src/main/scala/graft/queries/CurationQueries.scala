@@ -642,6 +642,67 @@ object CurationQueries {
       .orderBy($"source")
   }
 
+  /** Temperature-flattened language mixing at α = 0.5 over the documents
+    * table: head languages downsample toward the √p-flattened target
+    * mix; the DuckDB oracle recomputes counts → exponentiated target →
+    * 9-decimal-rounded rates → hex thresholds → the same md5 selection,
+    * so the whole data-dependent rate derivation is cross-engine gated
+    * row for row (the shared-constant discipline, with the rates now
+    * DERIVED instead of literal — the new surface vs
+    * q_stratified_sample).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.temperatureMix(
+        Tables.wide(spark, dir, "documents"), $"lang", $"doc_id", alpha = 0.5)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+      |t AS (SELECT sum(c) AS tot FROM c),
+      |p AS (SELECT lang, c, pow(c / tot, 0.5) AS q, tot FROM c, t),
+      |z AS (SELECT sum(q) AS z FROM p),
+      |r AS (SELECT lang,
+      |        least(1.0, round(q / z.z * tot / c, 9)) AS rate FROM p, z),
+      |th AS (SELECT lang,
+      |        CASE WHEN rate >= 1.0 THEN 'g'
+      |             ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+      |        END AS thr FROM r)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN th USING (lang)
+      |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Overlapping passage chunks (width 24, stride 16 → 8-token overlap)
+    * over the documents table — the RAG-indexing / long-doc-pretraining
+    * unit step; the oracle re-derives tokens, window starts
+    * (unnest(range(⌈n/stride⌉))) and slices in DuckDB.
+    */
+  def passageChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Curation.chunkPassages(
+        Tables.wide(spark, dir, "documents"), $"doc_id", $"text",
+        width = 24, stride = 16)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val passageChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |    unnest(range(CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS k
+      |  FROM toks)
+      |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      |  CAST(least(24, n - k * 16) AS INT) AS n_tokens,
+      |  array_to_string(tk[CAST(k * 16 + 1 AS INT) : CAST(least(k * 16 + 24, n) AS INT)], ' ')
+      |    AS chunk_text
+      |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Seed literal for the registered training-order shuffle (the order is
     * a function of (doc, seed): re-running an epoch with a new seed is a
     * different permutation, same machinery).
@@ -672,6 +733,8 @@ object CurationQueries {
        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> (temperatureMix _),
+    "q_passage_chunks" -> (passageChunks _),
     "q_training_order" -> (trainingOrder _),
     "q_bpe_token_stats" -> (bpeTokenStats _),
     "q_boilerplate_segments" -> (boilerplateSegments _),
@@ -690,6 +753,8 @@ object CurationQueries {
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_mix" -> temperatureMixSql,
+    "q_passage_chunks" -> passageChunksSql,
     "q_training_order" -> trainingOrderSql,
     "q_boilerplate_segments" -> boilerplateSegmentsSql,
     "q_dataset_split" -> datasetSplitSql,

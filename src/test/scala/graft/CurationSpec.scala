@@ -435,4 +435,87 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  // ------------------------------------------------- temperatureMix
+
+  private def mixCorpus = {
+    import spark.implicits._
+    // heavy head: 800 "en", mid 150 "id", tail 50 "su"
+    ((1L to 800L).map((_, "en")) ++ (801L to 950L).map((_, "id")) ++
+      (951L to 1000L).map((_, "su"))).toDF("doc_id", "lang")
+  }
+
+  test("temperatureMix alpha=1 keeps everything; alpha flattens the head") {
+    import spark.implicits._
+    val df = mixCorpus
+    assert(Curation.temperatureMix(df, $"lang", $"doc_id", 1.0).count() == 1000L)
+    val kept = Curation.temperatureMix(df, $"lang", $"doc_id", 0.3)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // tail groups keep everything (rate clamps at 1); the head must
+    // downsample toward the flattened mix
+    assert(kept("su") == 50L && kept("id") == 150L)
+    // closed form: rate_en = (p_en^α / Σ p^α) · tot / c_en
+    val ps = Seq(0.8, 0.15, 0.05)
+    val z = ps.map(math.pow(_, 0.3)).sum
+    val rateEn = math.pow(0.8, 0.3) / z * 1000.0 / 800.0 // ≈ 0.6125
+    val expectedEn = rateEn * 800.0
+    val sigma = math.sqrt(800.0 * rateEn * (1 - rateEn)) // ≈ 13.8
+    assert(math.abs(kept("en") - expectedEn) < 5 * sigma,
+      s"head kept ${kept("en")}, expected ~$expectedEn ± ${5 * sigma}")
+  }
+
+  test("temperatureMix is deterministic, repartition-stable, monotone in alpha") {
+    import spark.implicits._
+    val df = mixCorpus
+    def ids(alpha: Double, parts: Int) =
+      Curation.temperatureMix(df.repartition(parts), $"lang", $"doc_id", alpha)
+        .select($"doc_id").as[Long].collect().toSet
+    val a = ids(0.5, 1)
+    assert(a == ids(0.5, 7), "selection must not depend on partitioning")
+    // lower alpha ⇒ lower head rate ⇒ head selection shrinks; the md5
+    // threshold mechanism makes lower-rate selections SUBSETS
+    val b = ids(0.3, 1)
+    assert(b.subsetOf(a), "α=0.3 head selection must be a subset of α=0.5's")
+    assert(b.size < a.size)
+  }
+
+  test("temperatureMix keeps null groups alive through the null-safe join") {
+    import spark.implicits._
+    val df = ((1L to 40L).map(i => (i, "en")) ++
+      (41L to 50L).map(i => (i, null: String))).toDF("doc_id", "lang")
+    val kept = Curation.temperatureMix(df, $"lang", $"doc_id", 1.0).count()
+    assert(kept == 50L, "alpha=1 must keep every row incl. the null stratum")
+  }
+
+  // ------------------------------------------------- chunkPassages
+
+  test("chunkPassages covers every token, overlaps by width-stride, reconstructs") {
+    import spark.implicits._
+    val text = (1 to 53).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("id", "text")
+    val chunks = Curation.chunkPassages(df, $"id", $"text", width = 24, stride = 16)
+      .orderBy($"chunk_id")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // ⌈53/16⌉ = 4 chunks; starts 0,16,32,48
+    assert(chunks.map(_._2) == Seq(0, 1, 2, 3))
+    assert(chunks.map(_._3) == Seq(24, 24, 21, 5))
+    // consecutive chunks overlap by width − stride = 8 tokens
+    val t0 = chunks(0)._4.split(" ")
+    val t1 = chunks(1)._4.split(" ")
+    assert(t0.takeRight(8).toSeq == t1.take(8).toSeq)
+    // stride-prefixes + the last chunk reconstruct the document exactly
+    val rebuilt = chunks.dropRight(1).flatMap(_._4.split(" ").take(16)) ++
+      chunks.last._4.split(" ")
+    assert(rebuilt.mkString(" ") == text)
+  }
+
+  test("chunkPassages: empty and short docs") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "just four small tokens"))
+      .toDF("id", "text")
+    val got = Curation.chunkPassages(df, $"id", $"text", width = 24, stride = 16)
+      .as[(Long, Int, Int, String)].collect().toSeq.sortBy(_._1)
+    // empty/whitespace docs yield NO chunks; a short doc yields one
+    assert(got == Seq((3L, 0, 4, "just four small tokens")))
+  }
 }
