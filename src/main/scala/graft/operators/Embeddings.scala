@@ -636,6 +636,75 @@ object Embeddings {
       .select(col("probe_id"), col("rk"), col("neighbor_id"), col("cosine"))
   }
 
+  // ------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas, Tirumala, Simig, Ganguli & Morcos, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, then prune SEMANTIC duplicates WITHIN each cluster — pairs
+    * above a cosine threshold connect into duplicate groups, and each
+    * group keeps exactly one member: the one with the LOWEST cosine to
+    * its cluster centroid (the paper's keep-farthest-from-centroid
+    * policy — edge examples carry more information than prototypical
+    * ones), ties broken by minimum id.
+    *
+    * This is the semantic complement of [[cosineNearDuplicates]]: LSH
+    * banding targets NEAR-EXACT vectors (cosine ≳ 0.9); SemDeDup's
+    * cluster scope finds the paraphrase/boilerplate band (0.7-ish)
+    * where banded sketches lose recall, at the cost of an
+    * intra-cluster pair pass — the clustering IS the candidate bound
+    * (cells ≈ n/nlist members), exactly the published algorithm's
+    * scale argument. Centroids: [[computeCentroids]] (sample + optional
+    * spherical Lloyd; `portableSample` + `refineIterations = 0` is the
+    * oracle-replayable variant, the q_embedding_ivf_flat discipline).
+    *
+    * Returns every input row: (vec_id, cell, centroid_cosine, keep).
+    * Scale shape: one assignment projection against the broadcast
+    * centroid matrix (n·nlist·dim flops), one cell-keyed self-join
+    * bounded by cluster sizes, CC over above-threshold edges only, one
+    * labeling join. The assigned frame is materialized once for its
+    * three consumers.
+    */
+  def semDeDup(
+      df: DataFrame, id: Column, emb: Column,
+      threshold: Double, nlist: Int = -1, refineIterations: Int = 1,
+      seed: Long = 42L, portableSample: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"semDeDup: threshold must be in (0, 1], got $threshold")
+    val src = df.select(id.cast("long").as("__id"), emb.as("__e"))
+    val lists = if (nlist > 0) nlist else deriveNlist(cachedCount(src))
+    val mat = computeCentroids(
+      src, col("__id"), col("__e"), lists, refineIterations, seed, portableSample)
+    val assigned = Checkpoints.materializeFrame(
+      src
+        .withColumn("__best", array_min(cellScoresFor(mat)(col("__e"))))
+        .select(col("__id"), col("__e"),
+          col("__best").getField("cell").as("cell"),
+          // centroids are unit vectors, so dot / ||e|| IS the cosine;
+          // rounded to 4 like every cross-engine score in this module
+          round(coalesce(-col("__best").getField("negDot") /
+            nullif(norm(col("__e")), lit(0.0)), lit(0.0)), 4)
+            .as("centroid_cosine")))
+    val a = assigned.select(col("cell"), col("__id").as("id_a"), col("__e").as("__ea"))
+    val b = assigned.select(col("cell"), col("__id").as("id_b"), col("__e").as("__eb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosine(col("__ea"), col("__eb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
+    val labeled = assigned
+      .join(comp, assigned("__id") === comp("node"), "left")
+      .select(col("__id"), col("cell"), col("centroid_cosine"),
+        coalesce(col("cluster_rep"), col("__id")).as("__comp"))
+    // keep-policy: min (centroid_cosine, id) per duplicate group
+    val keepers = labeled.groupBy(col("__comp"))
+      .agg(min(struct(col("centroid_cosine"), col("__id"))).as("__k"))
+      .select(col("__comp"), col("__k").getField("__id").as("__keepId"))
+    labeled.join(keepers, Seq("__comp"))
+      .select(col("__id").as("vec_id"), col("cell"), col("centroid_cosine"),
+        (col("__id") === col("__keepId")).as("keep"))
+  }
+
   // ------------------------------------------------ sketch-rank ANN
 
   /** Registered ANN geometry (the q_embedding_ann setting, gated by

@@ -560,7 +560,72 @@ object EmbeddingQueries {
       dotPcOverride = grouped)
   }
 
+  /** SemDeDup at the oracle-replayable configuration (portable centroid
+    * sample, refine = 0, derived nlist — the q_embedding_ivf_flat
+    * discipline) over the embeddings table at threshold 0.45 (the band
+    * the synthetic vectors support, the q_cosine_dedup constant). Every
+    * stage — sample order, centroid normalization, assignment argmin,
+    * centroid cosine, intra-cell pair threshold, connected components,
+    * keep-farthest-from-centroid selection — replays in DuckDB.
+    * The Lloyd-refined production variant is exercised in EmbeddingsSpec
+    * (same mechanism, non-oracle-able distributed averages).
+    */
+  def semDeDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Embeddings.semDeDup(
+        Tables.wide(spark, dir, "embeddings"), $"vec_id", $"embedding",
+        threshold = 0.45, refineIterations = 0, portableSample = true)
+      .orderBy($"vec_id")
+  }
+
+  private[queries] def semDeDupSql(dim: Int, threshold: Double): String = {
+    val nd = s"-(${dotCentroidExplicitSql("e.embedding", "c.cvec", dim)})"
+    val dotAB = dotSql("ea.embedding", "eb.embedding")
+    val nA = s"sqrt(${dotSql("ea.embedding", "ea.embedding")})"
+    val nB = s"sqrt(${dotSql("eb.embedding", "eb.embedding")})"
+    s"""WITH RECURSIVE nl AS (
+       |  SELECT CAST(least(65536, greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS BIGINT) AS nlist
+       |  FROM embeddings),
+       |cent AS MATERIALIZED (
+       |  SELECT cell,
+       |    [CASE WHEN cn = 0 THEN CAST(ce[i] AS DOUBLE)
+       |          ELSE CAST(ce[i] AS DOUBLE) / cn END for i in range(1, ${dim + 1})] AS cvec
+       |  FROM (
+       |    SELECT cell, ce, sqrt(${sumSqExplicitSql("ce", dim)}) AS cn
+       |    FROM (SELECT embedding AS ce,
+       |            row_number() OVER (
+       |              ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+       |          FROM embeddings), nl
+       |    WHERE cell < nlist)),
+       |asg AS MATERIALIZED (
+       |  SELECT id, cell, cc FROM (
+       |    SELECT e.vec_id AS id, c.cell, $nd AS ndv,
+       |      round(coalesce(-($nd) / nullif(sqrt(${sumSqExplicitSql("e.embedding", dim)}), 0.0), 0.0), 4) AS cc,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $nd, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT x.id AS id_a, y.id AS id_b
+       |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id
+       |  JOIN embeddings ea ON ea.vec_id = x.id
+       |  JOIN embeddings eb ON eb.vec_id = y.id
+       |  WHERE round(coalesce($dotAB / nullif($nA * $nB, 0.0), 0.0), 4)
+       |          >= CAST($threshold AS DOUBLE)),
+       |${DedupQueries.closureCtesSql},
+       |lab AS (
+       |  SELECT a.id, a.cell, a.cc, coalesce(c.cluster_rep, a.id) AS cmp
+       |  FROM asg a LEFT JOIN comp c ON c.node = a.id),
+       |keepers AS (
+       |  SELECT cmp, id AS keep_id FROM (
+       |    SELECT cmp, id, row_number() OVER (PARTITION BY cmp ORDER BY cc, id) AS rn
+       |    FROM lab) WHERE rn = 1)
+       |SELECT l.id AS vec_id, CAST(l.cell AS INT) AS cell,
+       |  l.cc AS centroid_cosine, (l.id = k.keep_id) AS keep
+       |FROM lab l JOIN keepers k USING (cmp) ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> (semDeDup _),
     "q_embedding_pq_flat" -> (embeddingPqFlat _),
     "q_embedding_pq" -> (embeddingPq _),
     "q_embedding_pq_adc" -> (embeddingPqAdc _),
@@ -593,6 +658,7 @@ object EmbeddingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_semdedup" -> semDeDupSql(dim = 64, threshold = 0.45),
     "q_cosine_dedup" -> cosineDedupSql(
       dim = 64, h = 128, bands = 16, seed = 42L, threshold = 0.45),
     "q_embedding_knn" -> embeddingKnnSql,

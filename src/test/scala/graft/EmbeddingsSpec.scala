@@ -527,4 +527,68 @@ class EmbeddingsSpec extends SparkSpec {
     assert(crossCluster == 0,
       s"$crossCluster of ${got.length} ADC neighbors crossed a planted cluster boundary")
   }
+
+  // --------------------------------------------------------- SemDeDup
+
+  /** Planted SemDeDup corpus: three orthogonal modes of 10 vectors each,
+    * members tilted off the mode axis by increasing amounts — pairwise
+    * cosine WITHIN a mode ≥ 0.9, ACROSS modes ≈ 0. Mode axes at dims
+    * 0 / 20 / 40, tilt axis at dim 10 / 30 / 50.
+    */
+  private def semCorpus = {
+    import spark.implicits._
+    (for (m <- 0 until 3; i <- 0 until 10) yield {
+      val tilt = i * 0.04 // max 0.36 → worst within-mode pair cos ≈ 0.94
+      val v = Array.fill(64)(0f)
+      v(m * 20) = 1f
+      v(m * 20 + 10) = tilt.toFloat
+      val n = math.sqrt(1.0 + tilt * tilt).toFloat
+      ((m * 10 + i).toLong, v.map(_ / n))
+    }).toDF("vec_id", "embedding")
+  }
+
+  test("semDeDup: one keeper per (mode, cell) clique, farthest from centroid") {
+    import spark.implicits._
+    for (portable <- Seq(true, false)) {
+      val got = graft.operators.Embeddings.semDeDup(
+          semCorpus, $"vec_id", $"embedding", threshold = 0.9,
+          nlist = 3, refineIterations = if (portable) 0 else 3,
+          portableSample = portable)
+        .as[(Long, Int, Double, Boolean)].collect().toSeq.sortBy(_._1)
+      assert(got.size == 30, "one output row per input row")
+      // modes never connect (cross-mode cosine ~0 < 0.9), and within a
+      // cell a mode's members form a clique — so the keeper count per
+      // mode must equal the number of distinct cells its members landed
+      // in, and each keeper must be its clique's (min centroid_cosine,
+      // min id) member — asserted from the output itself, independent of
+      // where the sampled centroids fell
+      got.groupBy(_._1 / 10).foreach { case (mode, rows) =>
+        val byCell = rows.groupBy(_._2)
+        assert(rows.count(_._4) == byCell.size,
+          s"mode $mode (portable=$portable): keepers ${rows.filter(_._4)} vs cells ${byCell.keySet}")
+        byCell.foreach { case (cell, members) =>
+          val expected = members.minBy(r => (r._3, r._1))
+          val keeper = members.filter(_._4)
+          assert(keeper == Seq(expected),
+            s"mode $mode cell $cell: kept $keeper, expected $expected")
+        }
+      }
+    }
+  }
+
+  test("semDeDup is deterministic and threshold=1 nearly-keeps-all") {
+    import spark.implicits._
+    def run() = graft.operators.Embeddings.semDeDup(
+        semCorpus.repartition(5), $"vec_id", $"embedding", threshold = 0.9,
+        nlist = 3, refineIterations = 0, portableSample = true)
+      .as[(Long, Int, Double, Boolean)].collect().toSet
+    assert(run() == run())
+    // at threshold 1.0 only EXACT duplicates (rounded cosine 1.0) prune;
+    // the tilted corpus has none, so everything is kept
+    val all = graft.operators.Embeddings.semDeDup(
+        semCorpus, $"vec_id", $"embedding", threshold = 1.0,
+        nlist = 3, refineIterations = 0, portableSample = true)
+      .filter($"keep").count()
+    assert(all == 30L)
+  }
 }
