@@ -123,6 +123,11 @@ object Multimodal {
     */
   final case class ImageIODecoder(gridW: Int = 9, gridH: Int = 8) extends MediaDecoder {
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Array[Float], Int, Int)] = {
+      // ImageIO's default ImageInputStream cache is DISK-backed: every
+      // read creates and deletes a temp file — for small in-memory
+      // payloads that file churn dominates the decode. Memory-cached
+      // streams instead (static, idempotent, cheap to re-set per batch).
+      javax.imageio.ImageIO.setUseCache(false)
       val zero = (Array.fill(gridW * gridH)(0f), 0, 0)
       payloads.map { p =>
         if (p == null || p.isEmpty) zero
