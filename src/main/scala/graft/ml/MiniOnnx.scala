@@ -624,9 +624,10 @@ object MiniOnnx {
             case 1L => // → float32
               Seq(if (!t.isInt) t
               else Tensor(t.dims, t.i64.map(_.toFloat)))
-            case 7L => // → int64 (rounds, the float-carried-ids path)
+            case 7L => // → int64 (truncates toward zero, the ONNX Cast
+              // rule; the float-carried-ids path ships exact integers)
               Seq(if (t.isInt) t
-              else Tensor(t.dims, null, t.data.map(v => math.round(v).toLong)))
+              else Tensor(t.dims, null, t.data.map(_.toLong)))
             case other => throw new UnsupportedOperationException(
               s"Cast: only float32 (1) and int64 (7) targets, got $other")
           }

@@ -192,6 +192,32 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("Exchange"), s"sampling must not shuffle:\n$finalPlan")
   }
 
+  test("temperature mix: broadcast rates, codegen filter, no corpus shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Curation.temperatureMix(
+      Tables(spark, sf, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
+    val finalPlan = finalExecutedPlan(df)
+    // the rate derivation aggregates a tiny counts frame; the DATA path
+    // must be a broadcast join + filter — the corpus itself never
+    // exchanges (sort-merge or otherwise)
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"rates must broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"corpus shuffled for the rates join:\n$finalPlan")
+  }
+
+  test("passage chunking is a single-scan generate — zero shuffle at any scale") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Curation.chunkPassages(
+      Tables(spark, sf, "documents"), col("doc_id"), col("text"),
+      width = 24, stride = 16)
+    val finalPlan = finalExecutedPlan(df)
+    assert(scanCount(finalPlan, "documents") == 1)
+    assert(!finalPlan.contains("Exchange"), s"chunking must not shuffle:\n$finalPlan")
+    // tokenization stays in projections, never re-inlined into a filter
+    assertNoFilterTrees(finalPlan, "split(")
+  }
+
   test("repetition signals are a single-scan projection") {
     val finalPlan = finalExecutedPlan(graft.queries.CurationQueries.repetitionSignals(spark, sf))
     val scans = scanCount(finalPlan, "documents")
