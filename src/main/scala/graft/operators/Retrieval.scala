@@ -115,13 +115,14 @@ object Retrieval {
     * statistics that are query-independent. [[buildIndex]] pays the
     * tokenize once and stores:
     *
-    *  - `postings/bucket=B/` — (term, doc_id, tf), term-BUCKETED by
-    *    `pmod(xxhash64(term), buckets)` so a query's terms resolve to a
-    *    static partition filter (the [[IvfIndex.probe]] cell-prune
+    *  - `postings/batch=N/bucket=B/` — (term, doc_id, tf), term-BUCKETED
+    *    by `pmod(xxhash64(term), buckets)` so a query's terms resolve to
+    *    a static partition filter (the [[IvfIndex.probe]] cell-prune
     *    discipline: the parquet reader lists only the query's buckets,
-    *    never the vocabulary);
-    *  - `tdf/bucket=B/` — (term, df), bucketed identically;
-    *  - `dl/` — (doc_id, dl); `stats/` — one (n, tot) row.
+    *    never the vocabulary), batch-partitioned for [[appendIndex]];
+    *  - `tdf/batch=N/bucket=B/` — (term, df), bucketed identically;
+    *  - `dl/batch=N/` — (doc_id, dl); `stats/batch=N/` — one (n, tot)
+    *    row per batch (additive; [[queryIndex]] sums).
     *
     * [[queryIndex]] then scores a query with NO corpus access: filtered
     * posting pages × df × broadcast stats, the same pivoted fixed-order
@@ -134,21 +135,77 @@ object Retrieval {
       buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buildIndex: buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
-    val base = docs.select(id.as("doc_id"),
-      regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
-    val dl = base.select(col("doc_id"), size(col("__toks")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/dl")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    val tf = base.select(col("doc_id"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
-    tf.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tdf")
+    // a fresh build owns the whole tree: clear batches from a previous
+    // index generation (the IvfIndex.build discipline)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    writeBatch(docs, id, text, path, buckets, batchId = 0L)
     // bucket count is part of the layout: record it for queryIndex
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental APPEND — the crawl-batch shape the other persistent
+    * stores already have ([[graft.operators.IvfIndex.append]],
+    * [[graft.operators.IncrementalDedup]]): tokenize and land ONLY the
+    * new documents as their own `batch=` partitions under postings /
+    * tdf / dl / stats. Corpus-level statistics (df per term, N, total
+    * dl) are additive across disjoint doc sets, so [[queryIndex]] merges
+    * them at query time with a per-term sum over matching batches —
+    * results are IDENTICAL to a full rebuild over the union
+    * (RetrievalSpec pins bit-for-bit equality), and arrival cost is one
+    * tokenize pass over the new batch only. Replaying a batchId
+    * overwrites its own partitions (idempotent); doc ids must be unique
+    * across all batches ever fed to one index.
+    */
+  def appendIndex(
+      docs: DataFrame, id: Column, text: Column, path: String,
+      batchId: Long): Unit = {
+    require(batchId >= 0L, s"appendIndex: batchId must be >= 0, got $batchId")
+    val spark = docs.sparkSession
+    val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    writeBatch(docs, id, text, path, buckets, batchId)
+  }
+
+  /** Write the layout meta if absent — the streaming entry point: a
+    * stream feeds EVERY batch (including the first) through
+    * [[appendIndex]], so there is no one-shot [[buildIndex]] call to
+    * record the bucket count. Idempotent; a crash between meta and the
+    * first batch's write replays into the same state.
+    */
+  def ensureIndexMeta(
+      spark: SparkSession, path: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"ensureIndexMeta: buckets must be >= 1, got $buckets")
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) {
+      spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    } else {
+      val existing = spark.read.parquet(s"$path/meta").head().getInt(0)
+      require(existing == buckets,
+        s"ensureIndexMeta: index at $path has $existing buckets, asked for $buckets")
+    }
+  }
+
+  private def writeBatch(
+      docs: DataFrame, id: Column, text: Column, path: String,
+      buckets: Int, batchId: Long): Unit = {
+    val base = docs.select(id.as("doc_id"),
+      regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
+    val dl = base.select(col("doc_id"), size(col("__toks")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/dl/batch=$batchId")
+    dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
+      .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
+    val tf = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
+    tf.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/batch=$batchId")
+    tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/tdf/batch=$batchId")
   }
 
   /** Top-k BM25 against a [[buildIndex]] store — identical output
@@ -172,6 +229,9 @@ object Retrieval {
         .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
         .distinct().as[Long].collect().toIndexedSeq.sorted
     }
+    // postings/tdf/dl/stats live under batch= partitions (append-many);
+    // df/N/total-dl are additive over the disjoint batch doc sets, so
+    // the merge is a per-term (tiny: query terms only) and one-row sum
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
@@ -180,11 +240,13 @@ object Retrieval {
     val df = spark.read.parquet(s"$path/tdf")
       .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).as("df"))
       .select(col("term").as("__term"), col("df").as("__df"))
     val dl = spark.read.parquet(s"$path/dl")
       .select(col("doc_id").as("__did"), col("dl").as("__dl"))
     val stats = spark.read.parquet(s"$path/stats")
-      .select(col("n").as("__n"), col("tot").as("__tot"))
+      .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
     scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
-import graft.operators.{IncrementalDedup, IncrementalImageDedup, IncrementalSegmentDedup, IvfPqIndex}
+import graft.operators.{IncrementalDedup, IncrementalImageDedup, IncrementalSegmentDedup, IvfPqIndex, Retrieval}
 import graft.sources.LocationDictSource
 
 /** End-to-end STREAMING capstone: every stage of the reference pipeline
@@ -45,7 +45,7 @@ object StreamingCapstone {
 
   final case class Stores(
     curatedDir: String, lshStore: String, segStore: String, segOut: String,
-    vecStore: String = "", imgStore: String = "")
+    vecStore: String = "", imgStore: String = "", bm25Store: String = "")
 
   /** One micro-batch through the full pipeline; returns rows landed.
     *
@@ -117,6 +117,14 @@ object StreamingCapstone {
       IncrementalImageDedup.dhashDedupBatch(
         spark, mb, col("media_id"), col("payload"), stores.imgStore, batchId)
       ()
+    }
+    // streaming BM25 index maintenance: every landed batch appends its
+    // own idempotent batch= partitions; df/N/dl statistics merge at
+    // query time, so the index serves identically to a full rebuild
+    if (stores.bm25Store.nonEmpty) {
+      Retrieval.ensureIndexMeta(spark, stores.bm25Store, buckets = 16)
+      Retrieval.appendIndex(
+        landed, col("doc_id"), col("clean_text"), stores.bm25Store, batchId)
     }
     landed.count()
   }
@@ -234,7 +242,7 @@ object StreamingCapstone {
 
     val stores = Stores(s"$work/curated", s"$work/lsh_store",
       s"$work/seg_store", s"$work/seg_out", s"$work/vec_index",
-      s"$work/img_store")
+      s"$work/img_store", s"$work/bm25_index")
     val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
     val embeddings = graft.Tables(spark, sfDir, "embeddings")
     // synthetic media (the testdata ships no media table): the

@@ -70,6 +70,35 @@ class RetrievalSpec extends SparkSpec {
     assert(indexed == adhoc)
   }
 
+  test("incremental append equals a full rebuild bit-for-bit, replay-idempotent") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("vector", "merge", "window")
+    // reference: one-shot build over everything
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    Retrieval.buildIndex(docs, $"doc_id", $"text", full, buckets = 16)
+    val want = Retrieval.queryIndex(spark, full, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    // incremental: build on a third, append the rest in two batches —
+    // df / N / total-dl merge across batches must reproduce the same
+    // statistics exactly (integer sums), so scores are bit-identical
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    Retrieval.buildIndex(
+      docs.filter($"doc_id" % 3 === 0), $"doc_id", $"text", inc, buckets = 16)
+    Retrieval.appendIndex(
+      docs.filter($"doc_id" % 3 === 1), $"doc_id", $"text", inc, batchId = 1L)
+    Retrieval.appendIndex(
+      docs.filter($"doc_id" % 3 === 2), $"doc_id", $"text", inc, batchId = 2L)
+    val got = Retrieval.queryIndex(spark, inc, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    assert(got == want)
+    // replaying an append overwrites its own partitions, changing nothing
+    Retrieval.appendIndex(
+      docs.filter($"doc_id" % 3 === 2), $"doc_id", $"text", inc, batchId = 2L)
+    val replayed = Retrieval.queryIndex(spark, inc, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    assert(replayed == want)
+  }
+
   test("index query reads only the query terms' posting buckets") {
     val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
     val path = java.nio.file.Files.createTempDirectory("bm25prune").toString

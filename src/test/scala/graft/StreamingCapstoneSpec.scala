@@ -71,7 +71,7 @@ class StreamingCapstoneSpec extends SparkSpec {
   }
 
   private def stWithImg(dir: String) =
-    stores(dir).copy(imgStore = s"$dir/img")
+    stores(dir).copy(imgStore = s"$dir/img", bm25Store = s"$dir/bm25")
 
   private def runAll(dir: String, landing: String): Unit = {
     val q = StreamingCapstone.start(spark, landing, stWithImg(dir), s"$dir/ck",
@@ -176,6 +176,26 @@ class StreamingCapstoneSpec extends SparkSpec {
       .select($"media_id", $"rep_id", $"survivor")
       .as[(Long, Long, Boolean)].collect().toSet
     assert(imgState(interrupted) == imgState(straight))
+  }
+
+  test("BM25 stage: streamed index serves identically to a full rebuild") {
+    val dir = tmpDir("capbm25")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (s, i) => writeSlice(landing, s"b$i.json", s, i) }
+    runAll(dir, landing)
+    val terms = Seq("makan", "bandung")
+    val streamed = graft.operators.Retrieval.queryIndex(
+        spark, stWithImg(dir).bm25Store, terms, k = 10)
+      .as[(Int, Long, Double)].collect().toSeq
+    // rebuild one-shot over exactly the landed corpus
+    val rebuilt = s"$dir/bm25rebuild"
+    graft.operators.Retrieval.buildIndex(
+      spark.read.parquet(stWithImg(dir).curatedDir),
+      col("doc_id"), col("clean_text"), rebuilt, buckets = 16)
+    val want = graft.operators.Retrieval.queryIndex(spark, rebuilt, terms, k = 10)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(streamed == want && streamed.nonEmpty)
   }
 
   test("image stage suppresses perceptual dups across batches in-stream") {
