@@ -164,6 +164,10 @@ object Retrieval {
       batchId: Long): Unit = {
     require(batchId >= 0L, s"appendIndex: batchId must be >= 0, got $batchId")
     val spark = docs.sparkSession
+    // adopt BEFORE writing: landing a fresh batch dir would make a
+    // half-swapped tree look live and orphan the consolidated history
+    // still sitting at __next
+    adoptIndexTrees(spark, path)
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     writeBatch(docs, id, text, path, buckets, batchId)
   }
@@ -208,6 +212,70 @@ object Retrieval {
       .parquet(s"$path/tdf/batch=$batchId")
   }
 
+  private val IndexTrees = Seq("postings", "tdf", "dl", "stats")
+
+  /** Consolidate every `batch=` partition with id <= `upToBatch` across
+    * the four index subtrees — the [[IncrementalDedup.compactStore]]
+    * small-files discipline, with two index-specific merges: tdf rows
+    * for one term SUM across consolidated batches (query-time merging
+    * then sums the sums — same total), and stats consolidate to a
+    * single row. Posting/tdf bucket partitioning is preserved, so the
+    * bucket-prune contract survives compaction. Same SAFETY CONTRACT as
+    * every store: only compact batch ids the stream's checkpoint has
+    * committed past. Crash-safe via the `__next` + adopt-on-read swap
+    * ([[queryIndex]] and [[appendIndex]] self-heal).
+    */
+  def compactIndex(
+      spark: SparkSession, path: String, upToBatch: Long,
+      targetFiles: Int = 4): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def compactTree(sub: String,
+        write: (DataFrame, String) => Unit,
+        merge: DataFrame => DataFrame): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(conf)
+      IncrementalDedup.adoptNext(fs, p)
+      if (!fs.exists(p)) return
+      val batchIds = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      if (!batchIds.exists(_ <= upToBatch)) return
+      // consolidate under the LARGEST EXISTING id <= upToBatch (a fresh
+      // id would collide with a future stream batch — the compactStore
+      // rule)
+      val target = batchIds.filter(_ <= upToBatch).max
+      val next = new org.apache.hadoop.fs.Path(s"$path/${sub}__next")
+      require(fs.delete(next, true) || !fs.exists(next),
+        s"compactIndex: failed to clear stale $next")
+      write(merge(spark.read.parquet(p.toString)
+        .filter(col("batch") <= upToBatch).drop("batch")),
+        s"$next/batch=$target")
+      batchIds.filter(_ > upToBatch).foreach { bid =>
+        write(spark.read.parquet(s"$p/batch=$bid"), s"$next/batch=$bid")
+      }
+      require(fs.delete(p, true), s"compactIndex: failed to delete old $p")
+      require(fs.rename(next, p), s"compactIndex: failed to swap $next into $p")
+    }
+    compactTree("postings",
+      (d, o) => d.write.partitionBy("bucket").parquet(o), identity)
+    compactTree("tdf",
+      (d, o) => d.write.partitionBy("bucket").parquet(o),
+      d => d.groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df")))
+    compactTree("dl",
+      (d, o) => d.coalesce(targetFiles).write.parquet(o), identity)
+    compactTree("stats",
+      (d, o) => d.coalesce(1).write.parquet(o),
+      d => d.agg(sum(col("n")).as("n"), sum(col("tot")).cast("long").as("tot")))
+  }
+
+  /** Self-heal a crashed [[compactIndex]] swap before any read. */
+  private def adoptIndexTrees(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    IndexTrees.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      IncrementalDedup.adoptNext(p.getFileSystem(conf), p)
+    }
+  }
+
   /** Top-k BM25 against a [[buildIndex]] store — identical output
     * contract and arithmetic to [[bm25TopK]], zero corpus scans: only
     * the query terms' posting/df buckets are listed and read (static
@@ -219,6 +287,7 @@ object Retrieval {
     require(queryTerms.nonEmpty, "queryIndex: empty query")
     require(queryTerms.distinct == queryTerms,
       s"queryIndex: duplicate query terms in ${queryTerms.mkString(",")}")
+    adoptIndexTrees(spark, path)
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val neededBuckets = {
       // derive the buckets with ONE tiny Spark job over the literal terms

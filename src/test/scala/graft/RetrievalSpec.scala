@@ -99,6 +99,53 @@ class RetrievalSpec extends SparkSpec {
     assert(replayed == want)
   }
 
+  test("compactIndex consolidates history without changing answers") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("vector", "merge", "window")
+    val path = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    Retrieval.buildIndex(
+      docs.filter($"doc_id" % 3 === 0), $"doc_id", $"text", path, buckets = 16)
+    Retrieval.appendIndex(
+      docs.filter($"doc_id" % 3 === 1), $"doc_id", $"text", path, batchId = 1L)
+    Retrieval.appendIndex(
+      docs.filter($"doc_id" % 3 === 2), $"doc_id", $"text", path, batchId = 2L)
+    val want = Retrieval.queryIndex(spark, path, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    Retrieval.compactIndex(spark, path, upToBatch = 1L)
+    def batchDirs(sub: String) = new java.io.File(s"$path/$sub").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    // batches 0 and 1 merged under batch=1; batch 2 preserved verbatim
+    assert(batchDirs("postings") == Set("batch=1", "batch=2"))
+    assert(batchDirs("stats") == Set("batch=1", "batch=2"))
+    assert(Retrieval.queryIndex(spark, path, terms, k = 20)
+      .orderBy($"rk").collect().toSeq == want)
+    // appends keep working on the compacted store
+    val path2 = java.nio.file.Files.createTempDirectory("bm25cmp2").toString
+    Retrieval.buildIndex(docs, $"doc_id", $"text", path2, buckets = 16)
+    val fullWant = Retrieval.queryIndex(spark, path2, terms, k = 20)
+      .orderBy($"rk").collect().toSeq
+    assert(want == fullWant)
+  }
+
+  test("a crashed compaction swap self-heals on the next read or append") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
+    val terms = Seq("vector", "merge")
+    val path = java.nio.file.Files.createTempDirectory("bm25heal").toString
+    Retrieval.buildIndex(docs, $"doc_id", $"text", path, buckets = 16)
+    val want = Retrieval.queryIndex(spark, path, terms, k = 10)
+      .orderBy($"rk").collect().toSeq
+    // simulate the crash window: the live tree deleted, the only copy
+    // stranded at __next
+    for (sub <- Seq("postings", "tdf")) {
+      val live = java.nio.file.Paths.get(s"$path/$sub")
+      val next = java.nio.file.Paths.get(s"$path/${sub}__next")
+      java.nio.file.Files.move(live, next)
+    }
+    val healed = Retrieval.queryIndex(spark, path, terms, k = 10)
+      .orderBy($"rk").collect().toSeq
+    assert(healed == want)
+  }
+
   test("index query reads only the query terms' posting buckets") {
     val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents")
     val path = java.nio.file.Files.createTempDirectory("bm25prune").toString
