@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   *    [[ImageIODecoder]] is a REAL decoder — the JDK's own `javax.imageio`
   *    readers cover PNG/JPEG/GIF/BMP, so image decode, luminance-grid
   *    features and the [[dHashNearDuplicates]] perceptual dedup all
-  *    execute against actual pixels. [[FakeDecoder]] remains the
-  *    deterministic stand-in for codecs that genuinely need external
-  *    libraries (audio/video), keeping the plumbing testable there.
+  *    execute against actual pixels. [[WavDecoder]] is likewise REAL —
+  *    `javax.sound.sampled` ships WAV/AIFF/AU PCM readers in the JDK, so
+  *    audio decode and RMS-envelope features execute against actual
+  *    samples. [[FakeDecoder]] remains the deterministic stand-in only
+  *    for codecs that genuinely need external libraries (compressed
+  *    audio, video), keeping the plumbing testable there.
   */
 object Multimodal {
 
@@ -168,6 +171,63 @@ object Multimodal {
               gy += 1
             }
             (feat, w, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL audio decoder backed by `javax.sound.sampled` — WAV/AIFF/AU
+    * readers ship inside the JDK itself, so "no audio libraries in the
+    * container" never applied to PCM containers: this decoder executes
+    * actual sample decode, not a stub (the [[ImageIODecoder]] precedent,
+    * one modality over). The feature vector is the per-window RMS
+    * energy envelope over `frames` equal windows of the first channel —
+    * the standard loudness fingerprint precursor; dims carry
+    * (sampleRate, totalSamples). Compressed codecs (mp3/aac/opus)
+    * genuinely need external libraries and stay behind [[FakeDecoder]].
+    * Unreadable payloads yield the zero vector with 0×0 dims.
+    */
+  final case class WavDecoder(frames: Int = 8) extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Array[Float], Int, Int)] = {
+      val zero = (Array.fill(frames)(0f), 0, 0)
+      payloads.map { p =>
+        if (p == null || p.isEmpty) zero
+        else {
+          val decoded =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(p))
+              try {
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  null
+                else (in.readAllBytes(), fmt.getChannels, fmt.isBigEndian,
+                  fmt.getSampleRate.toInt)
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          decoded match {
+            case null => zero
+            case (bytes: Array[Byte], ch: Int, big: Boolean, rate: Int) =>
+              val n = bytes.length / (2 * ch)
+              if (n < 1) zero
+              else {
+                def sample(i: Int): Int = {
+                  val o = i * 2 * ch // first channel of frame i
+                  if (big) (bytes(o) << 8) | (bytes(o + 1) & 0xff)
+                  else (bytes(o + 1) << 8) | (bytes(o) & 0xff)
+                }
+                val feat = Array.tabulate(frames) { f =>
+                  val s0 = f * n / frames
+                  val s1 = math.max(s0 + 1, (f + 1) * n / frames)
+                  var acc = 0.0
+                  var i = s0
+                  while (i < s1) { val v = sample(i).toDouble; acc += v * v; i += 1 }
+                  math.sqrt(acc / (s1 - s0)).toFloat
+                }
+                (feat, rate, n)
+              }
           }
         }
       }

@@ -120,9 +120,13 @@ object Retrieval {
     *    a static partition filter (the [[IvfIndex.probe]] cell-prune
     *    discipline: the parquet reader lists only the query's buckets,
     *    never the vocabulary), batch-partitioned for [[appendIndex]];
-    *  - `tdf/batch=N/bucket=B/` — (term, df), bucketed identically;
     *  - `dl/batch=N/` — (doc_id, dl); `stats/batch=N/` — one (n, tot)
-    *    row per batch (additive; [[queryIndex]] sums).
+    *    row per batch (additive; [[queryIndex]] sums). Document
+    *    frequency is NOT stored: df(term) is exactly the row count of
+    *    that term's postings, which the query's pruned read already
+    *    touches in full — a separate tdf tree would be a per-batch
+    *    write and a compaction surface for data the query derives for
+    *    free.
     *
     * [[queryIndex]] then scores a query with NO corpus access: filtered
     * posting pages × df × broadcast stats, the same pivoted fixed-order
@@ -202,17 +206,14 @@ object Retrieval {
     dl.write.mode("overwrite").parquet(s"$path/dl/batch=$batchId")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
       .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
-    val tf = base.select(col("doc_id"), explode(col("__toks")).as("term"))
+    base.select(col("doc_id"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
-    tf.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings/batch=$batchId")
-    tf.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/tdf/batch=$batchId")
+      .parquet(s"$path/postings/batch=$batchId")
   }
 
-  private val IndexTrees = Seq("postings", "tdf", "dl", "stats")
+  private val IndexTrees = Seq("postings", "dl", "stats")
 
   /** Consolidate every `batch=` partition with id <= `upToBatch` across
     * the four index subtrees — the [[IncrementalDedup.compactStore]]
@@ -257,9 +258,6 @@ object Retrieval {
     }
     compactTree("postings",
       (d, o) => d.write.partitionBy("bucket").parquet(o), identity)
-    compactTree("tdf",
-      (d, o) => d.write.partitionBy("bucket").parquet(o),
-      d => d.groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df")))
     compactTree("dl",
       (d, o) => d.coalesce(targetFiles).write.parquet(o), identity)
     compactTree("stats",
@@ -298,20 +296,17 @@ object Retrieval {
         .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
         .distinct().as[Long].collect().toIndexedSeq.sorted
     }
-    // postings/tdf/dl/stats live under batch= partitions (append-many);
-    // df/N/total-dl are additive over the disjoint batch doc sets, so
-    // the merge is a per-term (tiny: query terms only) and one-row sum
+    // postings/dl/stats live under batch= partitions (append-many);
+    // N/total-dl are additive over the disjoint batch doc sets (one-row
+    // sum); df(term) is the row count of the term's pruned postings —
+    // derived from the same filtered read the scoring needs anyway
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
       .select(col("term").as("__term"), col("doc_id").as("__did"),
         col("tf").as("__tf"))
-    val df = spark.read.parquet(s"$path/tdf")
-      .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("term"))
-      .agg(sum(col("df")).as("df"))
-      .select(col("term").as("__term"), col("df").as("__df"))
+    val df = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"))
     val dl = spark.read.parquet(s"$path/dl")
       .select(col("doc_id").as("__did"), col("dl").as("__dl"))
     val stats = spark.read.parquet(s"$path/stats")

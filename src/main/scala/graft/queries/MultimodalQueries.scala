@@ -328,13 +328,67 @@ object MultimodalQueries {
       |SELECT id_a, id_b, hamming FROM ham
       |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------ q_audio_energy
+
+  /** REAL audio-decode path, cross-engine (the q_dhash_pairs discipline,
+    * audio modality): each document synthesizes a canonical 44-byte-header
+    * PCM WAV — 8 frames × 20 samples at 8 kHz mono 16-bit, every sample
+    * in frame f holding the constant doc_id-derived amplitude
+    * A(d, f) = 500 + (d·31 + f·97) mod 3000 — and every 13th doc gets a
+    * corrupt payload (0x00 + text bytes) the decoder must drop. The
+    * SPARK side runs payload bytes → `javax.sound.sampled` decode →
+    * per-frame RMS ([[Multimodal.WavDecoder]]) — RMS of a constant frame
+    * IS the amplitude, exactly (sqrt of an exact integer square), so the
+    * DuckDB oracle re-derives the energies from the amplitude arithmetic
+    * without decoding. Output: one row per (doc, frame).
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"doc_id"
+    def le16(c: Column) = {
+      val s = lpad(hex(c), 4, "0")
+      concat(substring(s, 3, 2), substring(s, 1, 2))
+    }
+    // RIFF/WAVE canonical PCM header: chunk size 36+320, fmt 16/1/1,
+    // 8000 Hz, byte rate 16000, block align 2, 16-bit, data 320
+    val header = "52494646" + "64010000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+      "0200" + "1000" + "64617461" + "40010000"
+    val frames = (0 until 8).map { f =>
+      val amp = lit(500) + (d * 31 + lit(f * 97)) % 3000
+      repeat(le16(amp), 20)
+    }
+    val wav = unhex(concat(lit(header) +: frames: _*))
+    val payload = when(d % 13 === 0,
+        concat(unhex(lit("00")), encode($"text", "UTF-8")))
+      .otherwise(wav)
+    val media = Tables(spark, dir, "documents")
+      .select(d.as("doc_id"), payload.as("payload"))
+    Multimodal.decodeFeatures(
+        media.select($"doc_id", $"payload"), "payload",
+        Multimodal.WavDecoder(), batchSize = 64)
+      .filter($"dec_width" > 0) // corrupt payloads decode to 0 Hz
+      .select($"doc_id", posexplode($"feat").as(Seq("frame", "__rms")))
+      .select($"doc_id", $"frame", $"__rms".cast("int").as("energy"))
+      .orderBy($"doc_id", $"frame")
+  }
+
+  val audioEnergySql: String =
+    """SELECT doc_id, CAST(f AS INT) AS frame,
+      |  CAST(500 + (doc_id * 31 + f * 97) % 3000 AS INT) AS energy
+      |FROM documents, range(8) t(f)
+      |WHERE doc_id % 13 <> 0
+      |ORDER BY doc_id, frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_stats" -> (binaryStats _),
     "q_image_dims" -> (imageDims _),
-    "q_dhash_pairs" -> (dhashPairs _))
+    "q_dhash_pairs" -> (dhashPairs _),
+    "q_audio_energy" -> (audioEnergy _))
 
   val oracles: Map[String, String] = Map(
     "q_binary_stats" -> binaryStatsSql,
     "q_image_dims" -> imageDimsSql,
-    "q_dhash_pairs" -> dhashPairsSql)
+    "q_dhash_pairs" -> dhashPairsSql,
+    "q_audio_energy" -> audioEnergySql)
 }

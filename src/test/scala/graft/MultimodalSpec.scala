@@ -177,6 +177,69 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 >= 5L || p._2 >= 5L), "corrupt payloads paired")
   }
 
+  // ------------------------------------------- real audio (javax.sound)
+
+  /** Real WAV bytes via the JDK's own encoder: 16-bit PCM, `chans`
+    * channels, sample generator per (channel, index).
+    */
+  private def wavBytes(rate: Float, chans: Int, n: Int,
+      gen: (Int, Int) => Int, bigEndian: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, rate, 16, chans, 2 * chans, rate, bigEndian)
+    val bytes = new Array[Byte](n * 2 * chans)
+    for (i <- 0 until n; c <- 0 until chans) {
+      val v = gen(c, i)
+      val o = (i * chans + c) * 2
+      if (bigEndian) { bytes(o) = (v >> 8).toByte; bytes(o + 1) = v.toByte }
+      else { bytes(o) = v.toByte; bytes(o + 1) = (v >> 8).toByte }
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder decodes real PCM: constant frames give exact RMS") {
+    import spark.implicits._
+    // 8 windows × 25 samples, window w holds constant amplitude 100(w+1):
+    // RMS of a constant window IS the amplitude, exactly
+    val wav = wavBytes(8000f, 1, 200, (_, i) => (i / 25 + 1) * 100)
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeFeatures(df, "payload", Multimodal.WavDecoder())
+      .select($"media_id", $"feat", $"dec_width", $"dec_height")
+      .as[(Long, Seq[Float], Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got(0)._3 == 8000 && got(0)._4 == 200)
+    assert(got(0)._2 == (1 to 8).map(_ * 100f))
+    // corrupt payload: zero envelope, 0 Hz
+    assert(got(1)._3 == 0 && got(1)._2.forall(_ == 0f))
+  }
+
+  test("WavDecoder reads the FIRST channel of stereo and negative samples") {
+    // stereo: channel 0 carries ±300 square (RMS 300), channel 1 loud
+    // noise that must NOT leak into the envelope
+    val wav = wavBytes(16000f, 2, 160,
+      (c, i) => if (c == 0) (if (i % 2 == 0) 300 else -300) else 30000)
+    val (feat, rate, n) = Multimodal.WavDecoder().decodeBatch(Seq(wav)).head
+    assert(rate == 16000 && n == 160)
+    assert(feat.forall(f => math.abs(f - 300f) < 1e-3), feat.mkString(","))
+  }
+
+  test("WavDecoder rejects unsupported depths instead of mis-decoding") {
+    // 8-bit PCM is outside the 16-bit contract → zero fallback
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 8, 1, true, false)
+    val bytes = Array.fill(100)(42.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, 100L),
+      AudioFileFormat.Type.WAVE, bos)
+    val (feat, rate, _) = Multimodal.WavDecoder().decodeBatch(Seq(bos.toByteArray)).head
+    assert(rate == 0 && feat.forall(_ == 0f))
+  }
+
   // ------------------------- dHash scale guards (pre-collapse + cap)
 
   import TestImages.bmpOfBits

@@ -136,7 +136,7 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"rk").collect().toSeq
     // simulate the crash window: the live tree deleted, the only copy
     // stranded at __next
-    for (sub <- Seq("postings", "tdf")) {
+    for (sub <- Seq("postings", "dl")) {
       val live = java.nio.file.Paths.get(s"$path/$sub")
       val next = java.nio.file.Paths.get(s"$path/${sub}__next")
       java.nio.file.Files.move(live, next)
@@ -165,9 +165,16 @@ class RetrievalSpec extends SparkSpec {
           if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
     }
     assert(postingScans.nonEmpty, "no posting-store scan found")
-    val scanned = postingScans.map(_.selectedPartitions.partitionCount).sum
-    // two query terms hash to at most 2 of the 16 buckets
-    assert(scanned <= 2, s"query read $scanned posting buckets, wanted <= 2")
+    // the postings tree serves BOTH the tf read and the df derivation
+    // (two scan nodes since the tdf tree was folded away); each must
+    // prune to the two query terms' buckets
+    assert(postingScans.size <= 2,
+      s"${postingScans.size} posting scans, wanted <= 2 (tf + df)")
+    postingScans.foreach { s =>
+      val scanned = s.selectedPartitions.partitionCount
+      // two query terms hash to at most 2 of the 16 buckets
+      assert(scanned <= 2, s"a posting scan read $scanned buckets, wanted <= 2")
+    }
   }
 
   test("BM25 top-k plans as TakeOrdered, not a global sort") {
