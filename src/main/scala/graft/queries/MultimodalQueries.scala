@@ -380,15 +380,128 @@ object MultimodalQueries {
       |WHERE doc_id % 13 <> 0
       |ORDER BY doc_id, frame""".stripMargin
 
+  // ------------------------------------------------------- q_media_meta
+
+  /** Container DURATION metadata, cross-engine (q_image_dims's time-axis
+    * sibling): each document synthesizes an MP4 (ftyp + moov/mvhd v0),
+    * an AVI (RIFF/LIST hdrl/avih) or a WAV (fmt + data declaration)
+    * header with doc_id-derived timescale/duration/frame fields, plus
+    * corrupt payloads; [[org.apache.spark.sql.graft.MediaMetaExpr]]
+    * walks the BYTES back out (box walk, RIFF chunk walk — the general
+    * parsers, not fixed offsets), and the DuckDB oracle builds the SAME
+    * blobs with hex arithmetic and re-parses them at the per-format
+    * offsets — construction and parse both exercised in each engine.
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = $"doc_id"
+    def be32(c: Column) = lpad(hex(c), 8, "0")
+    def le32(c: Column) = {
+      val s = lpad(hex(c), 8, "0")
+      concat(substring(s, 7, 2), substring(s, 5, 2),
+        substring(s, 3, 2), substring(s, 1, 2))
+    }
+    // mp4: ftyp(16) + moov(116) with mvhd v0; 80 trailing payload zeros
+    val ts = lit(600) + d % 1000
+    val dur = (d % 90000) * 100
+    val mp4 = concat(lit("00000010" + "66747970" + "69736F6D" + "00000200" +
+      "00000074" + "6D6F6F76" + "0000006C" + "6D766864" +
+      "00000000" + "00000000" + "00000000"),
+      be32(ts), be32(dur), lit("00" * 80))
+    // avi: RIFF(80) AVI + LIST(68) hdrl + avih(56): us@0, frames@16
+    val us = lit(33333) + d % 1000
+    val frames = d % 2000
+    val avi = concat(lit("52494646"), le32(lit(80)), lit("41564920" +
+      "4C495354"), le32(lit(68)), lit("6864726C" + "61766968"), le32(lit(56)),
+      le32(us), lit("00" * 12), le32(frames), lit("00" * 36))
+    // wav: headers only — the walk skips the (absent) data body by its
+    // declared size, so duration comes from the declaration
+    val br = lit(8000) + d % 64000
+    val ds = d % 100000
+    val wav = concat(lit("52494646"), le32(ds + 36), lit("57415645" +
+      "666D7420"), le32(lit(16)), lit("0100" + "0100"), le32(lit(8000)),
+      le32(br), lit("0200" + "1000" + "64617461"), le32(ds))
+    val payload = when(d % 4 === 0,
+        concat(unhex(lit("00")), encode($"text", "UTF-8")))
+      .when(d % 4 === 1, unhex(mp4))
+      .when(d % 4 === 2, unhex(avi))
+      .otherwise(unhex(wav))
+    Tables(spark, dir, "documents")
+      .select(d.as("doc_id"),
+        org.apache.spark.sql.graft.MediaMetaExpr.mediaMeta(payload).as("m"))
+      .select($"doc_id", $"m.format".as("format"),
+        $"m.duration_ms".as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB side: construct the same blobs (hex arithmetic), parse the
+    * fields back OUT at the per-format offsets, divide as integer
+    * floors — construction and parse both exercised in each engine (the
+    * imageDimsSql shape).
+    */
+  val mediaMetaSql: String = {
+    // 1-indexed hex-char offset of 0-indexed byte k: 2k+1
+    def beAt(off: Int) = s"CAST(('0x' || substr(hx, ${2 * off + 1}, 8)) AS BIGINT)"
+    def leAt(off: Int) =
+      s"CAST(('0x' || substr(hx, ${2 * (off + 3) + 1}, 2) || " +
+        s"substr(hx, ${2 * (off + 2) + 1}, 2) || " +
+        s"substr(hx, ${2 * (off + 1) + 1}, 2) || " +
+        s"substr(hx, ${2 * off + 1}, 2)) AS BIGINT)"
+    def le32(e: String) =
+      s"substr(lpad(hex($e), 8, '0'), 7, 2) || substr(lpad(hex($e), 8, '0'), 5, 2) || " +
+        s"substr(lpad(hex($e), 8, '0'), 3, 2) || substr(lpad(hex($e), 8, '0'), 1, 2)"
+    def be32(e: String) = s"lpad(hex($e), 8, '0')"
+    val mp4Hex = "'000000106674797069736F6D00000200" +
+      "000000746D6F6F760000006C6D766864000000000000000000000000' || " +
+      s"${be32("ts")} || ${be32("dur")} || repeat('00', 80)"
+    val aviHex = s"'52494646' || ${le32("80")} || '415649204C495354' || " +
+      s"${le32("68")} || '6864726C61766968' || ${le32("56")} || " +
+      s"${le32("us")} || repeat('00', 12) || ${le32("frames")} || repeat('00', 36)"
+    val wavHex = s"'52494646' || ${le32("ds + 36")} || '57415645666D7420' || " +
+      s"${le32("16")} || '01000100' || ${le32("8000")} || ${le32("br")} || " +
+      s"'02001000' || '64617461' || ${le32("ds")}"
+    s"""WITH src AS (
+       |  SELECT doc_id, text,
+       |    600 + doc_id % 1000 AS ts, (doc_id % 90000) * 100 AS dur,
+       |    33333 + doc_id % 1000 AS us, doc_id % 2000 AS frames,
+       |    8000 + doc_id % 64000 AS br, doc_id % 100000 AS ds
+       |  FROM documents),
+       |built AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN doc_id % 4 = 0 THEN '00' || hex(encode(text))
+       |      WHEN doc_id % 4 = 1 THEN $mp4Hex
+       |      WHEN doc_id % 4 = 2 THEN $aviHex
+       |      ELSE $wavHex
+       |    END AS hx
+       |  FROM src)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+       |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+       |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+       |    ELSE 'unknown' END AS format,
+       |  CASE
+       |    WHEN substr(hx, 9, 8) = '66747970' THEN (${beAt(48)} * 1000) // ${beAt(44)}
+       |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '41564920'
+       |      THEN (${leAt(32)} * ${leAt(48)}) // 1000
+       |    WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+       |      THEN (${leAt(40)} * 1000) // ${leAt(28)}
+       |    ELSE NULL END AS duration_ms
+       |FROM built ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_binary_stats" -> (binaryStats _),
     "q_image_dims" -> (imageDims _),
     "q_dhash_pairs" -> (dhashPairs _),
-    "q_audio_energy" -> (audioEnergy _))
+    "q_audio_energy" -> (audioEnergy _),
+    "q_media_meta" -> (mediaMeta _))
 
   val oracles: Map[String, String] = Map(
     "q_binary_stats" -> binaryStatsSql,
     "q_image_dims" -> imageDimsSql,
     "q_dhash_pairs" -> dhashPairsSql,
-    "q_audio_energy" -> audioEnergySql)
+    "q_audio_energy" -> audioEnergySql,
+    "q_media_meta" -> mediaMetaSql)
 }

@@ -82,6 +82,7 @@ object GraftFunctions {
     binary("hamming_dist", classOf[HammingDistExpr], HammingDistExpr(_, _)),
     unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr(_)),
     unary("image_dims", classOf[ImageDimsExpr], ImageDimsExpr(_)),
+    unary("media_meta", classOf[MediaMetaExpr], MediaMetaExpr(_)),
     // the reference's two cleaning functions (utils.py:28-50;
     // src/resilient_scraper.py:868-889), its strip gate, and the
     // text-analysis scalars — a spark.sql user can run the whole cleaning

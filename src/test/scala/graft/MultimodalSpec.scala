@@ -240,6 +240,55 @@ class MultimodalSpec extends SparkSpec {
     assert(rate == 0 && feat.forall(_ == 0f))
   }
 
+  // ------------------------------------------- media_meta (durations)
+
+  test("media_meta parses mvhd v0 AND v1, avi, and REAL encoder WAV bytes") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Long) = f"$v%08X"
+    def be64(v: Long) = f"$v%016X"
+    def le32(v: Long) = {
+      val s = f"$v%08X"
+      s.substring(6, 8) + s.substring(4, 6) + s.substring(2, 4) + s.substring(0, 2)
+    }
+    // mvhd v0: ts 600, dur 90000 → 150000 ms
+    val mp4v0 = hx("00000010" + "6674797069736F6D00000200" +
+      "00000074" + "6D6F6F76" + "0000006C" + "6D766864" +
+      "00000000" + "00000000" + "00000000" + be32(600) + be32(90000) + "00" * 80)
+    // mvhd v1: 64-bit times; ts 1000, dur 2^32+500 → floor((2^32+500)/1)... /1000*1000
+    val durV1 = (1L << 32) + 500L
+    val mp4v1 = hx("00000010" + "6674797069736F6D00000200" +
+      be32(8 + 120) + "6D6F6F76" + be32(120) + "6D766864" +
+      "01000000" + be64(0) + be64(0) + be32(1000) + be64(durV1) + "00" * 76)
+    // a preceding free box before moov must be skipped by size
+    val mp4Skip = hx("00000010" + "6674797069736F6D00000200" +
+      "00000018" + "66726565" + "00" * 16 + // 24-byte free box
+      "00000074" + "6D6F6F76" + "0000006C" + "6D766864" +
+      "00000000" + "00000000" + "00000000" + be32(500) + be32(1000) + "00" * 80)
+    val avi = hx("52494646" + le32(80) + "41564920" + "4C495354" + le32(68) +
+      "6864726C" + "61766968" + le32(56) + le32(40000) + "00" * 12 +
+      le32(250) + "00" * 36)
+    // REAL wav bytes from the JDK encoder: 8000 samples at 8 kHz = 1000 ms
+    val wav = wavBytes(8000f, 1, 8000, (_, i) => i % 100)
+    val cases = Seq(
+      (1L, mp4v0, ("mp4", Some(150000L))),
+      (2L, mp4v1, ("mp4", Some(durV1 * 1000L / 1000L))),
+      (3L, mp4Skip, ("mp4", Some(2000L))),
+      (4L, avi, ("avi", Some(40000L * 250 / 1000))),
+      (5L, wav, ("wav", Some(1000L))),
+      (6L, "not media at all".getBytes("UTF-8"), ("unknown", None)),
+      (7L, java.util.Arrays.copyOf(mp4v0, 30), ("unknown", None)), // truncated
+      (8L, java.util.Arrays.copyOf(avi, 20), ("unknown", None)))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "payload")
+    val got = df.select($"id",
+        org.apache.spark.sql.graft.MediaMetaExpr.mediaMeta($"payload").as("m"))
+      .select($"id", $"m.format", $"m.duration_ms")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(got == cases.map(c => (c._1, c._3._1, c._3._2)),
+      s"got $got")
+  }
+
   // ------------------------- dHash scale guards (pre-collapse + cap)
 
   import TestImages.bmpOfBits
