@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -312,6 +312,61 @@ object Retrieval {
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
     scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
+  }
+
+  /** Cross-encoder scoring contract for [[rerank]] — one score per
+    * (query, doc) pair, one scorer instance per partition (the
+    * [[SentimentClassifier]] batching discipline). An exported
+    * cross-encoder runs here through
+    * [[graft.ml.MiniOnnxSentimentClassifier]]-style MiniOnnx plumbing or
+    * the reflective ONNX Runtime binding; RetrievalSpec drives a REAL
+    * `.onnx` scorer end-to-end.
+    */
+  trait RerankScorer extends Serializable {
+    def scoreBatch(query: String, texts: Seq[String]): Seq[Double]
+  }
+
+  /** Retrieve-then-rerank, stage two: re-score the first stage's
+    * CANDIDATES (a top-k frame from [[bm25TopK]] / [[queryIndex]] /
+    * [[reciprocalRankFusion]], joined back to text) with a batched
+    * model and return the top `k` by (score DESC, doc_id). The
+    * first-stage candidate set is small by construction (tens to
+    * hundreds of docs), which is exactly what makes an expensive
+    * cross-encoder affordable — the model never sees the corpus, only
+    * the candidates (the standard two-stage RAG ranking argument).
+    *
+    * Scale shape: one `mapPartitions` over the candidate frame
+    * (batches of `batchSize`, one scorer instance per partition, no
+    * per-row dispatch), then TakeOrdered top-k. Scores round to 6
+    * before ranking with doc-id tie-break (the module's cross-engine
+    * float discipline), and must be independent of the partition split
+    * (spec-asserted).
+    */
+  def rerank(
+      candidates: DataFrame, id: Column, text: Column, query: String,
+      scorer: RerankScorer, batchSize: Int = 32, k: Int = 10): DataFrame = {
+    require(batchSize >= 1, s"rerank: batchSize must be >= 1, got $batchSize")
+    val base = candidates.select(id.cast("long").as("doc_id"),
+      text.cast("string").as("__text"))
+    val scored = base.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = scorer.scoreBatch(query, batch.map(_.getString(1)))
+        require(scores.length == batch.length,
+          s"rerank scorer returned ${scores.length} scores for ${batch.length} texts")
+        batch.lazyZip(scores).map { case (r, s) => Row(r.getLong(0), s) }
+      }
+    }(Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))))
+    val top = scored
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rk"), col("doc_id"), col("score"))
   }
 
   /** Reciprocal rank fusion of ranked arms: each arm is (doc_id, rk) and
