@@ -809,7 +809,64 @@ object TextQueries {
        |FROM pred GROUP BY actual, predicted
        |ORDER BY actual, predicted""".stripMargin
 
+  // ---------------------------------------------------- q_stemmed_terms
+
+  /** Top stemmed-vocabulary counts under the simplified Indonesian
+    * stemmer ([[org.apache.spark.sql.graft.StemIndonesianExpr]] — the
+    * reference corpus IS Indonesian tweets, so affix-folding is the
+    * domain-correct vocabulary normalization for retrieval/TF-IDF). The
+    * DuckDB oracle replays the full rule cascade as a lateral CASE
+    * chain GENERATED from the expression's own rule tables — the
+    * shared-constant discipline, so the two engines cannot drift on a
+    * single affix rule.
+    */
+  def stemmedTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.wide(spark, dir, "documents")
+      .select(explode(
+        regexp_extract_all(lower($"text"), lit(TfidfTermRegex), lit(0))).as("term"))
+      .select(org.apache.spark.sql.graft.StemIndonesianExpr
+        .stemIndonesian($"term").as("stem"))
+      .groupBy($"stem").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"stem")
+      .limit(40)
+      .orderBy($"n".desc, $"stem")
+  }
+
+  val stemmedTermsSql: String = {
+    import org.apache.spark.sql.graft.StemIndonesian._
+    def sufCase(e: String, sufs: Seq[String], min: Int): String =
+      "CASE " + sufs.map { s =>
+        s"WHEN length($e) >= ${s.length + min} AND " +
+          s"substr($e, length($e) - ${s.length - 1}) = '$s' " +
+          s"THEN substr($e, 1, length($e) - ${s.length})"
+      }.mkString(" ") + s" ELSE $e END"
+    def preCase(e: String, pres: Seq[String]): String =
+      "CASE " + pres.map { p =>
+        s"WHEN length($e) >= ${p.length + minStem} AND " +
+          s"substr($e, 1, ${p.length}) = '$p' THEN substr($e, ${p.length + 1})"
+      }.mkString(" ") + s" ELSE $e END"
+    // each stage is its own MATERIALIZED CTE: lateral column aliases
+    // (and plain CTEs) get macro-inlined per reference, and a 16-branch
+    // CASE referencing its predecessor ~50 times across 5 levels
+    // explodes combinatorially at plan time — materialization keeps the
+    // cascade linear
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(regexp_extract_all(lower(text), '$TfidfTermRegex')) AS t0
+       |  FROM documents),
+       |s1 AS MATERIALIZED (SELECT ${sufCase("t0", particleRules, minStem)} AS t1 FROM toks),
+       |s2 AS MATERIALIZED (SELECT ${sufCase("t1", possessiveRules, minStem)} AS t2 FROM s1),
+       |s3 AS MATERIALIZED (SELECT t2, ${preCase("t2", prefixRules)} AS t3 FROM s2),
+       |s4 AS MATERIALIZED (
+       |  SELECT CASE WHEN t3 <> t2 THEN ${preCase("t3", prefixRules)}
+       |              ELSE t3 END AS t4 FROM s3),
+       |st AS MATERIALIZED (SELECT ${sufCase("t4", suffixRules, minSuffixStem)} AS stem FROM s4)
+       |SELECT stem, count(*) AS n FROM st GROUP BY stem
+       |ORDER BY n DESC, stem LIMIT 40""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stemmed_terms" -> (stemmedTerms _),
     "q_nb_confusion" -> (nbConfusion _),
     "q_bigram_lm" -> (bigramLm _),
     "q_corpus_curation" -> (corpusCuration _),
@@ -829,6 +886,7 @@ object TextQueries {
     "q_topic_location" -> (topicLocation _))
 
   val oracles: Map[String, String] = Map(
+    "q_stemmed_terms" -> stemmedTermsSql,
     "q_nb_confusion" -> nbConfusionSql,
     "q_bigram_lm" -> bigramLmSql,
     "q_corpus_curation" -> corpusCurationSql,

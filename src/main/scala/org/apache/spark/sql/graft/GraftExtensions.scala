@@ -83,6 +83,7 @@ object GraftFunctions {
     unary("nfc_normalize", classOf[NfcNormalizeExpr], NfcNormalizeExpr(_)),
     unary("image_dims", classOf[ImageDimsExpr], ImageDimsExpr(_)),
     unary("media_meta", classOf[MediaMetaExpr], MediaMetaExpr(_)),
+    unary("stem_indonesian", classOf[StemIndonesianExpr], StemIndonesianExpr(_)),
     // the reference's two cleaning functions (utils.py:28-50;
     // src/resilient_scraper.py:868-889), its strip gate, and the
     // text-analysis scalars — a spark.sql user can run the whole cleaning

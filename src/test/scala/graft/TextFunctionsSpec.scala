@@ -240,4 +240,40 @@ class TextFunctionsSpec extends SparkSpec {
           "the oracle regexes from PyWsRe2Class-style shared constants")
     }
   }
+
+  test("stem_indonesian: rule cascade on canonical affixed forms") {
+    import org.apache.spark.sql.graft.StemIndonesian.stem
+    // particles / possessives / prefixes / suffixes, in cascade
+    assert(stem("makanlah") == "makan")     // particle; -an blocked by min-4
+    assert(stem("bukunya") == "buku")
+    assert(stem("makanannya") == "makan")   // -nya, then -an (5 >= 4 remain)
+    assert(stem("berjalan") == "jalan")     // ber-; -an blocked by min-4
+    assert(stem("dipukul") == "pukul")
+    assert(stem("mengambil") == "ambil")
+    assert(stem("diperbaiki") == "baik")    // two prefixes + -i
+    assert(stem("keadilan") == "adil")      // ke- + -an
+    assert(stem("sebesar") == "besar")
+    assert(stem("terbaik") == "baik")
+    // guards: short words never strip below the minimum stem
+    assert(stem("laci") == "laci")          // -i would leave 3 < 4
+    assert(stem("aku") == "aku")
+    // two prefix strips + a derivational suffix
+    assert(stem("mempertahankan") == "tahan")
+    // the documented simplifications: no recoding of elided consonants,
+    // and no root dictionary — so a root ENDING in a particle spelling
+    // false-strips (sekolah's 'lah' is part of the word)
+    assert(stem("menyanyi") == "anyi")
+    assert(stem("sekolah") == "seko")
+    // distributed expression path equals the driver function
+    import spark.implicits._
+    val words = Seq("makanlah", "bukunya", "berjalan", "dipukul", "xy").toDF("w")
+    val viaExpr = words.select(
+        org.apache.spark.sql.graft.StemIndonesianExpr.stemIndonesian($"w"))
+      .as[String].collect().toSeq
+    assert(viaExpr == Seq("makanlah", "bukunya", "berjalan", "dipukul", "xy").map(stem))
+    // SQL registration
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT stem_indonesian('terindah')").head.getString(0) ==
+      stem("terindah"))
+  }
 }
