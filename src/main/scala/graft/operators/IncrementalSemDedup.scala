@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch SEMANTIC near-duplicate suppression against a persistent
+  * cell-partitioned embedding store — the incremental form of
+  * [[Embeddings.semDeDup]], completing the incremental-store family
+  * (text LSH, segments, perceptual hashes, and now embeddings): corpora
+  * arrive over crawl batches, and each batch must suppress semantic
+  * duplicates against everything already accepted without re-scoring
+  * the accepted corpus.
+  *
+  * The store is anchored by a FIXED centroid set written once at
+  * [[init]] (computed from a seed sample — the IvfIndex discipline:
+  * assignment geometry must not drift batch-to-batch, or yesterday's
+  * cell 3 is not today's cell 3). Each item ever seen keeps one row:
+  * (vec_id, cell, emb, centroid_cosine, rep_id, survivor). Suppression
+  * is cell-scoped exactly like the batch algorithm — the clustering IS
+  * the candidate bound — and TRANSITIVE across batches through
+  * suppressed items' stored vectors.
+  *
+  * Per batch:
+  *  1. assign the batch to the stored centroids (broadcast matrix, one
+  *     projection) with the rounded centroid cosine;
+  *  2. batch-internal edges: cell-keyed self-join, cosine ≥ threshold;
+  *  3. batch×store: join against stored rows OF THE SAME CELLS only;
+  *     per item, the minimum store rep within the threshold;
+  *  4. [[Dedup.connectedComponents]] + rep adoption (the
+  *     [[IncrementalDedup]] shape) — a fresh cluster keeps its
+  *     keep-policy winner: the member with the LOWEST centroid cosine
+  *     (SemDeDup's farthest-from-centroid rule), not min id, so the
+  *     one-shot and incremental keep policies agree on day one;
+  *  5. land at `batch=<batchId>` with mode=overwrite — replay-idempotent.
+  *
+  * Monotonicity contract: identical to the other stores — emitted
+  * survivors are never retracted; a bridge item suppresses under the
+  * existing rep.
+  *
+  * Scale notes: the store carries one embedding per item ever seen —
+  * inherent to semantic comparison (a sketch cannot rescore cosine);
+  * at extreme scale the store rows can hold PQ codes instead
+  * ([[Embeddings.pqEncode]]) at the documented recall cost. The
+  * batch×store join reads ONLY the cells the batch touched (cell
+  * partition pruning on the store read).
+  */
+object IncrementalSemDedup {
+
+  private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, cell INT, emb ARRAY<FLOAT>, centroid_cosine DOUBLE, " +
+      "rep_id BIGINT, survivor BOOLEAN")
+
+  /** Write the fixed centroid geometry from a SEED corpus (typically the
+    * first batch, or a representative sample). Must run once before any
+    * [[semDedupBatch]]; re-running overwrites the whole store (a new
+    * index generation).
+    */
+  def init(
+      seed: DataFrame, id: Column, emb: Column, storePath: String,
+      nlist: Int = -1, refineIterations: Int = 1, seedValue: Long = 42L,
+      portableSample: Boolean = false): Unit = {
+    val spark = seed.sparkSession
+    val src = seed.select(id.cast("long").as("__id"), emb.as("__e"))
+    val lists =
+      if (nlist > 0) nlist
+      else Embeddings.deriveNlist(src.count())
+    val mat = Embeddings.computeCentroids(
+      src, col("__id"), col("__e"), lists, refineIterations, seedValue,
+      portableSample)
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.createDataFrame(mat.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$storePath/centroids")
+  }
+
+  private def readCentroids(
+      spark: SparkSession, storePath: String): Seq[Seq[Double]] = {
+    val cPath = new org.apache.hadoop.fs.Path(s"$storePath/centroids")
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cPath),
+      s"IncrementalSemDedup: no centroids at $storePath (call init first)")
+    val mat = spark.read.parquet(s"$storePath/centroids")
+      .orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1)).toSeq
+    require(mat.nonEmpty, s"IncrementalSemDedup: no centroids at $storePath " +
+      "(call init first)")
+    mat
+  }
+
+  /** Suppress one batch against the store, then persist the labeled
+    * batch into `rows/batch=<batchId>`. Returns (vec_id, rep_id,
+    * survivor).
+    */
+  def semDedupBatch(
+      spark: SparkSession, batch: DataFrame, id: Column, emb: Column,
+      storePath: String, batchId: Long,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val mat = readCentroids(spark, storePath)
+    val assigned = Checkpoints.materialize(
+      batch.select(id.cast("long").as("vec_id"), emb.as("emb"))
+        .withColumn("__best",
+          array_min(Embeddings.cellScoresFor(mat)(col("emb"))))
+        .select(col("vec_id"), col("emb"),
+          col("__best").getField("cell").as("cell"),
+          round(coalesce(-col("__best").getField("negDot") /
+            nullif(Embeddings.norm(col("emb")), lit(0.0)), lit(0.0)), 4)
+            .as("centroid_cosine")))
+    // batch-internal edges, cell-scoped
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("__ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("__eb"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // batch×store: stored rows of the touched cells only
+    val rowsPath = s"$storePath/rows"
+    val p = new org.apache.hadoop.fs.Path(rowsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
+        spark.read.parquet(rowsPath)
+          .select(col("vec_id").as("__sid"), col("cell"),
+            col("emb").as("__se"), col("rep_id").as("__srep"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+          .select(col("vec_id").as("__sid"), col("cell"),
+            col("emb").as("__se"), col("rep_id").as("__srep"))
+    val storeRep = assigned.join(store, Seq("cell"))
+      .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= threshold)
+      .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
+    val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
+    val ids = assigned.select(col("vec_id"), col("centroid_cosine"))
+    val compOf = ids
+      .join(comp, ids("vec_id") === comp("node"), "left")
+      .select(col("vec_id"), col("centroid_cosine"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("__comp"))
+    val compRep = compOf.join(storeRep, Seq("vec_id"), "left")
+      .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+    // a FRESH cluster keeps the farthest-from-centroid member (SemDeDup's
+    // keep policy), so the incremental path agrees with the one-shot
+    // algorithm when the store is empty
+    val freshKeep = compOf.groupBy(col("__comp"))
+      .agg(min(struct(col("centroid_cosine"), col("vec_id"))).as("__k"))
+      .select(col("__comp"), col("__k").getField("vec_id").as("__keepId"))
+    val labeled = compOf
+      .join(compRep, Seq("__comp"))
+      .join(freshKeep, Seq("__comp"))
+      .select(col("vec_id"),
+        coalesce(col("__compSrep"), col("__keepId")).as("rep_id"))
+    val out = assigned.join(labeled, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("emb"), col("centroid_cosine"),
+        col("rep_id"), (col("rep_id") === col("vec_id")).as("survivor"))
+    out.write.mode("overwrite").parquet(s"$rowsPath/batch=$batchId")
+    Checkpoints.free(assigned)
+    spark.read.parquet(s"$rowsPath/batch=$batchId")
+      .select(col("vec_id"), col("rep_id"), col("survivor"))
+  }
+
+  /** The store's accepted (surviving) items. */
+  def survivors(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/rows")
+      .filter(col("survivor"))
+      .select(col("vec_id"))
+}
