@@ -117,13 +117,20 @@ object IncrementalSemDedup {
       .filter(col("id_a") < col("id_b"))
       .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))
-    // batch×store: stored rows of the touched cells only
+    // batch×store: stored rows of the TOUCHED CELLS only — the batch's
+    // distinct cell set is bounded by nlist (a small driver collect, the
+    // IvfIndex.probe discipline), and the rows tree is partitioned by
+    // cell under each batch dir, so the isin filter prunes cell=
+    // directories at file-index time instead of scanning store history
+    val touchedCells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
     val rowsPath = s"$storePath/rows"
     val p = new org.apache.hadoop.fs.Path(rowsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store =
       if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
         spark.read.parquet(rowsPath)
+          .filter(col("cell").isin(touchedCells.toIndexedSeq: _*))
           .select(col("vec_id").as("__sid"), col("cell"),
             col("emb").as("__se"), col("rep_id").as("__srep"))
       else
@@ -156,7 +163,8 @@ object IncrementalSemDedup {
     val out = assigned.join(labeled, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("emb"), col("centroid_cosine"),
         col("rep_id"), (col("rep_id") === col("vec_id")).as("survivor"))
-    out.write.mode("overwrite").parquet(s"$rowsPath/batch=$batchId")
+    out.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$rowsPath/batch=$batchId")
     Checkpoints.free(assigned)
     spark.read.parquet(s"$rowsPath/batch=$batchId")
       .select(col("vec_id"), col("rep_id"), col("survivor"))
