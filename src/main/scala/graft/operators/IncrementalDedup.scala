@@ -91,17 +91,12 @@ object IncrementalDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, sig ARRAY<BIGINT>, bands ARRAY<BIGINT>, rep_id BIGINT, survivor BOOLEAN")
 
-  /** Self-heal for [[compactStore]]'s swap: a crash between the old
-    * store's delete and the rename leaves the ONLY copy at `__next` —
-    * adopt it before any read. The same discipline as the curated-store
-    * merge ([[graft.streaming.StreamingIngest]]).
+  /** Self-heal for [[compactStore]]'s swap — the [[BatchStore]] family
+    * discipline (single-sourced there since round 10).
     */
   private[operators] def adoptNext(
-      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit = {
-    val next = new org.apache.hadoop.fs.Path(p.toString + "__next")
-    val live = fs.exists(p) && fs.listStatus(p).nonEmpty
-    if (!live && fs.exists(next)) { fs.rename(next, p); () }
-  }
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): Unit =
+    BatchStore.adoptNext(fs, p)
 
   /** Suppress one batch against the store at `storePath`, then persist
     * the labeled batch into `batch=<batchId>`. Returns the labeled batch
@@ -129,17 +124,12 @@ object IncrementalDedup {
         lit(null).cast("array<bigint>").as("sig"),
         array().cast("array<bigint>").as("bands"))
 
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    adoptNext(fs, p)
-    val store =
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
-        spark.read.parquet(storePath)
-          .select(col("doc_id"), col("sig"), col("bands"), col("rep_id"))
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
-          .select(col("doc_id"), col("sig"), col("bands"), col("rep_id"))
+    // the pre-batch state from EXPLICIT batch < batchId paths (the
+    // BatchStore replay-exclusion contract): a replayed micro-batch
+    // recomputes against the exact pre-batch store, never its own
+    // (possibly torn) prior write
+    val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
+      .select(col("doc_id"), col("sig"), col("bands"), col("rep_id"))
 
     val nEx = banded.select(col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
     // batch×batch candidate edges, verified on estimated Jaccard
@@ -219,31 +209,6 @@ object IncrementalDedup {
     */
   def compactStore(
       spark: SparkSession, storePath: String, upToBatch: Long,
-      targetFiles: Int = 8): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    adoptNext(fs, p)
-    if (!fs.exists(p)) return
-    val batchIds = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    if (!batchIds.exists(_ <= upToBatch)) return
-    // consolidate under the LARGEST EXISTING id <= upToBatch, never a
-    // fresh id: the stream hands out ids past its last committed batch,
-    // and a future batch landing on a fresh consolidated id would
-    // overwrite-replace the consolidated partition wholesale
-    val target = batchIds.filter(_ <= upToBatch).max
-    val next = new org.apache.hadoop.fs.Path(storePath + "__next")
-    fs.delete(next, true) // stale leftover from an interrupted attempt
-    spark.read.parquet(storePath)
-      .filter(col("batch") <= upToBatch).drop("batch")
-      .coalesce(targetFiles)
-      .write.parquet(s"$next/batch=$target")
-    batchIds.filter(_ > upToBatch).foreach { b =>
-      spark.read.parquet(s"$storePath/batch=$b")
-        .write.parquet(s"$next/batch=$b")
-    }
-    fs.delete(p, true)
-    fs.rename(next, p)
-    ()
-  }
+      targetFiles: Int = 8): Unit =
+    BatchStore.compact(spark, storePath, upToBatch, targetFiles)
 }

@@ -98,18 +98,11 @@ object IncrementalImageDedup {
       .filter(bit_count(col("__dha").bitwiseXOR(col("__dhb"))) <= maxHamming)
       .select(col("a"), col("b")).distinct()
 
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crashed compactStore swap leaves the only copy at __next
-    IncrementalDedup.adoptNext(fs, p)
-    val store =
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
-        spark.read.parquet(storePath)
-          .select(col("media_id"), col("dh"), col("rep_id"))
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
-          .select(col("media_id"), col("dh"), col("rep_id"))
+    // the pre-batch state from EXPLICIT batch < batchId paths (the
+    // [[BatchStore]] replay-exclusion contract; also heals a crashed
+    // compact swap before reading)
+    val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
+      .select(col("media_id"), col("dh"), col("rep_id"))
     // store side collapsed to (distinct hash, min rep): equal hashes
     // matched each other at ingest, so min-rep per hash is exactly the
     // rep the full row set would contribute

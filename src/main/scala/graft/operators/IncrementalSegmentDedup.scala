@@ -77,38 +77,12 @@ object IncrementalSegmentDedup {
       .select(col("__h"), col("__seg"),
         col("__w.__id").as("__id"), col("__w.__idx").as("__idx"))
 
-    // The pre-batch state is read from the EXPLICIT partition paths with
-    // batch < batchId, never via a full-store read + filter: the overwrite
-    // of batch=$batchId below deletes files that a full-store file index
-    // would reference, so replay safety would hinge entirely on static
-    // partition pruning keeping them out of the scan — an optimizer
-    // behavior, not a contract. Listing the directories decouples the
-    // write target from the read set by construction. A batch= directory
-    // whose suffix does not parse is a corrupt store and raises loudly
-    // rather than being silently included or skipped.
-    val p = new org.apache.hadoop.fs.Path(storePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val priorDirs: Seq[String] =
-      if (fs.exists(p))
-        fs.listStatus(p).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map { s =>
-            val suffix = s.getPath.getName.stripPrefix("batch=")
-            val id = scala.util.Try(suffix.toLong).getOrElse(
-              throw new IllegalStateException(
-                s"segmentDedupBatch: corrupt store partition '${s.getPath}' — " +
-                  "batch= suffix is not a long"))
-            (id, s.getPath.toString)
-          }
-          .filter(_._1 < batchId) // a replayed batch must see the exact
-          .map(_._2)              // pre-batch state, not its own write
-      else Seq.empty
-    val store =
-      if (priorDirs.nonEmpty)
-        spark.read.parquet(priorDirs: _*).select(col("seg_hash"), col("seg"))
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+    // the pre-batch state from EXPLICIT batch < batchId paths — the
+    // replay-exclusion discipline this store pioneered, single-sourced
+    // in [[BatchStore]] since round 10 (see its object doc for why
+    // explicit paths, not a full-store read + filter)
+    val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
+      .select(col("seg_hash"), col("seg"))
 
     // hash bounds the join, text decides it — a 60-bit collision can
     // never suppress a novel segment

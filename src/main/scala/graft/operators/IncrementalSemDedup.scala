@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   *     keep-policy winner: the member with the LOWEST centroid cosine
   *     (SemDeDup's farthest-from-centroid rule), not min id, so the
   *     one-shot and incremental keep policies agree on day one;
-  *  5. land at `batch=<batchId>` with mode=overwrite — replay-idempotent.
+  *  5. land at `batch=<batchId>` with mode=overwrite; the store read
+  *     takes ONLY the explicit `batch < batchId` partition paths
+  *     ([[BatchStore.readPrior]]), so a checkpoint-replayed micro-batch
+  *     recomputes against the exact pre-batch state — structurally
+  *     replay-idempotent, torn prior writes included.
   *
   * Monotonicity contract: identical to the other stores — emitted
   * survivors are never retracted; a bridge item suppresses under the
@@ -124,20 +128,18 @@ object IncrementalSemDedup {
     // directories at file-index time instead of scanning store history
     val touchedCells = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // the pre-batch state from EXPLICIT batch < batchId paths (the
+    // [[BatchStore]] replay-exclusion contract — until round 10 this
+    // store read the whole rows tree and replay idempotence rested on a
+    // fixed-point argument; now a replayed batch structurally cannot see
+    // its own, possibly torn, prior write). Cell pruning survives: each
+    // batch dir's cell= subdirs surface as the `cell` partition column,
+    // so the isin filter still prunes directories at file-index time.
     val rowsPath = s"$storePath/rows"
-    val p = new org.apache.hadoop.fs.Path(rowsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val store =
-      if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch=")))
-        spark.read.parquet(rowsPath)
-          .filter(col("cell").isin(touchedCells.toIndexedSeq: _*))
-          .select(col("vec_id").as("__sid"), col("cell"),
-            col("emb").as("__se"), col("rep_id").as("__srep"))
-      else
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
-          .select(col("vec_id").as("__sid"), col("cell"),
-            col("emb").as("__se"), col("rep_id").as("__srep"))
+    val store = BatchStore.readPrior(spark, rowsPath, batchId, storeSchema)
+      .filter(col("cell").isin(touchedCells.toIndexedSeq: _*))
+      .select(col("vec_id").as("__sid"), col("cell"),
+        col("emb").as("__se"), col("rep_id").as("__srep"))
     val storeRep = assigned.join(store, Seq("cell"))
       .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= threshold)
       .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
@@ -171,8 +173,28 @@ object IncrementalSemDedup {
   }
 
   /** The store's accepted (surviving) items. */
-  def survivors(spark: SparkSession, storePath: String): DataFrame =
+  def survivors(spark: SparkSession, storePath: String): DataFrame = {
+    val (fs, p) = BatchStore.fsPath(spark, s"$storePath/rows")
+    BatchStore.adoptNext(fs, p)
     spark.read.parquet(s"$storePath/rows")
       .filter(col("survivor"))
       .select(col("vec_id"))
+  }
+
+  /** Compact the rows tree: consolidate every `batch=` partition with
+    * id <= `upToBatch` into one, PRESERVING the `cell=` partitioning
+    * below it — the [[BatchStore.compact]] discipline with
+    * `partitionCols = cell`, so [[semDedupBatch]]'s touched-cell
+    * directory pruning survives compaction. An hourly-fed store
+    * otherwise decays into thousands of tiny `batch=N/cell=M`
+    * directories (the small-files failure every other store already
+    * compacts away). Same SAFETY CONTRACT as the family: only compact
+    * batch ids the producer's checkpoint has committed past. Suppression
+    * decisions before and after are identical — row content is untouched
+    * (spec-pinned).
+    */
+  def compactStore(
+      spark: SparkSession, storePath: String, upToBatch: Long): Unit =
+    BatchStore.compact(spark, s"$storePath/rows", upToBatch,
+      partitionCols = Seq("cell"))
 }

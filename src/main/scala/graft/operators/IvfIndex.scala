@@ -206,51 +206,16 @@ private[operators] object IvfCells {
     * touch. Returns the cells path string for `spark.read.parquet`.
     */
   def resolveCells(spark: SparkSession, path: String): String = {
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cells) && fs.exists(next)) {
-      require(fs.rename(next, cells),
-        s"IvfCells: failed to adopt $next as $cells")
-    }
+    val (fs, cells) = BatchStore.fsPath(spark, s"$path/cells")
+    BatchStore.adoptNext(fs, cells)
     cells.toString
   }
 
-  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit = {
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
-    val fs = cells.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // self-heal: a crash between the old tree's delete and the rename
-    // left the only copy at __next — adopt it (checked: a silently failed
-    // rename here would fall through to the require below)
-    if (!fs.exists(cells) && fs.exists(next)) {
-      require(fs.rename(next, cells),
-        s"IvfCells.compact: failed to adopt $next as $cells")
-      return
-    }
-    require(fs.exists(cells), s"IvfCells.compact: no cells tree at $cells")
-    val batchIds = fs.listStatus(cells).map(_.getPath.getName)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    if (!batchIds.exists(_ <= upToBatch)) return
-    val target = batchIds.filter(_ <= upToBatch).max
-    // stale leftover from an interrupted attempt (delete(missing) returns
-    // false, so only a PRESENT-but-undeletable path may fail the check)
-    require(fs.delete(next, true) || !fs.exists(next),
-      s"IvfCells.compact: failed to clear stale $next")
-    spark.read.parquet(cells.toString)
-      .filter(col("batch") <= upToBatch).drop("batch")
-      .write.partitionBy("cell").parquet(s"$next/batch=$target")
-    batchIds.filter(_ > upToBatch).foreach { b =>
-      spark.read.parquet(s"$cells/batch=$b")
-        .write.partitionBy("cell").parquet(s"$next/batch=$b")
-    }
-    // the swap: a crash between these two leaves only __next, which both
-    // resolveCells and the adopt branch above recover; a FAILED call must
-    // surface, not serve a half-swapped store
-    require(fs.delete(cells, true),
-      s"IvfCells.compact: failed to delete old $cells")
-    require(fs.rename(next, cells),
-      s"IvfCells.compact: failed to swap $next into $cells")
-    ()
-  }
+  /** Delegates to [[BatchStore.compact]] with the cell partitioning
+    * preserved — see its doc for the swap, the largest-existing-id rule,
+    * and the SAFETY CONTRACT (only committed-past batch ids).
+    */
+  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
+    BatchStore.compact(spark, s"$path/cells", upToBatch,
+      partitionCols = Seq("cell"))
 }

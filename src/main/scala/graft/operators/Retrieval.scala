@@ -144,10 +144,13 @@ object Retrieval {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    writeBatch(docs, id, text, path, buckets, batchId = 0L)
-    // bucket count is part of the layout: record it for queryIndex
+    // meta FIRST (it is layout config, not a commit marker — the
+    // ensureIndexMeta ordering): a crash between the two writes must
+    // leave a tree appendIndex/queryIndex can still read, not a batch
+    // with no meta that bricks every call until a full rebuild
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeBatch(docs, id, text, path, buckets, batchId = 0L)
   }
 
   /** Incremental APPEND — the crawl-batch shape the other persistent
@@ -216,12 +219,11 @@ object Retrieval {
   private val IndexTrees = Seq("postings", "dl", "stats")
 
   /** Consolidate every `batch=` partition with id <= `upToBatch` across
-    * the four index subtrees — the [[IncrementalDedup.compactStore]]
-    * small-files discipline, with two index-specific merges: tdf rows
-    * for one term SUM across consolidated batches (query-time merging
-    * then sums the sums — same total), and stats consolidate to a
-    * single row. Posting/tdf bucket partitioning is preserved, so the
-    * bucket-prune contract survives compaction. Same SAFETY CONTRACT as
+    * the three index subtrees (postings / dl / stats) — the
+    * [[IncrementalDedup.compactStore]] small-files discipline, with one
+    * index-specific merge: stats consolidate to a single additive row.
+    * Posting bucket partitioning is preserved, so the bucket-prune
+    * contract survives compaction. Same SAFETY CONTRACT as
     * every store: only compact batch ids the stream's checkpoint has
     * committed past. Crash-safe via the `__next` + adopt-on-read swap
     * ([[queryIndex]] and [[appendIndex]] self-heal).
@@ -229,48 +231,23 @@ object Retrieval {
   def compactIndex(
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 4): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    def compactTree(sub: String,
-        write: (DataFrame, String) => Unit,
-        merge: DataFrame => DataFrame): Unit = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = p.getFileSystem(conf)
-      IncrementalDedup.adoptNext(fs, p)
-      if (!fs.exists(p)) return
-      val batchIds = fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-      if (!batchIds.exists(_ <= upToBatch)) return
-      // consolidate under the LARGEST EXISTING id <= upToBatch (a fresh
-      // id would collide with a future stream batch — the compactStore
-      // rule)
-      val target = batchIds.filter(_ <= upToBatch).max
-      val next = new org.apache.hadoop.fs.Path(s"$path/${sub}__next")
-      require(fs.delete(next, true) || !fs.exists(next),
-        s"compactIndex: failed to clear stale $next")
-      write(merge(spark.read.parquet(p.toString)
-        .filter(col("batch") <= upToBatch).drop("batch")),
-        s"$next/batch=$target")
-      batchIds.filter(_ > upToBatch).foreach { bid =>
-        write(spark.read.parquet(s"$p/batch=$bid"), s"$next/batch=$bid")
-      }
-      require(fs.delete(p, true), s"compactIndex: failed to delete old $p")
-      require(fs.rename(next, p), s"compactIndex: failed to swap $next into $p")
-    }
-    compactTree("postings",
-      (d, o) => d.write.partitionBy("bucket").parquet(o), identity)
-    compactTree("dl",
-      (d, o) => d.coalesce(targetFiles).write.parquet(o), identity)
-    compactTree("stats",
-      (d, o) => d.coalesce(1).write.parquet(o),
-      d => d.agg(sum(col("n")).as("n"), sum(col("tot")).cast("long").as("tot")))
+    // all three trees ride [[BatchStore.compact]] (the single-sourced
+    // swap + largest-existing-id discipline); postings keep their bucket
+    // partitioning so the bucket-prune contract survives, and stats
+    // consolidate to one additive row
+    BatchStore.compact(spark, s"$path/postings", upToBatch,
+      partitionCols = Seq("bucket"))
+    BatchStore.compact(spark, s"$path/dl", upToBatch, targetFiles)
+    BatchStore.compact(spark, s"$path/stats", upToBatch, targetFiles = 1,
+      merge = d => d.agg(sum(col("n")).as("n"),
+        sum(col("tot")).cast("long").as("tot")))
   }
 
   /** Self-heal a crashed [[compactIndex]] swap before any read. */
   private def adoptIndexTrees(spark: SparkSession, path: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
     IndexTrees.foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      IncrementalDedup.adoptNext(p.getFileSystem(conf), p)
+      val (fs, p) = BatchStore.fsPath(spark, s"$path/$sub")
+      BatchStore.adoptNext(fs, p)
     }
   }
 
@@ -346,8 +323,10 @@ object Retrieval {
       candidates: DataFrame, id: Column, text: Column, query: String,
       scorer: RerankScorer, batchSize: Int = 32, k: Int = 10): DataFrame = {
     require(batchSize >= 1, s"rerank: batchSize must be >= 1, got $batchSize")
+    // null text must not reach the scorer: scoreBatch implementations
+    // tokenize, and a null from getString NPEs deep inside mapPartitions
     val base = candidates.select(id.cast("long").as("doc_id"),
-      text.cast("string").as("__text"))
+      coalesce(text.cast("string"), lit("")).as("__text"))
     val scored = base.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val scores = scorer.scoreBatch(query, batch.map(_.getString(1)))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.{DictionaryLocator, LexiconSentiment, TextFunctions}
-import graft.operators.{IncrementalDedup, IncrementalImageDedup, IncrementalSegmentDedup, IvfPqIndex, Retrieval}
+import graft.operators.{BatchStore, IncrementalDedup, IncrementalImageDedup, IncrementalSegmentDedup, IncrementalSemDedup, IvfPqIndex, Retrieval}
 import graft.sources.LocationDictSource
 
 /** End-to-end STREAMING capstone: every stage of the reference pipeline
@@ -45,7 +45,8 @@ object StreamingCapstone {
 
   final case class Stores(
     curatedDir: String, lshStore: String, segStore: String, segOut: String,
-    vecStore: String = "", imgStore: String = "", bm25Store: String = "")
+    vecStore: String = "", imgStore: String = "", bm25Store: String = "",
+    semStore: String = "")
 
   /** One micro-batch through the full pipeline; returns rows landed.
     *
@@ -64,7 +65,8 @@ object StreamingCapstone {
       dict: DictionaryLocator.LocationDict, minTokens: Int = 5,
       vectors: Option[DataFrame] = None,
       minVecBuildRows: Int = 64, vecKs: Int = 16,
-      media: Option[DataFrame] = None): Long = {
+      media: Option[DataFrame] = None,
+      minSemInitRows: Int = 64, semThreshold: Double = 0.9): Long = {
     val enriched = batch
       .withColumn("clean_text",
         TextFunctions.cleanTweetText(

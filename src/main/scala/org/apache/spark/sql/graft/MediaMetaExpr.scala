@@ -104,6 +104,10 @@ object MediaMeta {
         if (j + 8 + 20 <= n && tag(b, j, "avih")) {
           val us = le32(b, j + 8)
           val frames = le32(b, j + 8 + 16)
+          // both fields are full unsigned 32-bit: an adversarial header
+          // can overflow Long in us*frames and wrap POSITIVE-but-wrong
+          // (the ms<0 guard below only catches negative wraps)
+          if (us > 0L && frames > Long.MaxValue / us) return Unknown
           return row("avi", us * frames / 1000L)
         }
         return Unknown

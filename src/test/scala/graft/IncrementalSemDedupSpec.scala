@@ -81,4 +81,87 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(first == replay && first == Seq((2L, 1L, false)))
     assert(spark.read.parquet(s"$store/rows").count() == 2)
   }
+
+  test("replay is structurally safe against a TORN prior write of the same batch") {
+    // crash mid-write of batch=1 leaves partial/corrupt files; the replay
+    // reads ONLY the explicit batch<1 paths (BatchStore.readPrior), so the
+    // torn partition is never scanned — its overwrite repairs it
+    val store = java.nio.file.Files.createTempDirectory("semtorn").toString
+    initStore(store)
+    run(store, 0, Seq((1L, vec(0, 0))))
+    val clean = run(store, 1, Seq((2L, vec(0, 15))))
+    // corrupt every data file of batch=1 in place (worse than torn: a
+    // full-tree read would now fail outright on the footer)
+    val b1 = new java.io.File(s"$store/rows/batch=1")
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(corrupt)
+      else if (f.getName.endsWith(".parquet"))
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](8)(0x7f))
+    corrupt(b1)
+    val replay = run(store, 1, Seq((2L, vec(0, 15))))
+    assert(replay == clean && replay == Seq((2L, 1L, false)))
+    // the store healed: full read works and holds exactly both batches
+    assert(spark.read.parquet(s"$store/rows").count() == 2)
+  }
+
+  test("compactStore consolidates batches, keeps cell partitioning, survives crash-swap") {
+    val store = java.nio.file.Files.createTempDirectory("semcompact").toString
+    initStore(store)
+    run(store, 0, Seq((1L, vec(0, 0)), (2L, vec(4, 0))))  // both cells
+    run(store, 1, Seq((3L, vec(0, 15))))                  // dup of 1
+    run(store, 2, Seq((4L, vec(4, 60))))                  // novel, cell 1
+    def rows(): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(s"$store/rows")
+        .select(col("vec_id"), col("rep_id"), col("survivor"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def dirs(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.getName).filter(!_.startsWith("_")).toSeq.sorted
+    }
+    val before = rows()
+    assert(dirs(s"$store/rows") == Seq("batch=0", "batch=1", "batch=2"))
+    IncrementalSemDedup.compactStore(spark, store, upToBatch = 1L)
+    assert(dirs(s"$store/rows") == Seq("batch=1", "batch=2"),
+      "batches 0..1 consolidate under the largest committed id")
+    assert(dirs(s"$store/rows/batch=1").forall(_.startsWith("cell=")),
+      "cell partitioning must survive compaction (the prune contract)")
+    assert(rows() == before, "compaction changed row content")
+    // suppression semantics unchanged: a post-compaction batch still
+    // suppresses transitively against consolidated history
+    assert(run(store, 3, Seq((5L, vec(0, 30)))) == Seq((5L, 1L, false)))
+    // crash between delete and rename strands the tree at __next: every
+    // reader adopts it on entry
+    val p = new org.apache.hadoop.fs.Path(s"$store/rows")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(p, new org.apache.hadoop.fs.Path(s"$store/rows__next"))
+    assert(IncrementalSemDedup.survivors(spark, store)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  test("keep-policy divergence at a cluster merge is pinned from BOTH sides") {
+    // X(0°) and Y(40°) are not dups (cos .766 < .9); bridge Z(20°)
+    // matches both (cos .9397). The monotonicity contract says the
+    // incremental path must keep BOTH already-emitted survivors and
+    // suppress Z under the min rep — while a one-shot over the union
+    // merges all three and keeps its keep-policy winner (farthest from
+    // centroid = Y). Both sides pinned, like the LSH store's bridge doc.
+    val store = java.nio.file.Files.createTempDirectory("sembridge").toString
+    initStore(store)
+    assert(run(store, 0, Seq((1L, vec(0, 0)))) == Seq((1L, 1L, true)))
+    assert(run(store, 1, Seq((2L, vec(0, 40)))) == Seq((2L, 2L, true)))
+    assert(run(store, 2, Seq((3L, vec(0, 20)))) == Seq((3L, 1L, false)),
+      "bridge suppresses under the minimum matched store rep")
+    assert(IncrementalSemDedup.survivors(spark, store)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "emitted survivors were retracted")
+    // one-shot over the union (same fixed geometry: fresh store, one batch)
+    val fresh = java.nio.file.Files.createTempDirectory("sembridge1").toString
+    initStore(fresh)
+    val oneShot = run(fresh, 0,
+      Seq((1L, vec(0, 0)), (2L, vec(0, 40)), (3L, vec(0, 20))))
+    assert(oneShot == Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false)),
+      "one-shot closure merges the bridged cluster and keeps the " +
+        "farthest-from-centroid member")
+  }
 }
