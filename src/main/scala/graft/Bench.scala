@@ -96,6 +96,49 @@ object Bench {
             None
         }
       }
+      // canonicalized-plan fingerprint (round-9 adjudication: cross-round
+      // time drift on plan-UNCHANGED queries — q_tweet_flat 1.4× — could
+      // only be called noise, not proven; a stable hash makes "same plan,
+      // different time" machine-checkable across rounds). Hash of the
+      // canonicalized ANALYZED logical plan: physical plans embed AQE
+      // runtime state, and the OPTIMIZED plan proved run-order-dependent
+      // — cache substitution races async unpersists from earlier queries,
+      // so whether a shared fragment resolves to InMemoryRelation varies
+      // run to run (measured: 3 queries flipped hash between identical
+      // back-to-back runs). The analyzed plan is pre-cache-substitution
+      // and pre-optimizer: its hash changes exactly when the DECLARED
+      // computation changes, which is the attribution the cross-round
+      // record needs (optimizer behavior only moves with the pinned Spark
+      // version). Two residual cross-JVM instabilities are normalized
+      // away: AND-conjunct chains flatten + sort by string (ExpressionSet
+      // iteration is hashCode-driven on object-holding expressions), and
+      // JVM-assigned lambda class ids / identity hashes inside
+      // MapPartitions nodes (regexed out). Computed outside the timed
+      // window; never a failure source.
+      val planHash = try {
+        import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case x => Seq(x)
+        }
+        def norm(e: Expression): Expression = {
+          val k = e.mapChildren(norm)
+          k match {
+            case a: And =>
+              conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
+            case x => x
+          }
+        }
+        val p = fn(spark, sfDir).queryExecution.analyzed
+          .canonicalized.transformAllExpressions { case e => norm(e) }
+        val s = p.toString
+          .replaceAll("Lambda\\$\\d+", "Lambda")
+          .replaceAll("/0x[0-9a-f]+", "")
+          .replaceAll("@[0-9a-f]+", "")
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+      } catch { case scala.util.control.NonFatal(_) => "" }
       val cold = timed()
       // steady = min of three post-warm-up runs (the standard microbench
       // estimator): single post-warm runs still jitter ±0.3 s from AQE
@@ -109,19 +152,19 @@ object Bench {
       // still a failing query — surface it instead of reporting the cold
       // time as a healthy steady-state
       if (cold.isEmpty || steady.isEmpty) errors += name
-      name -> ((cold, steady))
+      name -> ((cold, steady, planHash))
     }
-    val qs = results.map { case (k, (cold, steady)) =>
+    val qs = results.map { case (k, (cold, steady, planHash)) =>
       val t = steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
       val c = cold.fold(-1.0)(_._1)
       val r = cold.fold(0L)(_._2)
       val g = steady.fold(-1L)(_._3)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
-        ",\"gc_ms\":" + g + "}"
+        ",\"gc_ms\":" + g + ",\"plan_hash\":\"" + planHash + "\"}"
     }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val contended = results.collect {
-      case (k, (Some(c), Some(s))) if s._1 > c._1 => k
+      case (k, (Some(c), Some(s), _)) if s._1 > c._1 => k
     }
     val contJson = contended.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum

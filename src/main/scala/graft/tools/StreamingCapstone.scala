@@ -28,8 +28,10 @@ import graft.sources.LocationDictSource
   *     never recomputed), the segment-dedup store (cross-batch
   *     boilerplate suppression), and — when media payloads ride along —
   *     the PERCEPTUAL image-dedup store ([[IncrementalImageDedup]]:
-  *     real decode, dHash, cross-batch suppression) — all
-  *     checkpoint-replay-safe.
+  *     real decode, dHash, cross-batch suppression), and — when
+  *     embeddings ride along — the SEMANTIC dedup store
+  *     ([[IncrementalSemDedup]]: fixed centroid geometry, cell-scoped
+  *     cosine suppression) — all checkpoint-replay-safe.
   *
   * The foreachBatch body is deterministic per (batch, store state), every
   * store write is an idempotent partition overwrite keyed by batchId, and
@@ -109,6 +111,12 @@ object StreamingCapstone {
     for (emb <- vectors if stores.vecStore.nonEmpty)
       maintainVectorIndex(spark, landed, emb, stores.vecStore, batchId,
         minVecBuildRows, vecKs)
+    // semantic dedup stage: the landed docs' embeddings suppress against
+    // the cross-batch SemDeDup store (fixed centroid geometry, staged
+    // init — same deferred-build lifecycle as the vector index)
+    for (emb <- vectors if stores.semStore.nonEmpty)
+      maintainSemStore(spark, landed, emb, stores.semStore, batchId,
+        minSemInitRows, semThreshold)
     // perceptual image stage: the landed docs' media suppress against the
     // cross-batch dHash store (batch=-keyed partition overwrite — the
     // same idempotent replay contract as the text stores)
@@ -188,6 +196,68 @@ object StreamingCapstone {
     }
   }
 
+  /** Streaming semantic-dedup store maintenance: landed docs' embeddings
+    * stage in a SIBLING partition store (`<semStore>_staged` — sibling,
+    * not nested, because [[IncrementalSemDedup.init]] clears the store
+    * root wholesale) until `minSemInitRows` have arrived: centroid
+    * geometry seeded from a toy sample would fix a degenerate cell
+    * structure forever, so the init is deferred, not degraded. At the
+    * threshold the store initializes from the FULL staged set, then the
+    * staged history replays through [[IncrementalSemDedup.semDedupBatch]]
+    * in arrival order; every later batch feeds the store directly.
+    *
+    * Replay safety mirrors [[maintainVectorIndex]]: the `_init_through`
+    * marker lands only AFTER init + the full staged replay, so a crash
+    * anywhere mid-build re-stages and re-runs the whole deterministic
+    * sequence onto identical state (init wipes the store first); a
+    * replayed pre-init batch (batchId <= marker) is already inside the
+    * initialized store and is skipped; a replayed post-init batch
+    * overwrites its own `batch=` partition ([[IncrementalSemDedup]]'s
+    * structural replay exclusion).
+    */
+  private[graft] def maintainSemStore(
+      spark: SparkSession, landed: DataFrame, embeddings: DataFrame,
+      semStore: String, batchId: Long,
+      minSemInitRows: Int, semThreshold: Double): Unit = {
+    val vecs = embeddings.join(landed.select(col("doc_id").as("__sid")),
+        col("vec_id") === col("__sid"))
+      .select(col("vec_id"), col("embedding"))
+    val marker = new org.apache.hadoop.fs.Path(s"$semStore/_init_through")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(): Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (readMarker() < 0L) {
+      val staged = s"${semStore}_staged"
+      vecs.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
+      val all = spark.read.parquet(staged)
+        .select(col("vec_id"), col("embedding"))
+      if (all.count() >= minSemInitRows) {
+        IncrementalSemDedup.init(
+          all, col("vec_id"), col("embedding"), semStore)
+        val (sfs, sp) = BatchStore.fsPath(spark, staged)
+        BatchStore.listBatches(sfs, sp).sortBy(_._1).foreach {
+          case (bid, path) =>
+            IncrementalSemDedup.semDedupBatch(spark,
+              spark.read.parquet(path.toString), col("vec_id"),
+              col("embedding"), semStore, bid, semThreshold)
+            ()
+        }
+        // marker last: init-complete commit point
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      }
+    } else if (batchId > readMarker() && !vecs.isEmpty) {
+      IncrementalSemDedup.semDedupBatch(spark, vecs, col("vec_id"),
+        col("embedding"), semStore, batchId, semThreshold)
+      ()
+    }
+  }
+
   /** Start the capstone stream over a JSONL landing directory with
     * `(doc_id, text, lang)` rows.
     */
@@ -198,7 +268,8 @@ object StreamingCapstone {
       trigger: Trigger = Trigger.AvailableNow(),
       vectors: Option[DataFrame] = None,
       minVecBuildRows: Int = 64, vecKs: Int = 16,
-      media: Option[DataFrame] = None): StreamingQuery = {
+      media: Option[DataFrame] = None,
+      minSemInitRows: Int = 64, semThreshold: Double = 0.9): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string").add("lang", "string")
     spark.readStream
@@ -212,7 +283,8 @@ object StreamingCapstone {
         if (!batch.isEmpty) {
           processBatch(spark, batch, stores, batchId, dict,
             vectors = vectors, minVecBuildRows = minVecBuildRows,
-            vecKs = vecKs, media = media)
+            vecKs = vecKs, media = media,
+            minSemInitRows = minSemInitRows, semThreshold = semThreshold)
           ()
         }
       }
@@ -244,7 +316,7 @@ object StreamingCapstone {
 
     val stores = Stores(s"$work/curated", s"$work/lsh_store",
       s"$work/seg_store", s"$work/seg_out", s"$work/vec_index",
-      s"$work/img_store", s"$work/bm25_index")
+      s"$work/img_store", s"$work/bm25_index", s"$work/sem_store")
     val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
     val embeddings = graft.Tables(spark, sfDir, "embeddings")
     // synthetic media (the testdata ships no media table): the
@@ -260,7 +332,8 @@ object StreamingCapstone {
     val survivors = IncrementalDedup.survivors(spark, stores.lshStore).count()
     val vecRows = spark.read.parquet(s"${stores.vecStore}/cells").count()
     val imgSurvivors = IncrementalImageDedup.survivors(spark, stores.imgStore).count()
-    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"vec_rows":$vecRows,"img_survivors":$imgSurvivors,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
+    val semSurvivors = IncrementalSemDedup.survivors(spark, stores.semStore).count()
+    println(f"""{"metric":"capstone_docs_per_sec","value":${total / wallS}%.1f,"unit":"docs/sec","docs":$total,"landed":$landed,"lsh_survivors":$survivors,"vec_rows":$vecRows,"img_survivors":$imgSurvivors,"sem_survivors":$semSurvivors,"wall_s":$wallS%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,12 +71,28 @@ class StreamingCapstoneSpec extends SparkSpec {
   }
 
   private def stWithImg(dir: String) =
-    stores(dir).copy(imgStore = s"$dir/img", bm25Store = s"$dir/bm25")
+    stores(dir).copy(imgStore = s"$dir/img", bm25Store = s"$dir/bm25",
+      semStore = s"$dir/sem")
+
+  // deterministic toy embeddings for the 7 doc ids: 2 and 6 are exact
+  // copies of 1 (the in-batch and cross-batch semantic dups), 4/5/7 sit
+  // in their own orthogonal modes, gated doc 3 never lands
+  private def semEmb = {
+    def mode(base: Int) = Array.tabulate(64)(j => if (j == base) 1.0f else 0.0f)
+    Seq[(Long, Array[Float])](
+      (1L, mode(0)), (2L, mode(0)), (3L, mode(48)), (4L, mode(8)),
+      (5L, mode(16)), (6L, mode(0)), (7L, mode(24))
+    ).toDF("vec_id", "embedding")
+  }
 
   private def runAll(dir: String, landing: String): Unit = {
+    // minSemInitRows=4: batch 0 stages 2 vectors, batch 1 reaches the
+    // threshold (init + staged replay), batch 2 feeds the store directly
+    // — every path of the staged lifecycle runs in every capstone test
     val q = StreamingCapstone.start(spark, landing, stWithImg(dir), s"$dir/ck",
       DictionaryLocator.Indonesian, maxFilesPerTrigger = 1,
-      trigger = Trigger.AvailableNow(), media = Some(mediaDf))
+      trigger = Trigger.AvailableNow(), media = Some(mediaDf),
+      vectors = Some(semEmb), minSemInitRows = 4)
     q.awaitTermination()
   }
 
@@ -176,6 +192,35 @@ class StreamingCapstoneSpec extends SparkSpec {
       .select($"media_id", $"rep_id", $"survivor")
       .as[(Long, Long, Boolean)].collect().toSet
     assert(imgState(interrupted) == imgState(straight))
+    def semState(dir: String) = spark.read.parquet(s"${stWithImg(dir).semStore}/rows")
+      .select($"vec_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(semState(interrupted) == semState(straight),
+      "semantic store state diverged across kill/resume")
+  }
+
+  test("semantic stage suppresses embedding dups across batches in-stream") {
+    val dir = tmpDir("capsem")
+    val landing = s"$dir/landing"
+    Files.createDirectories(Paths.get(landing))
+    slices.zipWithIndex.foreach { case (s, i) => writeSlice(landing, s"b$i.json", s, i) }
+    runAll(dir, landing)
+    val state = spark.read.parquet(s"${stWithImg(dir).semStore}/rows")
+      .select($"vec_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (v, r, s) => (v, (r, s)) }.toMap
+    // doc 3 never lands (quality gate) → its vector never reaches the store
+    assert(!state.contains(3L))
+    // 1 survives; 2 (same staged batch) and 6 (arriving AFTER init, two
+    // batches later, identical embedding) suppress under it; the
+    // orthogonal modes 4, 5, 7 all survive
+    assert(state(1L) == ((1L, true)))
+    assert(state(2L) == ((1L, false)))
+    assert(state(6L) == ((1L, false)), "cross-batch semantic dup kept")
+    assert(state(4L)._2 && state(5L)._2 && state(7L)._2)
+    assert(graft.operators.IncrementalSemDedup.survivors(
+        spark, stWithImg(dir).semStore)
+      .as[Long].collect().toSet == Set(1L, 4L, 5L, 7L))
   }
 
   test("BM25 stage: streamed index serves identically to a full rebuild") {
