@@ -206,6 +206,29 @@ object Curation {
     * Scale shape: pure narrow projections + one generator — no shuffle,
     * no UDF; chunk count per doc is ⌈n/stride⌉.
     */
+  /** Scalar form of [[chunkPassages]] for the SQL surface: the chunks of
+    * ONE document as array<struct<chunk_id, n_tokens, chunk_text>> —
+    * `LATERAL VIEW explode(chunk_passages(text, w, s))` is the SQL
+    * spelling of the relation operator (same tokenization, same window
+    * arithmetic; SqlSurfaceSpec pins row-for-row agreement). Empty and
+    * null docs yield an empty array. `width`/`stride` arrive as columns
+    * (SQL literals); non-positive or stride > width values yield
+    * whatever the window arithmetic yields — the relation operator is
+    * the argument-validated form.
+    */
+  def chunkPassagesCol(text: Column, width: Column, stride: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val n = size(toks)
+    val chunks = transform(
+      sequence(lit(0), n - 1, stride), (start, i) =>
+        struct(
+          i.cast("int").as("chunk_id"),
+          least(width, n - start).cast("int").as("n_tokens"),
+          array_join(slice(toks, start + 1, width), " ").as("chunk_text")))
+    when(n > 0, chunks).otherwise(
+      array().cast("array<struct<chunk_id:int,n_tokens:int,chunk_text:string>>"))
+  }
+
   def chunkPassages(
       df: DataFrame, id: Column, text: Column,
       width: Int, stride: Int): DataFrame = {

@@ -42,11 +42,21 @@ import org.apache.spark.sql.functions._
   * existing rep.
   *
   * Scale notes: the store carries one embedding per item ever seen —
-  * inherent to semantic comparison (a sketch cannot rescore cosine);
-  * at extreme scale the store rows can hold PQ codes instead
-  * ([[Embeddings.pqEncode]]) at the documented recall cost. The
-  * batch×store join reads ONLY the cells the batch touched (cell
-  * partition pruning on the store read).
+  * inherent to semantic comparison (a sketch cannot rescore cosine) —
+  * OR, with `pqM > 0` at [[init]], one PACKED PQ CODE per item
+  * (m·log2(ks) bits in a single long vs dim·4 float bytes: 32× smaller
+  * row payload at the registered 64-dim/m=8/ks=16 setting). In PQ mode
+  * the batch×store comparison is ADC (exact float batch embedding
+  * against the stored row's codeword reconstruction — the
+  * [[IvfPqIndex]] asymmetric-distance argument), so cross-batch
+  * suppression inherits PQ reconstruction error: callers compensate
+  * with `adcSlack` (threshold − slack on the store side), trading
+  * precision for recall exactly as the published ADC analysis
+  * prescribes; batch-INTERNAL edges always use exact float cosine
+  * (the batch's own vectors are in hand). The spec gates PQ-mode
+  * recall on planted clusters against the float store, and the
+  * store-bytes ratio. The batch×store join reads ONLY the cells the
+  * batch touched (cell partition pruning on the store read).
   */
 object IncrementalSemDedup {
 
@@ -54,15 +64,27 @@ object IncrementalSemDedup {
     "vec_id BIGINT, cell INT, emb ARRAY<FLOAT>, centroid_cosine DOUBLE, " +
       "rep_id BIGINT, survivor BOOLEAN")
 
+  private def pqStoreSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, cell INT, code BIGINT, centroid_cosine DOUBLE, " +
+      "rep_id BIGINT, survivor BOOLEAN")
+
   /** Write the fixed centroid geometry from a SEED corpus (typically the
     * first batch, or a representative sample). Must run once before any
     * [[semDedupBatch]]; re-running overwrites the whole store (a new
     * index generation).
+    *
+    * `pqM > 0` switches the store to PQ-CODED rows: per-subspace
+    * codebooks (m = pqM, ks = pqKs, normalized inputs) are trained on
+    * the same seed and persisted beside the centroids — like the
+    * centroid geometry, the codebooks are FIXED for the store's
+    * lifetime (a drifting codebook would decode yesterday's codes
+    * against today's codewords). See the object doc for the
+    * recall/bytes trade.
     */
   def init(
       seed: DataFrame, id: Column, emb: Column, storePath: String,
       nlist: Int = -1, refineIterations: Int = 1, seedValue: Long = 42L,
-      portableSample: Boolean = false): Unit = {
+      portableSample: Boolean = false, pqM: Int = 0, pqKs: Int = 16): Unit = {
     val spark = seed.sparkSession
     val src = seed.select(id.cast("long").as("__id"), emb.as("__e"))
     val lists =
@@ -78,6 +100,41 @@ object IncrementalSemDedup {
       .toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$storePath/centroids")
+    if (pqM > 0) {
+      val books = Embeddings.pqCodebooks(
+        src, col("__id"), col("__e"), pqM, pqKs, refineIterations,
+        seedValue, portableSample, normalize = true)
+      spark.createDataFrame(
+          for ((bj, j) <- books.zipWithIndex; (cw, c) <- bj.zipWithIndex)
+            yield (j, c + 1, cw))
+        .toDF("j", "ci", "sub")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$storePath/pq_books")
+    }
+  }
+
+  /** Stored codebooks, or empty for a float-row store. */
+  private def readPqBooks(
+      spark: SparkSession, storePath: String): Seq[Seq[Seq[Double]]] = {
+    val bPath = new org.apache.hadoop.fs.Path(s"$storePath/pq_books")
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bPath)) return Seq.empty
+    spark.read.parquet(bPath.toString)
+      .orderBy(col("j"), col("ci")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
+  }
+
+  /** Codeword reconstruction of a packed code — the decompressed
+    * stand-in ADC scores against.
+    */
+  private def reconOf(code: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val ks = books.head.size
+    val codes = Embeddings.pqUnpack(code, m, ks)
+    flatten(array((0 until m).map(j =>
+      element_at(typedLit(books(j)), codes.getItem(j).cast("int"))): _*))
   }
 
   private def readCentroids(
@@ -101,10 +158,13 @@ object IncrementalSemDedup {
   def semDedupBatch(
       spark: SparkSession, batch: DataFrame, id: Column, emb: Column,
       storePath: String, batchId: Long,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, adcSlack: Double = 0.0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(adcSlack >= 0.0 && adcSlack < threshold,
+      s"adcSlack must be in [0, threshold), got $adcSlack")
     val mat = readCentroids(spark, storePath)
+    val books = readPqBooks(spark, storePath)
     val assigned = Checkpoints.materialize(
       batch.select(id.cast("long").as("vec_id"), emb.as("emb"))
         .withColumn("__best",
@@ -136,12 +196,19 @@ object IncrementalSemDedup {
     // batch dir's cell= subdirs surface as the `cell` partition column,
     // so the isin filter still prunes directories at file-index time.
     val rowsPath = s"$storePath/rows"
-    val store = BatchStore.readPrior(spark, rowsPath, batchId, storeSchema)
+    // PQ mode: the store side is the packed code's codeword
+    // reconstruction; the comparison is asymmetric (exact batch float vs
+    // reconstructed store row) at threshold − adcSlack
+    val store = BatchStore.readPrior(spark, rowsPath, batchId,
+        if (books.nonEmpty) pqStoreSchema else storeSchema)
       .filter(col("cell").isin(touchedCells.toIndexedSeq: _*))
       .select(col("vec_id").as("__sid"), col("cell"),
-        col("emb").as("__se"), col("rep_id").as("__srep"))
+        (if (books.nonEmpty) reconOf(col("code"), books) else col("emb"))
+          .as("__se"),
+        col("rep_id").as("__srep"))
+    val storeThreshold = if (books.nonEmpty) threshold - adcSlack else threshold
     val storeRep = assigned.join(store, Seq("cell"))
-      .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= threshold)
+      .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= storeThreshold)
       .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
     val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
     val ids = assigned.select(col("vec_id"), col("centroid_cosine"))
@@ -165,7 +232,14 @@ object IncrementalSemDedup {
     val out = assigned.join(labeled, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("emb"), col("centroid_cosine"),
         col("rep_id"), (col("rep_id") === col("vec_id")).as("survivor"))
-    out.write.mode("overwrite").partitionBy("cell")
+    val outRows =
+      if (books.isEmpty) out
+      else Embeddings.pqEncoded(out, col("emb"), books)
+        .select(col("vec_id"), col("cell"),
+          Embeddings.pqPack(col("__codes"), books.size, books.head.size)
+            .as("code"),
+          col("centroid_cosine"), col("rep_id"), col("survivor"))
+    outRows.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$rowsPath/batch=$batchId")
     Checkpoints.free(assigned)
     spark.read.parquet(s"$rowsPath/batch=$batchId")

@@ -119,7 +119,12 @@ object GraftFunctions {
     // ORDER BY aes_priority(...) DESC LIMIT k IS a weighted sample
     // without replacement, entirely in SQL
     composed3("aes_priority", graft.operators.Curation.getClass,
-      (k, w, s) => graft.operators.Curation.aesPriority(k, w, s)))
+      (k, w, s) => graft.operators.Curation.aesPriority(k, w, s)),
+    // fixed-width overlapping passage chunks of one document —
+    // LATERAL VIEW explode(chunk_passages(text, width, stride)) is the
+    // SQL spelling of the chunkPassages relation operator
+    composed3("chunk_passages", graft.operators.Curation.getClass,
+      (t, w, s) => graft.operators.Curation.chunkPassagesCol(t, w, s)))
 
   def register(spark: SparkSession): Unit =
     all.foreach(f =>

@@ -34,9 +34,11 @@ class IncrementalSemDedupSpec extends SparkSpec {
       store, nlist = 2, refineIterations = 0, portableSample = true)
 
   private def run(store: String, batchId: Long,
-      rows: Seq[(Long, Array[Float])], threshold: Double = 0.9) =
+      rows: Seq[(Long, Array[Float])], threshold: Double = 0.9,
+      adcSlack: Double = 0.0) =
     IncrementalSemDedup.semDedupBatch(
-        spark, df(rows), col("id"), col("e"), store, batchId, threshold)
+        spark, df(rows), col("id"), col("e"), store, batchId, threshold,
+        adcSlack)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       .sortBy(_._1).toSeq
 
@@ -163,5 +165,97 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(oneShot == Seq((1L, 2L, false), (2L, 2L, true), (3L, 2L, false)),
       "one-shot closure merges the bridged cluster and keeps the " +
         "farthest-from-centroid member")
+  }
+
+  // ------------------------------------------------ PQ-coded rows
+
+  private def initPqStore(store: String): Unit =
+    // same 4-vector seed trains both the 2-cell geometry and the m=4/ks=4
+    // codebooks (every seed vector becomes a codeword at refine=0, so the
+    // modes reconstruct EXACTLY)
+    IncrementalSemDedup.init(
+      df(Seq((100L, vec(0, 0)), (101L, vec(0, 40)),
+        (102L, vec(4, 0)), (103L, vec(4, 60)))),
+      col("id"), col("e"), store, nlist = 2, refineIterations = 0,
+      portableSample = true, pqM = 4, pqKs = 4)
+
+  test("PQ rows: exact-dup clusters suppress identically to the float store") {
+    val fStore = java.nio.file.Files.createTempDirectory("semfloat").toString
+    val pStore = java.nio.file.Files.createTempDirectory("sempq").toString
+    IncrementalSemDedup.init(
+      df(Seq((100L, vec(0, 0)), (101L, vec(0, 40)),
+        (102L, vec(4, 0)), (103L, vec(4, 60)))),
+      col("id"), col("e"), fStore, nlist = 2, refineIterations = 0,
+      portableSample = true)
+    initPqStore(pStore)
+    // three batches: one member per mode, then two waves of exact copies
+    val waves = Seq(
+      Seq((1L, vec(0, 0)), (2L, vec(0, 40)), (3L, vec(4, 0)), (4L, vec(4, 60))),
+      Seq((11L, vec(0, 0)), (12L, vec(0, 40)), (13L, vec(4, 0))),
+      Seq((21L, vec(0, 0)), (24L, vec(4, 60))))
+    val (fOut, pOut) = (
+      waves.zipWithIndex.flatMap { case (w, b) => run(fStore, b, w) },
+      waves.zipWithIndex.flatMap { case (w, b) => run(pStore, b, w) })
+    assert(fOut == pOut, s"PQ store diverged on exact dups:\n$fOut\n$pOut")
+    assert(pOut.filter(_._3).map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // the PQ rows really are packed codes, not vectors
+    val cols = spark.read.parquet(s"$pStore/rows").columns.toSet
+    assert(cols.contains("code") && !cols.contains("emb"))
+  }
+
+  test("PQ rows: ADC reconstruction error is recoverable via adcSlack, pinned both ways") {
+    // stored id 1 at 10° is NOT a codeword: its reconstruction snaps to
+    // the (1,0) mode codeword. Arrival id 2 at 30° has exact cosine
+    // cos(20°)=.94 >= .9 (the float store suppresses) but ADC cosine
+    // cos(30°)=.866 < .9 — so at slack 0 the PQ store KEEPS it (the
+    // documented recall loss), and at slack .05 it suppresses (parity
+    // restored at the documented precision cost).
+    val noSlack = java.nio.file.Files.createTempDirectory("sempq0").toString
+    val slack = java.nio.file.Files.createTempDirectory("sempq5").toString
+    for (s <- Seq(noSlack, slack)) {
+      initPqStore(s)
+      assert(run(s, 0, Seq((1L, vec(0, 10)))) == Seq((1L, 1L, true)))
+    }
+    assert(run(noSlack, 1, Seq((2L, vec(0, 30)))) == Seq((2L, 2L, true)),
+      "slack-0 ADC must miss the reconstruction-eroded match")
+    assert(run(slack, 1, Seq((2L, vec(0, 30))), adcSlack = 0.05)
+      == Seq((2L, 1L, false)),
+      "slack .05 must recover the float-store suppression")
+  }
+
+  test("PQ rows store at least 4x fewer bytes than float rows") {
+    // 2000 pseudo-random vectors at the REGISTERED embedding width
+    // (64-dim, m=8, ks=16): 256 incompressible float bytes vs one packed
+    // 32-bit code per row. At toy dims the shared columns (ids, cosine,
+    // flags) dominate both layouts and the ratio collapses — the claim
+    // is about production-width embeddings, so the gate measures them.
+    def corpus = spark.range(2000).select(col("id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(col("id"), j), lit(1999L)) - lit(999L))
+          .cast("double") / 999.0).cast("float")).as("e"))
+    val fStore = java.nio.file.Files.createTempDirectory("sembytesf").toString
+    val pStore = java.nio.file.Files.createTempDirectory("sembytesp").toString
+    IncrementalSemDedup.init(corpus, col("id"), col("e"), fStore,
+      nlist = 4, refineIterations = 0, portableSample = true)
+    IncrementalSemDedup.init(corpus, col("id"), col("e"), pStore,
+      nlist = 4, refineIterations = 0, portableSample = true,
+      pqM = 8, pqKs = 16)
+    def runOn(store: String) = IncrementalSemDedup.semDedupBatch(
+      spark, corpus, col("id"), col("e"), store, 0L)
+    // random 8-dim cosines rarely cross .9 — but whatever suppression
+    // happens must agree modulo ADC (sanity, not the gate)
+    val (fN, pN) = (runOn(fStore).count(), runOn(pStore).count())
+    assert(fN == 2000 && pN == 2000)
+    def bytes(p: String): Long = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(root)
+    }
+    val (fB, pB) = (bytes(s"$fStore/rows"), bytes(s"$pStore/rows"))
+    assert(pB * 4 < fB,
+      s"PQ rows not smaller: pq=$pB float=$fB (${fB.toDouble / pB}%x)")
   }
 }

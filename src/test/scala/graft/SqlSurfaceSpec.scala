@@ -172,4 +172,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaOp)
     assert(viaSql.size == 10)
   }
+
+  test("chunk_passages in SQL explodes to exactly the relation operator's rows") {
+    Tables.registerAll(spark, sf)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+        |FROM documents
+        |LATERAL VIEW explode(chunk_passages(text, 40, 25)) AS c
+        |ORDER BY doc_id, chunk_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    val viaOp = graft.operators.Curation.chunkPassages(
+        Tables(spark, sf, "documents"), col("doc_id"), col("text"), 40, 25)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(viaSql == viaOp)
+    assert(viaSql.nonEmpty)
+    // empty/null docs yield no chunks, not nulls
+    val empties = spark.sql(
+      "SELECT chunk_passages('', 4, 2) AS c, chunk_passages(NULL, 4, 2) AS n")
+      .collect().head
+    assert(empties.getSeq[Any](0).isEmpty && empties.getSeq[Any](1).isEmpty)
+  }
 }
