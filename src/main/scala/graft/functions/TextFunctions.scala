@@ -76,9 +76,13 @@ object TextFunctions {
       "(?U)\\s+", " "))
 
   /** Whitespace token count — scale-safe (a count, not a materialized
-    * array).
+    * array). Native single-pass byte loop, == `regexp_count(text,
+    * "\\S+")` (differential-pinned in TextStatsExprSpec; the regex form
+    * measured 45× slower on the quality-gate hot path — see
+    * [[org.apache.spark.sql.graft.TextStats]]).
     */
-  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.TextStatsExpr.tokenCount(text)
 
   /** BPE-ish pre-tokenizer count: letter runs, digit runs, single
     * punctuation marks — the usual GPT-2-style pre-split shape.
@@ -196,9 +200,15 @@ object TextFunctions {
   /** F6: the classifier input cap (text[:512], utils.py:84-86). */
   def truncate512(text: Column): Column = substring(text, 1, 512)
 
-  /** Punctuation character count (quality scoring input). */
+  /** Punctuation character count (quality scoring input). Native
+    * single-pass byte loop, == `regexp_count(text, "[^A-Za-z0-9\\s]")` —
+    * the regex form is java.util.regex's worst case (a mostly-failing
+    * single-char class: one anchored attempt PER POSITION) and alone
+    * dominated the composed curation pipeline's wall time at 2 M docs
+    * (104 s of 186 s). Differential-pinned in TextStatsExprSpec.
+    */
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+    org.apache.spark.sql.graft.TextStatsExpr.punctCount(text)
 
   /** Quality heuristics à la pretraining-corpus filters: token count, mean
     * token length, punctuation ratio, stopword ratio.

@@ -84,6 +84,10 @@ object GraftFunctions {
     unary("image_dims", classOf[ImageDimsExpr], ImageDimsExpr(_)),
     unary("media_meta", classOf[MediaMetaExpr], MediaMetaExpr(_)),
     unary("stem_indonesian", classOf[StemIndonesianExpr], StemIndonesianExpr(_)),
+    // single-pass byte-loop text-quality counters (the regex spellings
+    // are java.util.regex's worst case on clean corpora — see TextStats)
+    unary("token_count", classOf[TokenCountExpr], TokenCountExpr(_)),
+    unary("punct_count", classOf[NonAlnumCountExpr], NonAlnumCountExpr(_)),
     // the reference's two cleaning functions (utils.py:28-50;
     // src/resilient_scraper.py:868-889), its strip gate, and the
     // text-analysis scalars — a spark.sql user can run the whole cleaning
@@ -92,7 +96,6 @@ object GraftFunctions {
     composed("clean_text_scraper", TextFunctions.getClass, TextFunctions.cleanTextScraper),
     composed("py_strip", TextFunctions.getClass, TextFunctions.pyStrip),
     composed("lang_id", TextFunctions.getClass, TextFunctions.langId),
-    composed("token_count", TextFunctions.getClass, TextFunctions.tokenCount),
     composed("doc_fingerprint", TextFunctions.getClass, TextFunctions.fingerprint),
     composed("doc_fingerprint60", TextFunctions.getClass, TextFunctions.fingerprint60),
     // content-addressed train/val/test assignment (curation layer) at the
