@@ -109,11 +109,14 @@ object Bench {
       // and pre-optimizer: its hash changes exactly when the DECLARED
       // computation changes, which is the attribution the cross-round
       // record needs (optimizer behavior only moves with the pinned Spark
-      // version). Two residual cross-JVM instabilities are normalized
+      // version). Three residual cross-JVM instabilities are normalized
       // away: AND-conjunct chains flatten + sort by string (ExpressionSet
-      // iteration is hashCode-driven on object-holding expressions), and
+      // iteration is hashCode-driven on object-holding expressions),
       // JVM-assigned lambda class ids / identity hashes inside
-      // MapPartitions nodes (regexed out). Computed outside the timed
+      // MapPartitions nodes (regexed out), and environment-derived
+      // partition WIDTHS in Repartition nodes (SPARK_GRAFT_CPUS reaches
+      // plans through defaultParallelism — a CPUS=8 vs 32 run flipped
+      // 56/97 hashes with zero code change). Computed outside the timed
       // window; never a failure source.
       val planHash = try {
         import org.apache.spark.sql.catalyst.expressions.{And, Expression}
@@ -135,6 +138,21 @@ object Bench {
           .replaceAll("Lambda\\$\\d+", "Lambda")
           .replaceAll("/0x[0-9a-f]+", "")
           .replaceAll("@[0-9a-f]+", "")
+          // partition WIDTHS are an environment knob (defaultParallelism
+          // / SPARK_GRAFT_CPUS reaches Repartition nodes through
+          // Tables.wide and operator repartitions), not declared
+          // computation — measured: a CPUS=8 vs CPUS=32 run flipped 56
+          // of 97 hashes with zero code change. Normalize the count,
+          // keep the node (a Repartition appearing/disappearing is a
+          // real plan change; its width moving with the machine is not).
+          .replaceAll("\\bRepartition (\\d+)", "Repartition P")
+          .replaceAll("(\\bRepartitionByExpression\\b[^\\n]*?), \\d+", "$1, P")
+        // diagnostic: dump the exact hashed string for run-to-run diffing
+        sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/$name.txt"), s)
+        }
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(s.getBytes("UTF-8")).take(8)
           .map("%02x".format(_)).mkString

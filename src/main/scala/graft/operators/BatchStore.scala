@@ -134,9 +134,17 @@ private[graft] object BatchStore {
     * `partitionCols` preserves a nested layout (`batch=N/cell=M` →
     * `partitionCols = Seq("cell")`): the consolidated batch is
     * re-partitioned by the same columns, so partition-pruned reads
-    * survive compaction. `merge` post-processes the consolidated rows
-    * (e.g. summing additive per-batch statistics rows); later batches
-    * are copied verbatim, never merged.
+    * survive compaction — and the write is preceded by a SHUFFLE on
+    * those columns so each partition value lands in exactly ONE task =
+    * ONE file. A bare `partitionBy` write leaves up to one file per
+    * INPUT task in every subdir (the whole-history read has many), so
+    * compaction would rename the small-files problem, not fix it; the
+    * shuffle costs one pass over history, paid at maintenance time for
+    * an optimal serving layout (parquet files stay splittable, so a
+    * large cell in one file still reads in parallel). `merge`
+    * post-processes the consolidated rows (e.g. summing additive
+    * per-batch statistics rows); later batches are copied verbatim,
+    * never merged.
     *
     * See the object doc for the SAFETY CONTRACT and the `__next` swap.
     */
@@ -153,7 +161,8 @@ private[graft] object BatchStore {
       s"BatchStore.compact: failed to clear stale $next")
     def write(df: DataFrame, out: String): Unit =
       if (partitionCols.nonEmpty)
-        df.write.partitionBy(partitionCols: _*).parquet(out)
+        df.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*).parquet(out)
       else df.coalesce(targetFiles).write.parquet(out)
     write(
       merge(spark.read.parquet(path)

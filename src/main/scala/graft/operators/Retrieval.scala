@@ -68,19 +68,20 @@ object Retrieval {
       .groupBy(col("__did"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
+    scoreAndRank(tf.join(dl, Seq("__did")), df, stats, queryTerms, k1, b, k)
   }
 
-  /** The shared BM25 scoring tail: per-(doc, term) tf × per-term df ×
-    * per-doc dl × broadcast (n, tot) → pivoted fixed-order fold →
-    * TakeOrdered top-k. One arithmetic for both the ad-hoc and the
-    * indexed path, so the shared-oracle gate compares like with like.
+  /** The shared BM25 scoring tail: per-(doc, term) (tf, dl) × per-term
+    * df × broadcast (n, tot) → pivoted fixed-order fold → TakeOrdered
+    * top-k. `tf` carries `__dl` alongside `__tf` (the ad-hoc path joins
+    * it on; the indexed path reads it straight off the posting row).
+    * One arithmetic for both paths, so the shared-oracle gate compares
+    * like with like.
     */
   private def scoreAndRank(
-      tf: DataFrame, df: DataFrame, dl: DataFrame, stats: DataFrame,
+      tf: DataFrame, df: DataFrame, stats: DataFrame,
       queryTerms: Seq[String], k1: Double, b: Double, k: Int): DataFrame = {
     val contrib = tf.join(broadcast(df), Seq("__term"))
-      .join(dl, Seq("__did"))
       .crossJoin(broadcast(stats))
       .withColumn("__avgdl", col("__tot").cast("double") / col("__n").cast("double"))
       .withColumn("__idf",
@@ -115,18 +116,25 @@ object Retrieval {
     * statistics that are query-independent. [[buildIndex]] pays the
     * tokenize once and stores:
     *
-    *  - `postings/batch=N/bucket=B/` — (term, doc_id, tf), term-BUCKETED
-    *    by `pmod(xxhash64(term), buckets)` so a query's terms resolve to
-    *    a static partition filter (the [[IvfIndex.probe]] cell-prune
-    *    discipline: the parquet reader lists only the query's buckets,
-    *    never the vocabulary), batch-partitioned for [[appendIndex]];
-    *  - `dl/batch=N/` — (doc_id, dl); `stats/batch=N/` — one (n, tot)
-    *    row per batch (additive; [[queryIndex]] sums). Document
-    *    frequency is NOT stored: df(term) is exactly the row count of
-    *    that term's postings, which the query's pruned read already
-    *    touches in full — a separate tdf tree would be a per-batch
-    *    write and a compaction surface for data the query derives for
-    *    free.
+    *  - `postings/batch=N/bucket=B/` — (term, doc_id, tf, dl),
+    *    term-BUCKETED by `pmod(xxhash64(term), buckets)` so a query's
+    *    terms resolve to a static partition filter (the
+    *    [[IvfIndex.probe]] cell-prune discipline: the parquet reader
+    *    lists only the query's buckets, never the vocabulary),
+    *    batch-partitioned for [[appendIndex]]. Document LENGTH is
+    *    DENORMALIZED into the posting row (the Lucene norms shape): a
+    *    separate `dl/` tree is one row per document EVER indexed, and
+    *    joining it per query is a corpus-scale scan that grows with the
+    *    index, not with the query — the round-10 serving measurement
+    *    attributed most of the query latency to exactly that join. The
+    *    repeat costs ~8 bytes per posting before parquet RLE; the query
+    *    touches only pruned posting pages. Document frequency is NOT
+    *    stored: df(term) is exactly the row count of that term's
+    *    postings, which the query's pruned read already touches in
+    *    full — a separate tdf tree would be a per-batch write and a
+    *    compaction surface for data the query derives for free.
+    *  - `stats/batch=N/` — one (n, tot) row per batch (additive;
+    *    [[queryIndex]] sums).
     *
     * [[queryIndex]] then scores a query with NO corpus access: filtered
     * posting pages × df × broadcast stats, the same pivoted fixed-order
@@ -157,7 +165,7 @@ object Retrieval {
     * stores already have ([[graft.operators.IvfIndex.append]],
     * [[graft.operators.IncrementalDedup]]): tokenize and land ONLY the
     * new documents as their own `batch=` partitions under postings /
-    * tdf / dl / stats. Corpus-level statistics (df per term, N, total
+    * stats. Corpus-level statistics (df per term, N, total
     * dl) are additive across disjoint doc sets, so [[queryIndex]] merges
     * them at query time with a per-term sum over matching batches —
     * results are IDENTICAL to a full rebuild over the union
@@ -205,21 +213,23 @@ object Retrieval {
       buckets: Int, batchId: Long): Unit = {
     val base = docs.select(id.as("doc_id"),
       regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
-    val dl = base.select(col("doc_id"), size(col("__toks")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$path/dl/batch=$batchId")
-    dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
+      .withColumn("dl", size(col("__toks")))
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
       .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
-    base.select(col("doc_id"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // dl rides the posting row (grouped by — it is functionally
+    // dependent on doc_id, so the key cardinality is unchanged)
+    base.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$batchId")
   }
 
-  private val IndexTrees = Seq("postings", "dl", "stats")
+  private val IndexTrees = Seq("postings", "stats")
 
   /** Consolidate every `batch=` partition with id <= `upToBatch` across
-    * the three index subtrees (postings / dl / stats) — the
+    * the two index subtrees (postings / stats) — the
     * [[IncrementalDedup.compactStore]] small-files discipline, with one
     * index-specific merge: stats consolidate to a single additive row.
     * Posting bucket partitioning is preserved, so the bucket-prune
@@ -229,15 +239,13 @@ object Retrieval {
     * ([[queryIndex]] and [[appendIndex]] self-heal).
     */
   def compactIndex(
-      spark: SparkSession, path: String, upToBatch: Long,
-      targetFiles: Int = 4): Unit = {
-    // all three trees ride [[BatchStore.compact]] (the single-sourced
+      spark: SparkSession, path: String, upToBatch: Long): Unit = {
+    // both trees ride [[BatchStore.compact]] (the single-sourced
     // swap + largest-existing-id discipline); postings keep their bucket
     // partitioning so the bucket-prune contract survives, and stats
     // consolidate to one additive row
     BatchStore.compact(spark, s"$path/postings", upToBatch,
       partitionCols = Seq("bucket"))
-    BatchStore.compact(spark, s"$path/dl", upToBatch, targetFiles)
     BatchStore.compact(spark, s"$path/stats", upToBatch, targetFiles = 1,
       merge = d => d.agg(sum(col("n")).as("n"),
         sum(col("tot")).cast("long").as("tot")))
@@ -273,22 +281,22 @@ object Retrieval {
         .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
         .distinct().as[Long].collect().toIndexedSeq.sorted
     }
-    // postings/dl/stats live under batch= partitions (append-many);
+    // postings/stats live under batch= partitions (append-many);
     // N/total-dl are additive over the disjoint batch doc sets (one-row
     // sum); df(term) is the row count of the term's pruned postings —
-    // derived from the same filtered read the scoring needs anyway
+    // derived from the same filtered read the scoring needs anyway; dl
+    // rides the posting row, so the query touches NOTHING that scales
+    // with the corpus — only the query terms' pruned posting pages
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
       .select(col("term").as("__term"), col("doc_id").as("__did"),
-        col("tf").as("__tf"))
+        col("tf").as("__tf"), col("dl").as("__dl"))
     val df = tf.groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
-    val dl = spark.read.parquet(s"$path/dl")
-      .select(col("doc_id").as("__did"), col("dl").as("__dl"))
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
-    scoreAndRank(tf, df, dl, stats, queryTerms, k1, b, k)
+    scoreAndRank(tf, df, stats, queryTerms, k1, b, k)
   }
 
   /** Cross-encoder scoring contract for [[rerank]] — one score per

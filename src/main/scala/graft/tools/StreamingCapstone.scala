@@ -68,7 +68,8 @@ object StreamingCapstone {
       vectors: Option[DataFrame] = None,
       minVecBuildRows: Int = 64, vecKs: Int = 16,
       media: Option[DataFrame] = None,
-      minSemInitRows: Int = 64, semThreshold: Double = 0.9): Long = {
+      minSemInitRows: Int = 64, semThreshold: Double = 0.9,
+      compactEvery: Int = 0): Long = {
     val enriched = batch
       .withColumn("clean_text",
         TextFunctions.cleanTweetText(
@@ -135,6 +136,27 @@ object StreamingCapstone {
       Retrieval.ensureIndexMeta(spark, stores.bm25Store, buckets = 16)
       Retrieval.appendIndex(
         landed, col("doc_id"), col("clean_text"), stores.bm25Store, batchId)
+    }
+    // periodic in-stream compaction across EVERY read-per-batch store —
+    // the single-sourced [[BatchStore]] discipline end-to-end: inside
+    // foreachBatch of batchId, every batch < batchId is checkpoint-
+    // committed, so upToBatch = batchId - 1 honors each store's SAFETY
+    // CONTRACT. Stores that do not exist yet (semantic store pre-init,
+    // vector index pre-build) no-op by construction (compact on a
+    // missing/empty tree returns). Pure layout maintenance: suppression
+    // decisions and query answers are unchanged (spec-pinned).
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val upTo = batchId - 1
+      IncrementalDedup.compactStore(spark, stores.lshStore, upTo)
+      IncrementalDedup.compactStore(spark, stores.segStore, upTo)
+      if (stores.imgStore.nonEmpty)
+        IncrementalDedup.compactStore(spark, stores.imgStore, upTo)
+      if (stores.semStore.nonEmpty)
+        IncrementalSemDedup.compactStore(spark, stores.semStore, upTo)
+      if (stores.vecStore.nonEmpty)
+        IvfPqIndex.compact(spark, stores.vecStore, upTo)
+      if (stores.bm25Store.nonEmpty)
+        Retrieval.compactIndex(spark, stores.bm25Store, upTo)
     }
     landed.count()
   }
@@ -269,7 +291,8 @@ object StreamingCapstone {
       vectors: Option[DataFrame] = None,
       minVecBuildRows: Int = 64, vecKs: Int = 16,
       media: Option[DataFrame] = None,
-      minSemInitRows: Int = 64, semThreshold: Double = 0.9): StreamingQuery = {
+      minSemInitRows: Int = 64, semThreshold: Double = 0.9,
+      compactEvery: Int = 0): StreamingQuery = {
     val schema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", "long").add("text", "string").add("lang", "string")
     spark.readStream
@@ -284,7 +307,8 @@ object StreamingCapstone {
           processBatch(spark, batch, stores, batchId, dict,
             vectors = vectors, minVecBuildRows = minVecBuildRows,
             vecKs = vecKs, media = media,
-            minSemInitRows = minSemInitRows, semThreshold = semThreshold)
+            minSemInitRows = minSemInitRows, semThreshold = semThreshold,
+            compactEvery = compactEvery)
           ()
         }
       }

@@ -128,6 +128,19 @@ class IncrementalSemDedupSpec extends SparkSpec {
       "batches 0..1 consolidate under the largest committed id")
     assert(dirs(s"$store/rows/batch=1").forall(_.startsWith("cell=")),
       "cell partitioning must survive compaction (the prune contract)")
+    // consolidation must actually consolidate: the shuffle-on-cell write
+    // puts each cell's rows in exactly ONE parquet file (a bare
+    // partitionBy would leave one file per input task per cell — the
+    // small-files problem renamed, not fixed)
+    dirs(s"$store/rows/batch=1").foreach { cellDir =>
+      val fs = new org.apache.hadoop.fs.Path(s"$store/rows/batch=1/$cellDir")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$store/rows/batch=1/$cellDir"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"compacted $cellDir holds ${files.length} files, want 1")
+    }
     assert(rows() == before, "compaction changed row content")
     // suppression semantics unchanged: a post-compaction batch still
     // suppresses transitively against consolidated history

@@ -227,7 +227,7 @@ class RetrievalSpec extends SparkSpec {
       .orderBy($"rk").collect().toSeq
     // simulate the crash window: the live tree deleted, the only copy
     // stranded at __next
-    for (sub <- Seq("postings", "dl")) {
+    for (sub <- Seq("postings", "stats")) {
       val live = java.nio.file.Paths.get(s"$path/$sub")
       val next = java.nio.file.Paths.get(s"$path/${sub}__next")
       java.nio.file.Files.move(live, next)

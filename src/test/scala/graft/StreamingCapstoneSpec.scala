@@ -223,6 +223,70 @@ class StreamingCapstoneSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 4L, 5L, 7L))
   }
 
+  test("in-stream compaction across every store changes layout, never state") {
+    // two identical full-config runs (all seven stores live); one folds
+    // every store's committed prefix after EVERY batch (compactEvery=1 —
+    // the most aggressive legal schedule: inside foreachBatch of batchId,
+    // all batches < batchId are checkpoint-committed). Every store's
+    // semantic state and the served BM25/vector answers must be
+    // bit-identical; only the batch= layout may differ.
+    val plain = tmpDir("capnocomp")
+    val compacted = tmpDir("capcomp")
+    def fullStores(dir: String) = stWithImg(dir).copy(vecStore = s"$dir/vecidx")
+    def run(dir: String, compactEvery: Int): Unit = {
+      val landing = s"$dir/landing"
+      Files.createDirectories(Paths.get(landing))
+      slices.zipWithIndex.foreach { case (s, i) =>
+        writeSlice(landing, s"b$i.json", s, i)
+      }
+      val q = StreamingCapstone.start(spark, landing, fullStores(dir),
+        s"$dir/ck", DictionaryLocator.Indonesian, maxFilesPerTrigger = 1,
+        trigger = Trigger.AvailableNow(), media = Some(mediaDf),
+        vectors = Some(semEmb), minSemInitRows = 4,
+        minVecBuildRows = 4, vecKs = 4, compactEvery = compactEvery)
+      q.awaitTermination()
+    }
+    run(plain, 0)
+    run(compacted, 1)
+    def batchDirs(path: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+    }
+    // layout DID change: the lsh store's three batches folded
+    assert(batchDirs(fullStores(plain).lshStore) == Seq("batch=0", "batch=1", "batch=2"))
+    assert(batchDirs(fullStores(compacted).lshStore) == Seq("batch=1", "batch=2"),
+      "compactEvery=1 should have folded the committed prefix")
+    // state did NOT: every store agrees row-for-row
+    def lshState(dir: String) = spark.read.parquet(fullStores(dir).lshStore)
+      .select($"doc_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(lshState(compacted) == lshState(plain))
+    def segState(dir: String) = spark.read.parquet(fullStores(dir).segOut)
+      .select($"id", $"n_seg", $"n_kept", $"kept_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(segState(compacted) == segState(plain))
+    def imgState(dir: String) = spark.read.parquet(fullStores(dir).imgStore)
+      .select($"media_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(imgState(compacted) == imgState(plain))
+    def semState(dir: String) = spark.read.parquet(s"${fullStores(dir).semStore}/rows")
+      .select($"vec_id", $"rep_id", $"survivor")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(semState(compacted) == semState(plain))
+    def bm25(dir: String) = graft.operators.Retrieval.queryIndex(
+        spark, fullStores(dir).bm25Store, Seq("makan", "bandung"), k = 10)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(bm25(compacted) == bm25(plain) && bm25(plain).nonEmpty)
+    def probe(dir: String) = graft.operators.IvfPqIndex.probe(spark,
+        fullStores(dir).vecStore, semEmb.filter($"vec_id" === 4L),
+        $"vec_id", $"embedding", k = 3, nprobe = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(probe(compacted) == probe(plain))
+  }
+
   test("BM25 stage: streamed index serves identically to a full rebuild") {
     val dir = tmpDir("capbm25")
     val landing = s"$dir/landing"
