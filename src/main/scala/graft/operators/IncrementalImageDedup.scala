@@ -58,10 +58,14 @@ object IncrementalImageDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "media_id BIGINT, dh BIGINT, rep_id BIGINT, survivor BOOLEAN")
 
-  /** (band, key) rows for a 64-bit hash column: 8 bands of 8 bits. */
-  private def bandStruct(dh: Column): Column =
-    explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-      shiftrightunsigned(dh, b * 8).bitwiseAND(lit(0xffL)).as("key"))): _*))
+  /** (band, key) rows for a 64-bit hash column: `maxHamming + 1`
+    * disjoint segments ([[Multimodal.pigeonholeBands]] — exact recall
+    * at every radius, with the widest keys the pigeonhole allows; bands
+    * are DERIVED per call from stored hashes, so the store layout is
+    * radius-agnostic and existing stores read unchanged).
+    */
+  private def bandStruct(dh: Column, maxHamming: Int): Column =
+    Multimodal.pigeonholeBands(dh, maxHamming)
 
   /** Suppress one batch against the store at `storePath`, then persist
     * the labeled batch into `batch=<batchId>`. Returns (media_id,
@@ -73,7 +77,7 @@ object IncrementalImageDedup {
       maxHamming: Int = 6, batchSize: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be within [0, 7] (8-band pigeonhole bound), got $maxHamming")
+      s"maxHamming must be within [0, 7] (64-bit pigeonhole bound), got $maxHamming")
     val decoded = Multimodal.decodeFeatures(
       batch.select(id.cast("long").as("media_id"), payload.as("__p")), "__p",
       Multimodal.ImageIODecoder(), batchSize)
@@ -90,7 +94,7 @@ object IncrementalImageDedup {
     val chainEdges = members.filter(col("media_id") =!= col("__rep"))
       .select(col("__rep").as("a"), col("media_id").as("b"))
     val reps = members.filter(col("media_id") === col("__rep"))
-      .select(col("__rep"), col("dh"), bandStruct(col("dh")).as("__b"))
+      .select(col("__rep"), col("dh"), bandStruct(col("dh"), maxHamming).as("__b"))
     val ra = reps.select(col("__rep").as("a"), col("dh").as("__dha"), col("__b"))
     val rb = reps.select(col("__rep").as("b"), col("dh").as("__dhb"), col("__b"))
     val repEdges = ra.join(rb, Seq("__b"))
@@ -108,7 +112,8 @@ object IncrementalImageDedup {
     // rep the full row set would contribute
     val sReps = store.filter(col("dh").isNotNull)
       .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
-      .select(col("dh").as("__sdh"), col("__srep"), bandStruct(col("dh")).as("__b"))
+      .select(col("dh").as("__sdh"), col("__srep"),
+        bandStruct(col("dh"), maxHamming).as("__b"))
     val bEx = reps.select(col("__rep"), col("dh"), col("__b"))
     val storeRep = bEx.join(sReps, Seq("__b"))
       .filter(bit_count(col("dh").bitwiseXOR(col("__sdh"))) <= maxHamming)

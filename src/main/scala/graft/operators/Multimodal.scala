@@ -251,14 +251,47 @@ object Multimodal {
     }).reduce(_ + _)
   }
 
+  /** Pigeonhole band rows for a 64-bit hash at Hamming radius `k`:
+    * `k + 1` DISJOINT bit segments, exploded as `struct(band, key)`.
+    * Any pair within Hamming distance k differs in at most k segments,
+    * so at least one of the k+1 segments is bit-identical — recall is
+    * EXACT for every k, with the WIDEST keys the guarantee allows:
+    * k=7 → 8 bands of 8 bits (the classic dHash byte banding), k=3 →
+    * 4 bands of 16 bits (collision density 1/65536 instead of 1/256),
+    * k=0 → one band of the full hash (the join IS hash equality).
+    * Fixing 8 byte-bands for every radius — the pre-round-10 scheme —
+    * made the candidate mass ~n·m/256 on UNIFORM hashes regardless of
+    * how small the radius was: at a 1M-image store the k=0 bench
+    * measured 1.2B candidate probes for a 50k arrival, all but ~200k
+    * discarded by the Hamming filter. Width-adaptive banding removes
+    * that waste without touching the verified pair set (both schemes
+    * have exact recall; the Hamming verify equalizes the output).
+    */
+  private[operators] def pigeonholeBands(dh: Column, k: Int): Column = {
+    require(k >= 0 && k <= 7,
+      s"pigeonhole banding supports Hamming radius in [0, 7], got $k")
+    val b = k + 1
+    val base = 64 / b
+    val rem = 64 % b
+    val widths = Seq.tabulate(b)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    explode(array((0 until b).map { i =>
+      val key =
+        if (widths(i) == 64) dh
+        else shiftrightunsigned(dh, offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      struct(lit(i).as("band"), key.as("key"))
+    }: _*))
+  }
+
   /** Image near-duplicate PAIRS by perceptual dHash — plugs the binary
     * payload columns into the dedup pillar: decode (REAL pixels, batched
     * [[ImageIODecoder]]) → dHash → banded candidate join → exact Hamming
-    * verify. Banding: 8 bands of 8 bits, so any pair within
-    * `maxHamming` ≤ 7 shares at least one band by pigeonhole — recall is
-    * EXACT for the default radius, not probabilistic (the
-    * [[Dedup.simHashPairs]] trade, without the rotation heuristic since
-    * 8 one-byte keys are cheap). Undecodable payloads hash to the
+    * verify. Banding: [[pigeonholeBands]] — `maxHamming + 1` disjoint
+    * segments, so any pair within `maxHamming` shares at least one band
+    * by pigeonhole — recall is EXACT for every radius, not probabilistic
+    * (the [[Dedup.simHashPairs]] trade, without the rotation heuristic).
+    * Undecodable payloads hash to the
     * all-zero grid; they are dropped before the join (the empty-shingle
     * precedent: corrupt blobs are not near-dups of each other, and one
     * corrupt-payload bucket would go quadratic).
@@ -294,7 +327,7 @@ object Multimodal {
       maxBandBucketQuantile: Option[Double] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be within [0, 7] (8-band pigeonhole bound), got $maxHamming")
+      s"maxHamming must be within [0, 7] (64-bit pigeonhole bound), got $maxHamming")
     val decoded = decodeFeatures(
       df.select(id.cast("long").as("__id"), payload.as("__p")), "__p",
       ImageIODecoder(), batchSize)
@@ -315,9 +348,7 @@ object Multimodal {
     // one representative per distinct hash enters the band join
     val reps = members.filter(col("__id") === col("__rep"))
       .select(col("__rep"), col("__dh"),
-        explode(array((0 until 8).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("__dh"), b * 8).bitwiseAND(lit(0xffL))
-            .as("key"))): _*)).as("__b"))
+        pigeonholeBands(col("__dh"), maxHamming).as("__b"))
     val repsKept = maxBandBucketQuantile match {
       case None => reps
       case Some(q) =>

@@ -321,6 +321,7 @@ object StreamingCapstone {
     val work = args.headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("capstone").toString)
     val slices = args.lift(1).map(_.toInt).getOrElse(24)
+    val compactEvery = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -349,7 +350,8 @@ object StreamingCapstone {
       graft.Tables(spark, sfDir, "documents"), col("doc_id"), col("text"))
     val t0 = System.nanoTime()
     val q = start(spark, landing, stores, s"$work/ckpt", dict,
-      vectors = Some(embeddings), media = Some(media))
+      vectors = Some(embeddings), media = Some(media),
+      compactEvery = compactEvery)
     q.awaitTermination()
     val wallS = (System.nanoTime() - t0) / 1e9
     val landed = spark.read.parquet(stores.curatedDir).count()
