@@ -177,6 +177,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 >= 5L || p._2 >= 5L), "corrupt payloads paired")
   }
 
+  test("pigeonhole banding: exact recall at EVERY radius vs brute force") {
+    import spark.implicits._
+    // adaptive banding (maxHamming+1 disjoint segments — 1 band of 64
+    // bits at k=0 up to the classic 8x8 at k=7) must produce EXACTLY the
+    // brute-force pair set at each radius: pairs within k may never be
+    // lost to banding (the pigeonhole guarantee), pairs outside k may
+    // never appear (the verify filter). Patterns are known bits, so the
+    // expected set is computed directly from hamming distances.
+    val rnd = new scala.util.Random(20260815L)
+    val base = Seq.tabulate(64)(_ => rnd.nextInt(2))
+    val patterns: Seq[(Long, Seq[Int])] =
+      // planted ladder: id j+10 is base with j bits flipped (j = 1..8,
+      // straddling every radius boundary incl. one OUTSIDE the max)
+      (1 to 8).map(j => (j + 10L, TestImages.flip(base, (0 until j).map(_ * 7): _*))) ++
+        // background: independent random patterns (far apart whp)
+        (30 to 45).map(i => (i.toLong, Seq.tabulate(64)(_ => rnd.nextInt(2)))) :+
+        ((10L, base)) :+ ((25L, base)) // an identical pair (hamming 0)
+    val df = patterns.map { case (id, bits) => (id, TestImages.bmpOfBits(bits)) }
+      .toDF("id", "payload")
+    def hamming(a: Seq[Int], b: Seq[Int]): Int =
+      a.lazyZip(b).count { case (x, y) => x != y }
+    for (k <- Seq(0, 2, 5, 7)) {
+      val expected = (for {
+        Seq((ia, pa), (ib, pb)) <- patterns.sortBy(_._1).combinations(2)
+        if hamming(pa, pb) <= k
+      } yield (ia, ib)).toSet
+      val got = Multimodal.dHashNearDuplicates(
+          df, $"id", $"payload", maxHamming = k)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"radius $k: missing=${expected -- got} spurious=${got -- expected}")
+    }
+  }
+
   // ------------------------------------------- real audio (javax.sound)
 
   /** Real WAV bytes via the JDK's own encoder: 16-bit PCM, `chans`
