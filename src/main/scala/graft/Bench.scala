@@ -34,6 +34,43 @@ object Bench {
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 
+  /** The exact normalized analyzed-plan string the `plan_hash` digests —
+    * public so [[graft.tools.AnalyzedPlanDump]] renders the SAME string
+    * (two hand-synced copies would let the diagnostic drift from what is
+    * actually hashed). See the in-loop comment for what is normalized
+    * and why.
+    */
+  def normalizedPlan(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def norm(e: Expression): Expression = {
+      val k = e.mapChildren(norm)
+      k match {
+        case a: And =>
+          conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
+        case x => x
+      }
+    }
+    df.queryExecution.analyzed
+      .canonicalized.transformAllExpressions { case e => norm(e) }
+      .toString
+      .replaceAll("Lambda\\$\\d+", "Lambda")
+      .replaceAll("/0x[0-9a-f]+", "")
+      .replaceAll("@[0-9a-f]+", "")
+      // partition WIDTHS are an environment knob (defaultParallelism /
+      // SPARK_GRAFT_CPUS reaches Repartition nodes through Tables.wide
+      // and operator repartitions), not declared computation — measured:
+      // a CPUS=8 vs CPUS=32 run flipped 56 of 97 hashes with zero code
+      // change. Normalize the count, keep the node (a Repartition
+      // appearing or disappearing is a real plan change; its width
+      // moving with the machine is not).
+      .replaceAll("\\bRepartition (\\d+)", "Repartition P")
+      .replaceAll("(\\bRepartitionByExpression\\b[^\\n]*?), \\d+", "$1, P")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,11 +121,21 @@ object Bench {
     }
     val benchStart = java.time.Instant.now().toString
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // the cold run's frame, kept for the plan fingerprint below —
+      // constructing a FRESH frame for hashing would re-run every eager
+      // builder (CC fixpoints, Checkpoints.materialize, sampled-constant
+      // training) once more, and doing so BEFORE the cold run warmed
+      // exactly what cold measures (found by review this round: the
+      // round-10-early hash placement pre-executed q_curation_e2e et al.
+      // and turned their cold numbers warm)
+      var hashFrame: DataFrame = null
       def timed(): Option[(Double, Long, Long)] = {
         val t0 = System.nanoTime()
         val gc0 = gcMillis()
         try {
-          val (_, rows) = materialize(fn(spark, sfDir))
+          val df = fn(spark, sfDir)
+          if (hashFrame == null) hashFrame = df
+          val (_, rows) = materialize(df)
           Some(((System.nanoTime() - t0) / 1e9, rows, gcMillis() - gc0))
         } catch {
           case scala.util.control.NonFatal(e) =>
@@ -96,6 +143,15 @@ object Bench {
             None
         }
       }
+      val cold = timed()
+      // steady = min of three post-warm-up runs (the standard microbench
+      // estimator): single post-warm runs still jitter ±0.3 s from AQE
+      // re-planning and GC, which at local-mode query sizes is enough to
+      // invert cross-query comparisons run-to-run; the min converges on
+      // the query's true floor
+      val steady =
+        if (cold.isEmpty) None
+        else Seq(timed(), timed(), timed()).flatten.sortBy(_._1).headOption
       // canonicalized-plan fingerprint (round-9 adjudication: cross-round
       // time drift on plan-UNCHANGED queries — q_tweet_flat 1.4× — could
       // only be called noise, not proven; a stable hash makes "same plan,
@@ -109,44 +165,12 @@ object Bench {
       // and pre-optimizer: its hash changes exactly when the DECLARED
       // computation changes, which is the attribution the cross-round
       // record needs (optimizer behavior only moves with the pinned Spark
-      // version). Three residual cross-JVM instabilities are normalized
-      // away: AND-conjunct chains flatten + sort by string (ExpressionSet
-      // iteration is hashCode-driven on object-holding expressions),
-      // JVM-assigned lambda class ids / identity hashes inside
-      // MapPartitions nodes (regexed out), and environment-derived
-      // partition WIDTHS in Repartition nodes (SPARK_GRAFT_CPUS reaches
-      // plans through defaultParallelism — a CPUS=8 vs 32 run flipped
-      // 56/97 hashes with zero code change). Computed outside the timed
-      // window; never a failure source.
+      // version). Normalizations in [[normalizedPlan]]. Computed AFTER
+      // the timed runs, from the cold run's own frame — zero extra
+      // executions; never a failure source.
       val planHash = try {
-        import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-        def conjuncts(e: Expression): Seq[Expression] = e match {
-          case And(l, r) => conjuncts(l) ++ conjuncts(r)
-          case x => Seq(x)
-        }
-        def norm(e: Expression): Expression = {
-          val k = e.mapChildren(norm)
-          k match {
-            case a: And =>
-              conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
-            case x => x
-          }
-        }
-        val p = fn(spark, sfDir).queryExecution.analyzed
-          .canonicalized.transformAllExpressions { case e => norm(e) }
-        val s = p.toString
-          .replaceAll("Lambda\\$\\d+", "Lambda")
-          .replaceAll("/0x[0-9a-f]+", "")
-          .replaceAll("@[0-9a-f]+", "")
-          // partition WIDTHS are an environment knob (defaultParallelism
-          // / SPARK_GRAFT_CPUS reaches Repartition nodes through
-          // Tables.wide and operator repartitions), not declared
-          // computation — measured: a CPUS=8 vs CPUS=32 run flipped 56
-          // of 97 hashes with zero code change. Normalize the count,
-          // keep the node (a Repartition appearing/disappearing is a
-          // real plan change; its width moving with the machine is not).
-          .replaceAll("\\bRepartition (\\d+)", "Repartition P")
-          .replaceAll("(\\bRepartitionByExpression\\b[^\\n]*?), \\d+", "$1, P")
+        val s = normalizedPlan(
+          if (hashFrame != null) hashFrame else fn(spark, sfDir))
         // diagnostic: dump the exact hashed string for run-to-run diffing
         sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -157,15 +181,6 @@ object Bench {
           .digest(s.getBytes("UTF-8")).take(8)
           .map("%02x".format(_)).mkString
       } catch { case scala.util.control.NonFatal(_) => "" }
-      val cold = timed()
-      // steady = min of three post-warm-up runs (the standard microbench
-      // estimator): single post-warm runs still jitter ±0.3 s from AQE
-      // re-planning and GC, which at local-mode query sizes is enough to
-      // invert cross-query comparisons run-to-run; the min converges on
-      // the query's true floor
-      val steady =
-        if (cold.isEmpty) None
-        else Seq(timed(), timed(), timed()).flatten.sortBy(_._1).headOption
       // a query that succeeded cold but failed all three steady runs is
       // still a failing query — surface it instead of reporting the cold
       // time as a healthy steady-state

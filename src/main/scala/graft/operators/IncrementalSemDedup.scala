@@ -90,9 +90,20 @@ object IncrementalSemDedup {
     val lists =
       if (nlist > 0) nlist
       else Embeddings.deriveNlist(src.count())
+    // ALL training happens before anything destructive: a pqCodebooks
+    // failure (dim % m != 0, a seed smaller than ks, a null embedding)
+    // after the store delete would leave centroids-without-books —
+    // indistinguishable from an intentional float store, so every later
+    // batch would silently run full-width float rows instead of failing
     val mat = Embeddings.computeCentroids(
       src, col("__id"), col("__e"), lists, refineIterations, seedValue,
       portableSample)
+    val books =
+      if (pqM > 0)
+        Embeddings.pqCodebooks(
+          src, col("__id"), col("__e"), pqM, pqKs, refineIterations,
+          seedValue, portableSample, normalize = true)
+      else Seq.empty
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -100,10 +111,7 @@ object IncrementalSemDedup {
       .toDF("cell", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$storePath/centroids")
-    if (pqM > 0) {
-      val books = Embeddings.pqCodebooks(
-        src, col("__id"), col("__e"), pqM, pqKs, refineIterations,
-        seedValue, portableSample, normalize = true)
+    if (books.nonEmpty) {
       spark.createDataFrame(
           for ((bj, j) <- books.zipWithIndex; (cw, c) <- bj.zipWithIndex)
             yield (j, c + 1, cw))

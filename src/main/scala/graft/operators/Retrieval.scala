@@ -153,9 +153,14 @@ object Retrieval {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     // meta FIRST (it is layout config, not a commit marker — the
-    // ensureIndexMeta ordering): a crash between the two writes must
-    // leave a tree appendIndex/queryIndex can still read, not a batch
-    // with no meta that bricks every call until a full rebuild
+    // ensureIndexMeta ordering): a crash between the two writes leaves
+    // meta-without-batches, which appendIndex accepts (it reads meta and
+    // lands its batch — the streaming recovery path). The reverse order
+    // left batches-without-meta, which bricked BOTH appendIndex and
+    // queryIndex until a full rebuild. queryIndex on the meta-only tree
+    // still raises on the missing postings path — a crashed ONE-SHOT
+    // build is re-run, that is its recovery; the ordering exists for the
+    // append path.
     spark.createDataFrame(Seq(Tuple1(buckets))).toDF("buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     writeBatch(docs, id, text, path, buckets, batchId = 0L)

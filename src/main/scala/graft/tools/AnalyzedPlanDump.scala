@@ -3,8 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Throwaway diagnostic: dump the EXACT normalized analyzed-plan string
-  * the Bench plan_hash is computed over, for run-to-run diffing.
-  * args: outDir [queryCsv]
+  * the Bench plan_hash is computed over ([[graft.Bench.normalizedPlan]]
+  * — shared, so the dump can never drift from what is hashed), for
+  * run-to-run / cross-environment diffing. This is the tool that
+  * attributed the round-10 56/97 hash flip to environment-derived
+  * Repartition widths. args: outDir [queryCsv]
   */
 object AnalyzedPlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,27 +24,7 @@ object AnalyzedPlanDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     names.foreach { n =>
-      import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case And(l, r) => conjuncts(l) ++ conjuncts(r)
-        case x => Seq(x)
-      }
-      def norm(e: Expression): Expression = {
-        val k = e.mapChildren(norm)
-        k match {
-          case a: And =>
-            conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
-          case x => x
-        }
-      }
-      val p = graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.analyzed
-        .canonicalized.transformAllExpressions { case e => norm(e) }
-      val s = p.toString
-        .replaceAll("Lambda\\$\\d+", "Lambda")
-        .replaceAll("/0x[0-9a-f]+", "")
-        .replaceAll("@[0-9a-f]+", "")
-        .replaceAll("\\bRepartition (\\d+)", "Repartition P")
-        .replaceAll("(\\bRepartitionByExpression\\b[^\\n]*?), \\d+", "$1, P")
+      val s = graft.Bench.normalizedPlan(graft.SparkEntry.queries(n)(spark, sfDir))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/$n.txt"), s)
     }
     spark.stop()

@@ -161,26 +161,77 @@ object StreamingCapstone {
     landed.count()
   }
 
-  /** Streaming ANN-index maintenance: landed docs' embeddings accumulate
-    * in a STAGED partition store until `minVecBuildRows` have arrived
-    * (a PQ codebook cannot be seeded from a toy sample — the index
-    * build is deferred, not degraded), then the index is built from the
-    * full staged set; every later batch appends as its own idempotent
-    * `batch=` partition.
+  /** The shared DEFERRED-INIT lifecycle of the two vector-backed stages
+    * ([[maintainVectorIndex]], [[maintainSemStore]]) — single-sourced
+    * here for the same reason [[graft.operators.BatchStore]] exists: the
+    * crash-window reasoning lived in two hand-synced copies, and the
+    * marker-ordering bug class was already hit once (an earlier version
+    * wrote the vector marker BEFORE the build and keyed "built" on
+    * centroids existence; a crash between centroids and the cells tree
+    * then skipped both the rebuild and the append branch on replay,
+    * silently dropping the staged base from the index).
     *
-    * Replay safety: the staged write is a per-batch partition overwrite;
-    * the `_built_through` marker is written AFTER the build completes and
-    * is the ONLY signal that a complete index exists — a crash anywhere
-    * mid-build (even with centroids already committed) leaves the marker
-    * absent, so the replayed batch re-stages and rebuilds from the full
-    * staged set (IvfPqIndex.build overwrites wholesale, idempotent). An
-    * earlier version wrote the marker BEFORE the build and keyed "built"
-    * on centroids existence; a crash between centroids and the cells
-    * tree then skipped both the rebuild branch and the append branch on
-    * replay, silently dropping the entire staged base from the index. A
-    * replayed pre-build batch (batchId <= marker) is already inside the
-    * built base and is skipped; a replayed post-build batch overwrites
-    * its own append partition.
+    * Shape: a store whose seed geometry cannot come from a toy sample
+    * (PQ codebooks, SemDeDup centroids) STAGES each batch's rows as an
+    * idempotent `batch=` partition until `minRows` accumulate, then
+    * `build(allStaged)` runs, the staged history optionally REPLAYS per
+    * batch in arrival order, and the marker commits LAST — it is the
+    * ONLY signal a complete store exists, so a crash anywhere mid-build
+    * re-stages and re-runs the whole deterministic sequence onto
+    * identical state (every builder wipes/overwrites wholesale). After
+    * the marker commits the staged tree is DELETED: it is dead data from
+    * that point (a full float copy of the pre-init history, kept forever
+    * otherwise), and it is re-creatable only before the marker, when it
+    * is still needed. A crash between marker write and staged delete
+    * self-heals on the next append-path batch. Replayed pre-init batches
+    * (batchId <= marker) are already inside the built store and are
+    * skipped; replayed post-init batches overwrite their own `batch=`
+    * partition in `append`.
+    */
+  private[graft] def stagedInit(
+      spark: SparkSession, rows: DataFrame, staged: String,
+      markerPath: String, batchId: Long, minRows: Int,
+      build: DataFrame => Unit,
+      replayStaged: Option[(Long, DataFrame) => Unit],
+      append: DataFrame => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(markerPath)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    def readMarker(): Long =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      }
+    if (readMarker() < 0L) {
+      rows.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
+      val all = spark.read.parquet(staged)
+        .select(col("vec_id"), col("embedding"))
+      if (all.count() >= minRows) {
+        build(all)
+        replayStaged.foreach { f =>
+          val (sfs, sp) = BatchStore.fsPath(spark, staged)
+          BatchStore.listBatches(sfs, sp).sortBy(_._1).foreach {
+            case (bid, path) => f(bid, spark.read.parquet(path.toString))
+          }
+        }
+        // marker LAST: build-complete commit point
+        val out = fs.create(marker, true)
+        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(stagedP, true): Unit
+      }
+    } else if (batchId > readMarker() && !rows.isEmpty) {
+      // self-heal the marker-write → staged-delete crash window
+      if (fs.exists(stagedP)) fs.delete(stagedP, true): Unit
+      append(rows)
+    }
+  }
+
+  /** Streaming ANN-index maintenance ([[stagedInit]] with
+    * [[IvfPqIndex.build]]/append): a PQ codebook cannot be seeded from a
+    * toy sample, so the index build is deferred, not degraded. No staged
+    * replay — the build over the full staged set IS the base.
     */
   private[graft] def maintainVectorIndex(
       spark: SparkSession, landed: DataFrame, embeddings: DataFrame,
@@ -189,53 +240,23 @@ object StreamingCapstone {
     val vecs = embeddings.join(landed.select(col("doc_id").as("__vid")),
         col("vec_id") === col("__vid"))
       .select(col("vec_id"), col("embedding"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val centroids = new org.apache.hadoop.fs.Path(s"$vecStore/centroids")
-    val marker = new org.apache.hadoop.fs.Path(s"$vecStore/_built_through")
-    val fs = centroids.getFileSystem(conf)
-    def readMarker(): Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      }
-    if (readMarker() < 0L) {
-      val staged = s"$vecStore/staged"
-      vecs.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
-      val all = spark.read.parquet(staged)
-        .select(col("vec_id"), col("embedding"))
-      if (all.count() >= minVecBuildRows) {
-        IvfPqIndex.build(all, col("vec_id"), col("embedding"), vecStore,
-          replicas = 2, ks = vecKs)
-        // marker last: build-complete commit point
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      }
-    } else if (batchId > readMarker() && !vecs.isEmpty) {
-      IvfPqIndex.append(spark, vecs, col("vec_id"), col("embedding"),
-        vecStore, batchId)
-    }
+    stagedInit(spark, vecs, s"$vecStore/staged", s"$vecStore/_built_through",
+      batchId, minVecBuildRows,
+      build = all => IvfPqIndex.build(all, col("vec_id"), col("embedding"),
+        vecStore, replicas = 2, ks = vecKs),
+      replayStaged = None,
+      append = b => IvfPqIndex.append(spark, b, col("vec_id"),
+        col("embedding"), vecStore, batchId))
   }
 
-  /** Streaming semantic-dedup store maintenance: landed docs' embeddings
-    * stage in a SIBLING partition store (`<semStore>_staged` — sibling,
-    * not nested, because [[IncrementalSemDedup.init]] clears the store
-    * root wholesale) until `minSemInitRows` have arrived: centroid
-    * geometry seeded from a toy sample would fix a degenerate cell
-    * structure forever, so the init is deferred, not degraded. At the
-    * threshold the store initializes from the FULL staged set, then the
-    * staged history replays through [[IncrementalSemDedup.semDedupBatch]]
-    * in arrival order; every later batch feeds the store directly.
-    *
-    * Replay safety mirrors [[maintainVectorIndex]]: the `_init_through`
-    * marker lands only AFTER init + the full staged replay, so a crash
-    * anywhere mid-build re-stages and re-runs the whole deterministic
-    * sequence onto identical state (init wipes the store first); a
-    * replayed pre-init batch (batchId <= marker) is already inside the
-    * initialized store and is skipped; a replayed post-init batch
-    * overwrites its own `batch=` partition ([[IncrementalSemDedup]]'s
-    * structural replay exclusion).
+  /** Streaming semantic-dedup store maintenance ([[stagedInit]] with
+    * [[IncrementalSemDedup.init]] + a per-batch staged replay in arrival
+    * order — suppression decisions are order-dependent, so the history
+    * must re-run batch by batch, not as one blob). The staged tree is a
+    * SIBLING (`<semStore>_staged`), not nested, because init clears the
+    * store root wholesale. Centroid geometry seeded from a toy sample
+    * would fix a degenerate cell structure forever — deferred, not
+    * degraded.
     */
   private[graft] def maintainSemStore(
       spark: SparkSession, landed: DataFrame, embeddings: DataFrame,
@@ -244,40 +265,20 @@ object StreamingCapstone {
     val vecs = embeddings.join(landed.select(col("doc_id").as("__sid")),
         col("vec_id") === col("__sid"))
       .select(col("vec_id"), col("embedding"))
-    val marker = new org.apache.hadoop.fs.Path(s"$semStore/_init_through")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readMarker(): Long =
-      if (!fs.exists(marker)) -1L
-      else {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), "UTF-8").trim.toLong
-        finally in.close()
-      }
-    if (readMarker() < 0L) {
-      val staged = s"${semStore}_staged"
-      vecs.write.mode("overwrite").parquet(s"$staged/batch=$batchId")
-      val all = spark.read.parquet(staged)
-        .select(col("vec_id"), col("embedding"))
-      if (all.count() >= minSemInitRows) {
-        IncrementalSemDedup.init(
-          all, col("vec_id"), col("embedding"), semStore)
-        val (sfs, sp) = BatchStore.fsPath(spark, staged)
-        BatchStore.listBatches(sfs, sp).sortBy(_._1).foreach {
-          case (bid, path) =>
-            IncrementalSemDedup.semDedupBatch(spark,
-              spark.read.parquet(path.toString), col("vec_id"),
-              col("embedding"), semStore, bid, semThreshold)
-            ()
-        }
-        // marker last: init-complete commit point
-        val out = fs.create(marker, true)
-        try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-      }
-    } else if (batchId > readMarker() && !vecs.isEmpty) {
-      IncrementalSemDedup.semDedupBatch(spark, vecs, col("vec_id"),
-        col("embedding"), semStore, batchId, semThreshold)
-      ()
-    }
+    stagedInit(spark, vecs, s"${semStore}_staged", s"$semStore/_init_through",
+      batchId, minSemInitRows,
+      build = all => IncrementalSemDedup.init(
+        all, col("vec_id"), col("embedding"), semStore),
+      replayStaged = Some((bid, b) => {
+        IncrementalSemDedup.semDedupBatch(spark, b, col("vec_id"),
+          col("embedding"), semStore, bid, semThreshold)
+        ()
+      }),
+      append = b => {
+        IncrementalSemDedup.semDedupBatch(spark, b, col("vec_id"),
+          col("embedding"), semStore, batchId, semThreshold)
+        ()
+      })
   }
 
   /** Start the capstone stream over a JSONL landing directory with

@@ -57,6 +57,28 @@ class IncrementalSemDedupSpec extends SparkSpec {
     assert(surv == Set(1L, 4L))
   }
 
+  test("a failing PQ re-init raises BEFORE destroying the existing store") {
+    // init trains everything before anything destructive: a pqCodebooks
+    // failure after the store delete would leave centroids-without-books
+    // — a valid-looking FLOAT store, silently degrading every later
+    // batch. Dim=8 is not divisible by pqM=3, so training must throw and
+    // the prior generation must keep serving.
+    val store = java.nio.file.Files.createTempDirectory("seminitatomic").toString
+    initStore(store)
+    assert(run(store, 0, Seq((1L, vec(0, 0)))) == Seq((1L, 1L, true)))
+    intercept[IllegalArgumentException] {
+      IncrementalSemDedup.init(
+        df(Seq((100L, vec(0, 0)), (101L, vec(4, 0)))), col("id"), col("e"),
+        store, nlist = 2, refineIterations = 0, portableSample = true,
+        pqM = 3, pqKs = 2)
+    }
+    // the old store generation is untouched: history intact, next batch
+    // still suppresses against it
+    assert(IncrementalSemDedup.survivors(spark, store)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(run(store, 1, Seq((2L, vec(0, 15)))) == Seq((2L, 1L, false)))
+  }
+
   test("fresh clusters keep the farthest-from-centroid member, not min id") {
     val store = java.nio.file.Files.createTempDirectory("semkeep").toString
     initStore(store)

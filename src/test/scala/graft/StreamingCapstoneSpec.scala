@@ -158,6 +158,10 @@ class StreamingCapstoneSpec extends SparkSpec {
       .select($"neighbor_id").as[Long].collect().toSet
     assert(got.nonEmpty && got.subsetOf(Set(5L, 6L, 7L)),
       s"probe of doc 4 pulled cross-mode neighbors: $got")
+    // the staged tree is dead data once the build marker commits
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${st.vecStore}/staged")),
+      "staged tree retained after build")
   }
 
   test("mid-run kill + checkpoint resume equals the uninterrupted run") {
@@ -221,6 +225,11 @@ class StreamingCapstoneSpec extends SparkSpec {
     assert(graft.operators.IncrementalSemDedup.survivors(
         spark, stWithImg(dir).semStore)
       .as[Long].collect().toSet == Set(1L, 4L, 5L, 7L))
+    // the staged sibling tree is dead data once the init marker commits
+    // (a full float copy of the pre-init history) — it must be gone
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"${stWithImg(dir).semStore}_staged")),
+      "staged tree retained after init")
   }
 
   test("in-stream compaction across every store changes layout, never state") {
