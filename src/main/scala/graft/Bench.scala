@@ -39,9 +39,22 @@ object Bench {
     * (two hand-synced copies would let the diagnostic drift from what is
     * actually hashed). See the in-loop comment for what is normalized
     * and why.
+    *
+    * `maskLiterals = true` renders the SHAPE string instead (digested as
+    * `plan_shape_hash`): every `Literal` is replaced by a typed null and
+    * every `In`/`InSet` value list collapsed to one element. Queries that
+    * TRAIN on sampled data (PQ codebooks, IVF centroids, Misra–Gries
+    * candidate lists, min/max range bounds) inline data-derived constants
+    * into the plan; under a different parallelism the sample changes, the
+    * constants change, and `plan_hash` flips on a query whose declared
+    * computation did not (round-10 finding: 9/97 builder-vs-driver).
+    * The shape hash is invariant to those values while still capturing
+    * operator structure, join shapes, and expression trees — cross-
+    * parallelism / cross-environment comparisons should use it;
+    * same-environment comparisons keep the precise `plan_hash`.
     */
-  def normalizedPlan(df: DataFrame): String = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+  def normalizedPlan(df: DataFrame, maskLiterals: Boolean = false): String = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, In, InSet, Literal}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -51,6 +64,13 @@ object Bench {
       k match {
         case a: And =>
           conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
+        case l: Literal if maskLiterals => Literal(null, l.dataType)
+        // value-list membership: both the values AND the list length can
+        // be data-derived (a Misra–Gries candidate list shrinks or grows
+        // with the sample) — collapse to a single masked element
+        case In(v, _) if maskLiterals =>
+          In(v, Seq(Literal(null, v.dataType)))
+        case i: InSet if maskLiterals => In(i.child, Seq(Literal(null, i.child.dataType)))
         case x => x
       }
     }
@@ -70,6 +90,52 @@ object Bench {
       .replaceAll("\\bRepartition (\\d+)", "Repartition P")
       .replaceAll("(\\bRepartitionByExpression\\b[^\\n]*?), \\d+", "$1, P")
   }
+
+  /** Committed clean-machine reference for [[canarySeconds]]: min over
+    * repeated runs on this container with nothing else running (see
+    * [[graft.tools.CanaryCalibrate]], which prints the value to commit).
+    * `load_factor` in the bench record = measured canary / this — ~1.0 on
+    * a clean machine, >>1 when external load is stealing CPU. Three
+    * consecutive rounds (r9–r11) produced official records whose time
+    * drift on PLAN-IDENTICAL code could only be attributed to machine
+    * load by after-the-fact adjudication; the canary makes the record
+    * prove (or disclaim) its own cleanliness.
+    */
+  val CanaryRefSec = 1.011
+
+  /** Fixed CPU-bound spin: every hardware thread runs the SAME
+    * deterministic checksum loop; returns wall seconds until all finish.
+    * The per-thread work is constant, so on an idle machine with >=
+    * `availableProcessors` free cores the wall time is a hardware
+    * constant; external CPU load inflates it proportionally. The checksum
+    * is folded into a volatile sink so the JIT cannot dead-code the loop.
+    */
+  @volatile private var canarySink = 0L
+  def canarySeconds(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { id =>
+      val t = new Thread(() => {
+        var acc = 0x9E3779B97F4A7C15L + id
+        var i = 0
+        while (i < 600000000) {
+          acc = java.lang.Long.rotateLeft(acc ^ i, 13) * 0x100000001B3L
+          i += 1
+        }
+        canarySink ^= acc
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** `/proc/loadavg` snapshot (first three fields), or "" off-Linux. */
+  def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).mkString(" ")
+    catch { case scala.util.control.NonFatal(_) => "" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,6 +186,13 @@ object Bench {
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
     val benchStart = java.time.Instant.now().toString
+    // Run-level load canary: a fixed CPU spin timed before and after the
+    // suite (min of 2 each to shave scheduler jitter), plus /proc/loadavg
+    // snapshots. load_factor = worst canary / committed clean reference:
+    // ~1.0 certifies a clean window; >>1 flags that this record's times
+    // are load-contaminated and must not be read as regressions.
+    val loadavgBefore = loadavg()
+    val canaryBefore = math.min(canarySeconds(), canarySeconds())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // the cold run's frame, kept for the plan fingerprint below —
       // constructing a FRESH frame for hashing would re-run every eager
@@ -168,41 +241,54 @@ object Bench {
       // version). Normalizations in [[normalizedPlan]]. Computed AFTER
       // the timed runs, from the cold run's own frame — zero extra
       // executions; never a failure source.
-      val planHash = try {
-        val s = normalizedPlan(
-          if (hashFrame != null) hashFrame else fn(spark, sfDir))
+      def digest(s: String): String =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString
+      val (planHash, shapeHash) = try {
+        val frame = if (hashFrame != null) hashFrame else fn(spark, sfDir)
+        val s = normalizedPlan(frame)
         // diagnostic: dump the exact hashed string for run-to-run diffing
         sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$dir/$name.txt"), s)
         }
-        java.security.MessageDigest.getInstance("SHA-256")
-          .digest(s.getBytes("UTF-8")).take(8)
-          .map("%02x".format(_)).mkString
-      } catch { case scala.util.control.NonFatal(_) => "" }
+        (digest(s), digest(normalizedPlan(frame, maskLiterals = true)))
+      } catch { case scala.util.control.NonFatal(_) => ("", "") }
       // a query that succeeded cold but failed all three steady runs is
       // still a failing query — surface it instead of reporting the cold
       // time as a healthy steady-state
       if (cold.isEmpty || steady.isEmpty) errors += name
-      name -> ((cold, steady, planHash))
+      name -> ((cold, steady, planHash, shapeHash))
     }
-    val qs = results.map { case (k, (cold, steady, planHash)) =>
+    val canaryAfter = math.min(canarySeconds(), canarySeconds())
+    val loadavgAfter = loadavg()
+    val loadFactor = math.max(canaryBefore, canaryAfter) / CanaryRefSec
+    val qs = results.map { case (k, (cold, steady, planHash, shapeHash)) =>
       val t = steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
       val c = cold.fold(-1.0)(_._1)
       val r = cold.fold(0L)(_._2)
       val g = steady.fold(-1L)(_._3)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
-        ",\"gc_ms\":" + g + ",\"plan_hash\":\"" + planHash + "\"}"
+        ",\"gc_ms\":" + g + ",\"plan_hash\":\"" + planHash +
+        "\",\"plan_shape_hash\":\"" + shapeHash + "\"}"
     }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val contended = results.collect {
-      case (k, (Some(c), Some(s), _)) if s._1 > c._1 => k
+      case (k, (Some(c), Some(s), _, _)) if s._1 > c._1 => k
     }
     val contJson = contended.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2._1.map(_._1)).sum
     val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"$benchStart","contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression"}"""
+    val loadJson = "{\"canary_ref_sec\":" + CanaryRefSec +
+      ",\"canary_before_sec\":" + f"$canaryBefore%.3f" +
+      ",\"canary_after_sec\":" + f"$canaryAfter%.3f" +
+      ",\"load_factor\":" + f"$loadFactor%.2f" +
+      ",\"canary_threads\":" + Runtime.getRuntime.availableProcessors() +
+      ",\"loadavg_before\":\"" + loadavgBefore +
+      "\",\"loadavg_after\":\"" + loadavgAfter + "\"}"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"$benchStart","load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window, >1.3 means times in this record are load-inflated; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants)"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.

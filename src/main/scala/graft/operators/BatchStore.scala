@@ -51,6 +51,21 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] object BatchStore {
 
+  /** JVM-wide mutex for the swap/adopt TRANSITIONS (never held during
+    * tree writes). A serving JVM runs reader threads (whose listBatches
+    * self-heal calls [[adoptNext]]) concurrently with the maintenance
+    * thread's [[completeSwap]]; unserialized, the reader's heal races
+    * the in-flight swap — the worst interleave (reader observes `p`
+    * empty, swap renames `__next` into `p`, reader's stale clear then
+    * DELETES the freshly-swapped live tree) loses the store. The lock
+    * removes every same-JVM interleave; the rename-failure tolerance
+    * inside both methods additionally accepts the benign cross-JVM
+    * outcome ("someone else completed this exact transition"), and
+    * cross-JVM WRITE discipline remains the documented single-writer
+    * contract.
+    */
+  private val swapLock = new Object
+
   /** FileSystem + Path for a store root. */
   def fsPath(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -61,16 +76,61 @@ private[graft] object BatchStore {
     * tree's delete and the rename leaves the ONLY copy at `__next` —
     * adopt it before any read or write touches the store.
     */
-  def adoptNext(fs: FileSystem, p: Path): Unit = {
+  def adoptNext(fs: FileSystem, p: Path): Unit = swapLock.synchronized {
     val next = new Path(p.toString + "__next")
     val live = fs.exists(p) && fs.listStatus(p).nonEmpty
     if (!live && fs.exists(next)) {
       // a failed adoption must surface, not fall through to an
-      // empty-store read that silently forgets the whole history
+      // empty-store read that silently forgets the whole history — but a
+      // rename that LOST to another party having completed the same
+      // adoption (live tree present, __next consumed) is success
       require(fs.delete(p, true) || !fs.exists(p),
         s"BatchStore: failed to clear empty $p before adopting $next")
-      require(fs.rename(next, p), s"BatchStore: failed to adopt $next as $p")
+      if (!fs.rename(next, p)) {
+        require(fs.exists(p) && fs.listStatus(p).nonEmpty && !fs.exists(next),
+          s"BatchStore: failed to adopt $next as $p")
+      }
     }
+  }
+
+  /** The COMMITTED subset of [[listBatches]]: batch dirs carrying the
+    * job-commit `_SUCCESS` marker. Serving reads that must be atomic
+    * against a concurrent producer pin their snapshot to this set — a
+    * batch directory exists (and fills with task files) before its job
+    * commits, so an unmarked dir is an in-flight or crashed append that
+    * a point-in-time read must not see. Maintenance paths (replay
+    * exclusion, compaction) keep using [[listBatches]]: they run under
+    * the single-writer contract where no in-flight sibling exists, and
+    * must still see a crashed batch's dir to overwrite it.
+    */
+  def committedBatches(fs: FileSystem, p: Path): Seq[(Long, Path)] =
+    listBatches(fs, p).filter { case (_, bp) =>
+      fs.exists(new Path(bp, "_SUCCESS"))
+    }
+
+  /** Bounded-retry OPTIMISTIC serving read. A serving query pins a
+    * committed-batch snapshot, plans against those explicit paths, and
+    * executes; a maintenance swap completing mid-read invalidates the
+    * pinned paths and surfaces as a transient failure (missing path at
+    * plan time, vanished file at execution time). The snapshot-pin makes
+    * torn reads IMPOSSIBLE — a race can only fail loudly, never return a
+    * state no quiesced index has — so the correct serving response is to
+    * re-pin against the healed tree and re-execute. Linear backoff;
+    * rethrows the last failure once `attempts` is exhausted (a
+    * persistent failure is a real outage, not a race).
+    */
+  def servingRead[T](attempts: Int = 10, backoffMs: Long = 100)(body: => T): T = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          i += 1
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs * i)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Enumerate the store's `batch=` partitions as (id, path), healing a
@@ -151,10 +211,31 @@ private[graft] object BatchStore {
   def compact(
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
-      merge: DataFrame => DataFrame = identity): Unit = {
+      merge: DataFrame => DataFrame = identity): Unit =
+    compactPrepare(spark, path, upToBatch, targetFiles, partitionCols, merge)
+      .foreach(completeSwap)
+
+  /** A fully-staged replacement tree awaiting its [[completeSwap]]. */
+  final case class PendingSwap(fs: FileSystem, live: Path, next: Path)
+
+  /** Phase 1 of [[compact]]: write the consolidated replacement tree
+    * BESIDE the live one (`__next`) and return the pending swap, or None
+    * when there is nothing to compact. Split from the swap so a
+    * MULTI-TREE store ([[Retrieval]]'s postings + stats) can stage every
+    * tree first and then swap them back-to-back — the cross-tree window
+    * in which a serving read can pin one tree's old snapshot and the
+    * other's new one shrinks from a full consolidation write (seconds)
+    * to two renames (microseconds); the serving retry absorbs it. Crash
+    * before [[completeSwap]] leaves a stale `__next` beside an untouched
+    * live tree — harmless; the next prepare clears it.
+    */
+  def compactPrepare(
+      spark: SparkSession, path: String, upToBatch: Long,
+      targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
+      merge: DataFrame => DataFrame = identity): Option[PendingSwap] = {
     val (fs, p) = fsPath(spark, path)
     val batches = listBatches(fs, p)
-    if (!batches.exists(_._1 <= upToBatch)) return
+    if (!batches.exists(_._1 <= upToBatch)) return None
     val target = batches.map(_._1).filter(_ <= upToBatch).max
     val next = new Path(path + "__next")
     require(fs.delete(next, true) || !fs.exists(next),
@@ -171,11 +252,22 @@ private[graft] object BatchStore {
     batches.map(_._1).filter(_ > upToBatch).foreach { b =>
       write(spark.read.parquet(s"$path/batch=$b"), s"$next/batch=$b")
     }
-    // the swap: a crash between these two leaves only __next, which
-    // adoptNext recovers on the next touch; a FAILED call must surface,
-    // not serve a half-swapped store
-    require(fs.delete(p, true), s"BatchStore.compact: failed to delete old $p")
-    require(fs.rename(next, p), s"BatchStore.compact: failed to swap $next into $p")
-    ()
+    Some(PendingSwap(fs, p, next))
+  }
+
+  /** Phase 2 of [[compact]]: the swap. A crash between delete and rename
+    * leaves only `__next`, which [[adoptNext]] recovers on the next
+    * touch; a FAILED call must surface, not serve a half-swapped store —
+    * except the benign race where a reader's heal completed this exact
+    * transition (live present, `__next` consumed), which is success.
+    */
+  def completeSwap(sw: PendingSwap): Unit = swapLock.synchronized {
+    require(sw.fs.delete(sw.live, true),
+      s"BatchStore.compact: failed to delete old ${sw.live}")
+    if (!sw.fs.rename(sw.next, sw.live)) {
+      require(sw.fs.exists(sw.live) && sw.fs.listStatus(sw.live).nonEmpty &&
+          !sw.fs.exists(sw.next),
+        s"BatchStore.compact: failed to swap ${sw.next} into ${sw.live}")
+    }
   }
 }

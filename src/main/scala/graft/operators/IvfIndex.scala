@@ -108,7 +108,20 @@ object IvfIndex {
     // reliance on dynamic pruning kicking in. Bounded by probes·nprobe.
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(IvfCells.resolveCells(spark, path))
+    // SNAPSHOT PIN (the [[Retrieval.queryIndex]] serving discipline):
+    // read the cells tree through the explicit COMMITTED batch paths,
+    // resolved once. The cells tree is single, so any committed prefix
+    // is a quiesced state; the pin keeps a concurrent append's
+    // in-flight batch (dir present, job not yet committed) out of the
+    // scan, and a concurrent compaction swap can only invalidate a
+    // pinned path and fail loudly — retried under
+    // [[BatchStore.servingRead]], never a torn answer.
+    val cellsRoot = IvfCells.resolveCells(spark, path)
+    val (cfs, cellsP) = BatchStore.fsPath(spark, cellsRoot)
+    val committedCells = BatchStore.committedBatches(cfs, cellsP)
+    require(committedCells.nonEmpty, s"IvfIndex: no committed batches at $cellsRoot")
+    val cells = spark.read.option("basePath", cellsRoot)
+      .parquet(committedCells.map(_._2.toString): _*)
       .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("emb"), col("nrm"), col("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))

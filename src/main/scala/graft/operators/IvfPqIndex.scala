@@ -130,7 +130,14 @@ object IvfPqIndex {
       .select(col("probe_id"), col("cell"), col("__cdot"), col("__pn"), col("__tab"))
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(IvfCells.resolveCells(spark, path))
+    // committed-batch snapshot pin — the [[IvfIndex.probe]] serving
+    // discipline (single cells tree: any committed prefix is quiesced)
+    val cellsRoot = IvfCells.resolveCells(spark, path)
+    val (cfs, cellsP) = BatchStore.fsPath(spark, cellsRoot)
+    val committedCells = BatchStore.committedBatches(cfs, cellsP)
+    require(committedCells.nonEmpty, s"IvfPqIndex: no committed batches at $cellsRoot")
+    val cells = spark.read.option("basePath", cellsRoot)
+      .parquet(committedCells.map(_._2.toString): _*)
       .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("code"), col("nrm"), col("cell"))
       .withColumn("__codes", Embeddings.pqUnpack(col("code"), m, ks))

@@ -219,8 +219,13 @@ object Retrieval {
     val base = docs.select(id.as("doc_id"),
       regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
       .withColumn("dl", size(col("__toks")))
-    base.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
-      .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
+    // postings FIRST, stats LAST: the committed stats dir (its job-commit
+    // _SUCCESS marker) is the batch's COMMIT RECORD. [[queryIndex]] pins
+    // its snapshot to the committed-stats batch set, so under a
+    // CONCURRENT append a batch becomes visible atomically and only
+    // after its postings are fully landed — the reverse order exposed a
+    // torn read (stats counted into N/avgdl while the batch's postings
+    // were still writing), an answer equal to NO quiesced index.
     // dl rides the posting row (grouped by — it is functionally
     // dependent on doc_id, so the key cardinality is unchanged)
     base.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
@@ -229,6 +234,8 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings/batch=$batchId")
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("tot"))
+      .write.mode("overwrite").parquet(s"$path/stats/batch=$batchId")
   }
 
   private val IndexTrees = Seq("postings", "stats")
@@ -245,15 +252,23 @@ object Retrieval {
     */
   def compactIndex(
       spark: SparkSession, path: String, upToBatch: Long): Unit = {
-    // both trees ride [[BatchStore.compact]] (the single-sourced
+    // both trees ride [[BatchStore.compactPrepare]] (the single-sourced
     // swap + largest-existing-id discipline); postings keep their bucket
     // partitioning so the bucket-prune contract survives, and stats
-    // consolidate to one additive row
-    BatchStore.compact(spark, s"$path/postings", upToBatch,
-      partitionCols = Seq("bucket"))
-    BatchStore.compact(spark, s"$path/stats", upToBatch, targetFiles = 1,
+    // consolidate to one additive row. STAGE both replacement trees
+    // fully, then swap back-to-back: a concurrent [[queryIndex]] pins
+    // one committed-batch snapshot across both trees, and the only
+    // window in which its pin can straddle the swap is the two renames —
+    // a straddled pin fails loudly on a missing explicit path (never a
+    // torn answer) and the serving retry re-pins.
+    val postings = BatchStore.compactPrepare(spark, s"$path/postings",
+      upToBatch, partitionCols = Seq("bucket"))
+    val stats = BatchStore.compactPrepare(spark, s"$path/stats", upToBatch,
+      targetFiles = 1,
       merge = d => d.agg(sum(col("n")).as("n"),
         sum(col("tot")).cast("long").as("tot")))
+    postings.foreach(BatchStore.completeSwap)
+    stats.foreach(BatchStore.completeSwap)
   }
 
   /** Self-heal a crashed [[compactIndex]] swap before any read. */
@@ -268,6 +283,14 @@ object Retrieval {
     * contract and arithmetic to [[bm25TopK]], zero corpus scans: only
     * the query terms' posting/df buckets are listed and read (static
     * partition filter, spec-asserted).
+    *
+    * CONCURRENT SERVING: safe to run while a (single) maintenance thread
+    * appends and compacts the same index — the frame is planned against
+    * a pinned committed-batch snapshot (see below), so every answer
+    * equals some quiesced index state (ServingConcurrencySpec pins the
+    * interleavings). A compaction swap completing mid-execution fails
+    * the read loudly rather than tearing it; execute under
+    * [[BatchStore.servingRead]] to absorb that as a re-pinned retry.
     */
   def queryIndex(
       spark: SparkSession, path: String, queryTerms: Seq[String],
@@ -277,6 +300,19 @@ object Retrieval {
       s"queryIndex: duplicate query terms in ${queryTerms.mkString(",")}")
     adoptIndexTrees(spark, path)
     val buckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    // SNAPSHOT PIN: resolve the committed batch set ONCE (from the stats
+    // tree — the commit record, see [[writeBatch]]) and read BOTH trees
+    // through those explicit paths. Listing each tree independently
+    // would let a concurrent append or compact land between the two
+    // reads, scoring one tree's batches against the other's — N/avgdl
+    // from a batch whose postings aren't counted, an answer no quiesced
+    // index returns. With the pin, a concurrent maintenance swap can
+    // only invalidate a pinned path and fail loudly (PATH_NOT_FOUND /
+    // vanished file), which [[BatchStore.servingRead]] retries.
+    val (sfs, statsRoot) = BatchStore.fsPath(spark, s"$path/stats")
+    val committed = BatchStore.committedBatches(sfs, statsRoot)
+      .map(_._1).sorted
+    require(committed.nonEmpty, s"queryIndex: no committed batches at $path")
     val neededBuckets = {
       // derive the buckets with ONE tiny Spark job over the literal terms
       // (xxhash64's exact seed/variant is an engine internal — never
@@ -291,15 +327,18 @@ object Retrieval {
     // sum); df(term) is the row count of the term's pruned postings —
     // derived from the same filtered read the scoring needs anyway; dl
     // rides the posting row, so the query touches NOTHING that scales
-    // with the corpus — only the query terms' pruned posting pages
-    val tf = spark.read.parquet(s"$path/postings")
+    // with the corpus — only the query terms' pruned posting pages of
+    // the pinned batches
+    val tf = spark.read.option("basePath", s"$path/postings")
+      .parquet(committed.map(b => s"$path/postings/batch=$b"): _*)
       .filter(col("bucket").isin(neededBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(queryTerms: _*))
       .select(col("term").as("__term"), col("doc_id").as("__did"),
         col("tf").as("__tf"), col("dl").as("__dl"))
     val df = tf.groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.option("basePath", s"$path/stats")
+      .parquet(committed.map(b => s"$path/stats/batch=$b"): _*)
       .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
     scoreAndRank(tf, df, stats, queryTerms, k1, b, k)
   }

@@ -464,10 +464,12 @@ object EmbeddingQueries {
     * relevant-but-mutually-diverse vectors for probe 7, relevance =
     * cosine to the probe, λ=0.7 — the RAG answer-diversification shape
     * (top-k pure cosine returns near-duplicates of one mode; MMR trades
-    * a little relevance for coverage). Rows-gated by declared design
-    * (iterative greedy — no ANSI replay); the selection mechanics are
-    * spec-gated in EmbeddingsSpec (mode spread, λ=1 degeneration,
-    * partitioning invariance).
+    * a little relevance for coverage). FULLY oracled since round 12:
+    * greedy selection with a fixed λ and (mmr DESC, id) tie rule is
+    * deterministic in the data, and each round is one argmax — the
+    * recursive CTE in [[mmrDiverseSql]] replays it pick by pick. The
+    * selection mechanics remain spec-gated in EmbeddingsSpec (mode
+    * spread, λ=1 degeneration, partitioning invariance).
     */
   def mmrDiverse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -479,6 +481,66 @@ object EmbeddingQueries {
       Embeddings.cosine($"embedding", typedLit(probe)),
       k = 10, lambda = 0.7)
       .orderBy($"rk")
+  }
+
+  /** Oracle for [[mmrDiverse]] — the greedy MMR loop as a DuckDB
+    * recursive CTE (the q_semdedup argmin-replay precedent, extended to
+    * an ITERATIVE argmax: the recursion state is the picked-id list, and
+    * each recursive step is one LATERAL argmax over the remaining
+    * candidates). Bit-faithful to [[Embeddings.mmrSelect]]:
+    *
+    *  - every dot product is the explicit left-associated
+    *    `0.0 + CAST(a[1])*CAST(b[1]) + …` fold — [[DotFExpr]]'s exact
+    *    accumulation order, required because UNROUNDED mmr values feed
+    *    the argmax comparison (the [[sumSqExplicitSql]] discipline);
+    *  - `max_sim_selected` = max cosine to the picked set (max is
+    *    fold-order exact), 0.0 for the first pick;
+    *  - `mmr` = `CAST(0.7 AS DOUBLE)·rel − (1.0 − 0.7)·ms`, reproducing
+    *    Scala's `1.0 - 0.7` = 0.30000000000000004 in IEEE;
+    *  - tie rule `ORDER BY mmr DESC, id LIMIT 1` = Spark's
+    *    `.orderBy($"__mmr".desc, $"id").limit(1)` (no NaNs: cosines
+    *    coalesce to 0.0; −0.0 vs 0.0 compare equal in both engines and
+    *    fall through to the id tiebreak).
+    *
+    * The seed pick orders by the same full mmr expression with ms = 0.
+    */
+  private[queries] def mmrDiverseSql(
+      dim: Int, probeId: Long, k: Int, lambda: Double): String = {
+    def dotX(a: String, b: String): String =
+      (0 until dim).map(i =>
+        s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+        .mkString("0.0 + ", " + ", "")
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oneMinusLam = s"(CAST(1.0 AS DOUBLE) - CAST($lambda AS DOUBLE))"
+    val msSub =
+      s"""(SELECT max(coalesce((${dotX("r.emb", "p2.emb")}) / nullif(r.nrm * p2.nrm, 0.0), 0.0))
+         |       FROM cand p2 WHERE list_contains(s.picked, p2.id))""".stripMargin
+    s"""WITH RECURSIVE
+       |probe AS (SELECT embedding AS pe, sqrt(${sumSqExplicitSql("embedding", dim)}) AS pn
+       |          FROM embeddings WHERE vec_id = $probeId),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id AS id, e.embedding AS emb,
+       |    sqrt(${sumSqExplicitSql("e.embedding", dim)}) AS nrm,
+       |    coalesce((${dotX("e.embedding", "p.pe")})
+       |        / nullif(sqrt(${sumSqExplicitSql("e.embedding", dim)}) * p.pn, 0.0), 0.0) AS rel
+       |  FROM embeddings e, probe p WHERE e.vec_id <> $probeId),
+       |sel AS (
+       |  SELECT 1 AS rk, c.id, c.rel, CAST(0.0 AS DOUBLE) AS ms,
+       |         $lam * c.rel - $oneMinusLam * CAST(0.0 AS DOUBLE) AS mmr,
+       |         [c.id] AS picked
+       |  FROM (SELECT id, rel FROM cand
+       |        ORDER BY $lam * rel - $oneMinusLam * CAST(0.0 AS DOUBLE) DESC, id
+       |        LIMIT 1) c
+       |  UNION ALL
+       |  SELECT s.rk + 1, w.id, w.rel, w.ms, w.mmr, list_append(s.picked, w.id)
+       |  FROM sel s, LATERAL (
+       |    SELECT r.id, r.rel, $msSub AS ms,
+       |      $lam * r.rel - $oneMinusLam * $msSub AS mmr
+       |    FROM cand r WHERE NOT list_contains(s.picked, r.id)
+       |    ORDER BY mmr DESC, id LIMIT 1) w
+       |  WHERE s.rk < $k)
+       |SELECT rk, id, rel AS relevance, ms AS max_sim_selected, mmr
+       |FROM sel ORDER BY rk""".stripMargin
   }
 
   /** Oracle for [[embeddingPqFlat]]: codebook = first `ks` rows under the
@@ -668,5 +730,6 @@ object EmbeddingQueries {
     "q_embedding_pq_flat" -> embeddingPqFlatSql(dim = 64, m = 8, ks = 16),
     "q_embedding_pq_adc" -> embeddingPqAdcSql(dim = 64, m = 8, ks = 16),
     "q_hard_negatives" -> hardNegativesSql,
+    "q_mmr_diverse" -> mmrDiverseSql(dim = 64, probeId = 7L, k = 10, lambda = 0.7),
     "q_label_cohesion" -> labelCohesionSql)
 }

@@ -24,8 +24,14 @@ object AnalyzedPlanDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     names.foreach { n =>
-      val s = graft.Bench.normalizedPlan(graft.SparkEntry.queries(n)(spark, sfDir))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/$n.txt"), s)
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/$n.txt"),
+        graft.Bench.normalizedPlan(df))
+      // the literal-masked SHAPE string (digested as plan_shape_hash) —
+      // dumped beside the exact string so a cross-parallelism diff can
+      // show the shape stable while exact literals move
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$out/$n.shape.txt"),
+        graft.Bench.normalizedPlan(df, maskLiterals = true))
     }
     spark.stop()
   }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BatchStore, IvfIndex, Retrieval}
+
+/** CONCURRENT serving: a reader thread querying a persistent index while
+  * a (single) maintenance thread appends and compacts it. The crash
+  * specs in RetrievalSpec / IvfIndexSpec kill BETWEEN operations; these
+  * interleave DURING them and pin the serving contract: every answer a
+  * concurrent reader observes equals the quiesced answer after some
+  * prefix of the maintenance ops — never a torn state (one tree's
+  * batches scored against another's), never silent staleness past the
+  * last op, and transient swap failures are absorbed by
+  * [[BatchStore.servingRead]], not surfaced.
+  *
+  * Mechanism under test (see [[Retrieval.queryIndex]] /
+  * [[IvfIndex.probe]]): commit-record append ordering (postings first,
+  * stats last), committed-batch snapshot pinning via `_SUCCESS`-gated
+  * explicit paths, back-to-back two-tree swaps, and the
+  * adopt-vs-swap mutex in [[BatchStore]].
+  */
+class ServingConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run `op` on a maintenance thread while `read` loops on this thread's
+    * behalf; returns (observations, writer failure). Reader failures
+    * propagate immediately — a serving read that exhausts its retries is
+    * the defect this spec exists to catch.
+    */
+  private def interleave[A](ops: Seq[() => Unit], read: () => A): Seq[A] = {
+    val observed = scala.collection.mutable.ListBuffer.empty[A]
+    @volatile var writerFailure: Option[Throwable] = None
+    @volatile var done = false
+    val writer = new Thread(() => {
+      try ops.foreach(op => op())
+      catch { case t: Throwable => writerFailure = Some(t) }
+      finally done = true
+    })
+    writer.start()
+    while (!done) observed += read()
+    writer.join()
+    writerFailure.foreach(t => throw t)
+    observed += read() // the final, quiesced answer
+    observed.toSeq
+  }
+
+  test("BM25 queryIndex under concurrent append+compact always answers a quiesced state") {
+    val docs = Tables.wide(spark, "/root/testdata/sf0.001", "documents").cache()
+    val terms = Seq("vector", "merge", "window")
+    def slice(i: Int) = docs.filter($"doc_id" % 4 === i)
+    def answer(path: String): Seq[org.apache.spark.sql.Row] =
+      BatchStore.servingRead() {
+        Retrieval.queryIndex(spark, path, terms, k = 10)
+          .orderBy($"rk").collect().toSeq
+      }
+    // ops 1..5 (op 0 = the build, applied before the reader starts)
+    def ops(path: String): Seq[() => Unit] = Seq(
+      () => Retrieval.appendIndex(slice(1), $"doc_id", $"text", path, batchId = 1L),
+      () => Retrieval.appendIndex(slice(2), $"doc_id", $"text", path, batchId = 2L),
+      () => Retrieval.compactIndex(spark, path, upToBatch = 2L),
+      () => Retrieval.appendIndex(slice(3), $"doc_id", $"text", path, batchId = 3L),
+      () => Retrieval.compactIndex(spark, path, upToBatch = 3L))
+    // quiesced reference: the same op sequence, serialized on a shadow
+    // index, answer captured after every op — the allowed-answer set
+    val shadow = java.nio.file.Files.createTempDirectory("bm25shadow").toString
+    Retrieval.buildIndex(slice(0), $"doc_id", $"text", shadow, buckets = 16)
+    val allowed = scala.collection.mutable.LinkedHashSet[Seq[org.apache.spark.sql.Row]](
+      answer(shadow))
+    ops(shadow).foreach { op => op(); allowed += answer(shadow) }
+    // appends must actually move the answer or the test can't distinguish
+    // staleness from progress (compactions are answer-preserving by
+    // contract, so not every op adds a distinct state)
+    assert(allowed.size >= 3, s"op sequence produced only ${allowed.size} distinct answers")
+    // live: same ops on the maintenance thread, reader looping throughout
+    val live = java.nio.file.Files.createTempDirectory("bm25live").toString
+    Retrieval.buildIndex(slice(0), $"doc_id", $"text", live, buckets = 16)
+    val observed = interleave(ops(live), () => answer(live))
+    assert(observed.nonEmpty)
+    observed.zipWithIndex.foreach { case (a, i) =>
+      assert(allowed.contains(a),
+        s"concurrent read $i returned an answer matching NO quiesced index state: " +
+          s"${a.take(3)}...")
+    }
+    // the post-join read sees the final state — no lost updates
+    assert(observed.last == answer(shadow))
+    docs.unpersist()
+  }
+
+  test("IVF probe under concurrent append+compact always answers a quiesced state") {
+    val emb = Tables.wide(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    val probes = emb.filter($"vec_id" < 3).select($"vec_id", $"embedding").cache()
+    probes.count()
+    def slice(i: Int) = emb.filter($"vec_id" % 3 === i)
+    def answer(path: String): Seq[org.apache.spark.sql.Row] =
+      BatchStore.servingRead() {
+        IvfIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+            k = 5, nprobe = 4)
+          .orderBy($"probe_id", $"rk").collect().toSeq
+      }
+    def ops(path: String): Seq[() => Unit] = Seq(
+      () => IvfIndex.append(spark, slice(1), $"vec_id", $"embedding", path, batchId = 1L),
+      () => IvfIndex.compact(spark, path, upToBatch = 1L),
+      () => IvfIndex.append(spark, slice(2), $"vec_id", $"embedding", path, batchId = 2L),
+      () => IvfIndex.compact(spark, path, upToBatch = 2L))
+    val shadow = java.nio.file.Files.createTempDirectory("ivfshadow").toString
+    IvfIndex.build(slice(0), $"vec_id", $"embedding", shadow, nlist = 8, replicas = 1)
+    val allowed = scala.collection.mutable.LinkedHashSet[Seq[org.apache.spark.sql.Row]](
+      answer(shadow))
+    ops(shadow).foreach { op => op(); allowed += answer(shadow) }
+    assert(allowed.size >= 2, s"op sequence produced only ${allowed.size} distinct answers")
+    val live = java.nio.file.Files.createTempDirectory("ivflive").toString
+    IvfIndex.build(slice(0), $"vec_id", $"embedding", live, nlist = 8, replicas = 1)
+    val observed = interleave(ops(live), () => answer(live))
+    assert(observed.nonEmpty)
+    observed.zipWithIndex.foreach { case (a, i) =>
+      assert(allowed.contains(a),
+        s"concurrent probe $i returned an answer matching NO quiesced index state")
+    }
+    assert(observed.last == answer(shadow))
+    probes.unpersist(); emb.unpersist()
+  }
+
+  test("adopt-on-read heals an in-flight crashed swap under reader concurrency") {
+    // crashed-swap state: the ONLY copy of the cells tree is at __next
+    // (the window between compact's delete and rename). N readers hit it
+    // SIMULTANEOUSLY: exactly one adoption must win, every reader must
+    // answer, and the store must end healed — the adopt-vs-adopt rename
+    // race (pre-hardening: the loser's require threw, and an interleaved
+    // clear could delete the freshly-adopted tree).
+    val emb = Tables.wide(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 2).select($"vec_id", $"embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfadopt").toString
+    IvfIndex.build(emb, $"vec_id", $"embedding", path, nlist = 8, replicas = 1)
+    val want = IvfIndex.probe(spark, path, probes, $"vec_id", $"embedding", k = 5)
+      .orderBy($"probe_id", $"rk").collect().toSeq
+    val (fs, cells) = BatchStore.fsPath(spark, s"$path/cells")
+    val next = new org.apache.hadoop.fs.Path(s"$path/cells__next")
+    assert(fs.rename(cells, next), "failed to stage the crashed-swap state")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[org.apache.spark.sql.Row]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val readers = (0 until 6).map { _ =>
+      new Thread(() => {
+        try results.add(BatchStore.servingRead() {
+          IvfIndex.probe(spark, path, probes, $"vec_id", $"embedding", k = 5)
+            .orderBy($"probe_id", $"rk").collect().toSeq
+        })
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    readers.foreach(_.start()); readers.foreach(_.join())
+    assert(failures.isEmpty, s"reader failed during concurrent adoption: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    results.asScala.foreach(r => assert(r == want))
+    assert(fs.exists(cells) && !fs.exists(next), "store did not end healed")
+  }
+}

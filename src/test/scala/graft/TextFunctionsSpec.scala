@@ -182,6 +182,51 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("x1c-x1f residue: CPython strips the separator chars, both engines here keep them (pinned divergence)") {
+    import spark.implicits._
+    // THE documented pyStrip residue, pinned by executed-CPython goldens:
+    // \x1c-\x1f (file/group/record/unit separators) satisfy CPython's
+    // str.isspace() — `[chr(i).isspace() for i in range(0x1c,0x20)]` is
+    // [True]*4 — but are NOT Unicode White_Space, so Java's (?U)\s and
+    // the oracle's PyWsRe2Class both leave them in place. Goldens
+    // executed by CPython 3 (`c.strip()`):
+    //   '\x1cabc\x1d'        -> 'abc'
+    //   '\x1c\x1d\x1e\x1f'   -> ''
+    //   ' \x1c x \x1f '      -> 'x'
+    //   '\x1c \t xyz \x1f\n' -> 'xyz'
+    // This spec asserts the divergence in BOTH directions so a future
+    // JDK/regex change on either side fails HERE (named), not as a hash
+    // mismatch in a distant q_exact_dedup oracle run: (1) pyStrip keeps
+    // the separators (so it does NOT follow CPython on these inputs);
+    // (2) the RE2 class the DuckDB oracles interpolate keeps them too —
+    // the two ENGINES stay agreed even where both diverge from CPython.
+    val inputs = Seq("\u001Cabc\u001D", "\u001C\u001D\u001E\u001F",
+      " \u001C x \u001F ", "\u001C \t xyz \u001F\n")
+    val cpython = Seq("abc", "", "x", "xyz")
+    val oursExpected = Seq("\u001Cabc\u001D", "\u001C\u001D\u001E\u001F",
+      "\u001C x \u001F", "\u001C \t xyz \u001F")
+    val got = inputs.toDF("t")
+      .select(TextFunctions.pyStrip(col("t"))).as[String].collect().toSeq
+    got.zip(oursExpected).zip(cpython).foreach { case ((g, exp), py) =>
+      assert(g == exp,
+        "pyStrip drifted on a \\x1c-\\x1f input — the documented " +
+          "CPython-whitespace residue changed sides; re-audit every " +
+          "Python-strip-parity oracle (q_exact_dedup et al.)")
+      assert(g != py, "pyStrip now strips \\x1c-\\x1f like CPython — the " +
+        "documented residue no longer exists; update TextFunctions docs " +
+        "AND PyWsRe2Class together or the oracles diverge")
+    }
+    // char-level pin on both sides of the oracle equivalence
+    val cls = java.util.regex.Pattern.compile(TextFunctions.PyWsRe2Class)
+    val uws = java.util.regex.Pattern.compile("(?U)\\s")
+    (0x1c to 0x1f).map(_.toChar.toString).foreach { ch =>
+      assert(!uws.matcher(ch).matches(),
+        f"JDK (?U)\\s now matches U+${ch.codePointAt(0)}%04X — pyStrip no longer keeps \\x1c-\\x1f")
+      assert(!cls.matcher(ch).matches(),
+        f"PyWsRe2Class now matches U+${ch.codePointAt(0)}%04X — oracle strip class drifted")
+    }
+  }
+
   test("nfcNormalize composes combining sequences, is idempotent, preserves NFC input") {
     import spark.implicits._
     val decomposed = "cafe\u0301"            // e + COMBINING ACUTE
