@@ -257,7 +257,17 @@ object Dedup {
     }
     val a = banded.select(col("__id").as("id_a"), col("__n").as("__na"), col("__band"))
     val b = banded.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__band"))
-    val cand = a.join(b, Seq("__band"))
+    // `merge` hint on every corpus-scale SELF-join in this file: both
+    // sides are by construction the same corpus-sized frame, so a
+    // broadcast build can never win — yet a stats misestimate (measured:
+    // a range-generator corpus weighs 8 bytes/row to the planner, and
+    // localCheckpoint's LogicalRDD inherits the estimate) made the
+    // planner attempt an 8.3 GiB broadcast of the exploded side at
+    // n=500k. At 100 TB that is a guaranteed job abort on estimate
+    // drift; the hint pins the shuffled join the operator is designed
+    // around (one exchange, reused by both sides) with zero answer
+    // change.
+    val cand = a.hint("merge").join(b, Seq("__band"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__na"), col("__nb")).distinct()
     // count-based verification: recover c = |A∩B| by re-joining the
@@ -371,7 +381,8 @@ object Dedup {
     }
     val a = ex.select(col("__id").as("id_a"), col("__n").as("__na"), col("__s"))
     val b = ex.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__s"))
-    a.join(b, Seq("__s"))
+    // corpus-scale self-join: merge-hinted (see the band-join note)
+    a.hint("merge").join(b, Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .agg(count(lit(1)).as("__c"))
@@ -503,7 +514,8 @@ object Dedup {
     val pb = prefix.select(col("__id").as("id_b"), col("__n").as("__nb"),
       col("__pos").as("__pb"), col("__s"))
     val t = lit(t0)
-    pa.join(pb, Seq("__s"))
+    // corpus-scale self-join: merge-hinted (see the band-join note)
+    pa.hint("merge").join(pb, Seq("__s"))
       .filter(col("id_a") < col("id_b"))
       // length filter: size-imbalanced pairs cannot reach t
       .filter(col("__nb").cast("double") >= t * col("__na") - lit(eps) &&
@@ -565,17 +577,66 @@ object Dedup {
       maxIterations: Int = 20): DataFrame =
     connectedComponentsWithRounds(pairs, src, dst, maxIterations)._1
 
+  /** Partition-local union-find contraction — the zero-shuffle pre-pass
+    * in front of the global large-star/small-star fixpoint. Each task
+    * unions the edges it already holds and emits one spanning STAR per
+    * local component (node → local minimum), so k locally-connected
+    * edges collapse to (distinct local nodes − 1) before the first
+    * global round ever shuffles. Contracting edges never changes
+    * connectivity (the union of per-partition spanning stars connects
+    * exactly what the originals did), and the fixpoint's output is the
+    * CANONICAL node → min(component) labeling — so the result is
+    * bit-identical with or without the pre-pass (spec-pinned, and the
+    * q_dedup_clusters oracle replays the closure independently).
+    * Pair generators feed edges still partitioned by their candidate
+    * keys (shared shingles / bands / cells), which co-locates much of
+    * each cluster's edge fan — exactly the mass worth collapsing early;
+    * path-compressed union-find keeps the local pass O(α·edges) with
+    * state bounded by the partition's distinct nodes.
+    */
+  private def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").as[Long], col("b").as[Long]).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN root — the root IS the local component minimum,
+        // so emission needs no second sweep
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      // snapshot the keys before the emission sweep: find()'s path
+      // compression may insert a previously value-only root, and LongMap
+      // mutation during keysIterator is undefined
+      val nodes = parent.keysIterator.toArray
+      nodes.iterator.map(n => (n, find(n))).filter { case (n, r) => n != r }
+    }.toDF("a", "b")
+  }
+
   /** [[connectedComponents]] plus the number of alternating rounds it
     * took — the observable the convergence-rate spec pins.
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, src: Column, dst: Column,
       maxIterations: Int = 20): (DataFrame, Int) = {
-    // canonical larger→smaller edge list; self-pairs carry no information
+    // canonical larger→smaller edge list (via the local contraction
+    // pre-pass, which preserves canonicity: star edges point node → a
+    // strictly smaller local min); self-pairs carry no information
     var e = Checkpoints.materialize(
-      pairs.select(greatest(src.cast("long"), dst.cast("long")).as("a"),
-          least(src.cast("long"), dst.cast("long")).as("b"))
-        .filter(col("a") =!= col("b"))
+      localContract(
+        pairs.select(greatest(src.cast("long"), dst.cast("long")).as("a"),
+            least(src.cast("long"), dst.cast("long")).as("b"))
+          .filter(col("a") =!= col("b")))
         .distinct())
     var eCount = e.count()
     var it = 0
@@ -749,7 +810,8 @@ object Dedup {
     // n(n-1)/2 pairs — quadratic because the answer is).
     val fa = fps.select(col("__id").as("id_a"), col("__fp"))
     val fb = fps.select(col("__id").as("id_b"), col("__fp"))
-    val exactPairs = fa.join(fb, Seq("__fp"))
+    // corpus-scale self-join: merge-hinted (see the band-join note)
+    val exactPairs = fa.hint("merge").join(fb, Seq("__fp"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     val step = 64 / rotations

@@ -355,7 +355,10 @@ object Embeddings {
     }
     val ra = repsKept.select(col("__rep").as("__ra"), col("__band"), col("__key"))
     val rb = repsKept.select(col("__rep").as("__rb"), col("__band"), col("__key"))
-    val repPairs = ra.join(rb, Seq("__band", "__key"))
+    // corpus-scale self-join: merge-hinted (the [[Dedup]] band-join rule
+    // — equal sides, broadcast can never win, stats misestimates must
+    // not pick one)
+    val repPairs = ra.hint("merge").join(rb, Seq("__band", "__key"))
       .filter(col("__ra") < col("__rb"))
       .select(col("__ra"), col("__rb"))
       .distinct()

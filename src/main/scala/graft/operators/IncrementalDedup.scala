@@ -132,8 +132,14 @@ object IncrementalDedup {
       .select(col("doc_id"), col("sig"), col("bands"), col("rep_id"))
 
     val nEx = banded.select(col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
-    // batch×batch candidate edges, verified on estimated Jaccard
-    val nnEdges = nEx.as("x").join(nEx.as("y"),
+    // batch×batch candidate edges, verified on estimated Jaccard. The
+    // self-join is merge-hinted (the [[Dedup]] corpus-scale self-join
+    // rule): both sides are the same batch-sized frame, so a broadcast
+    // build can never win — and a stats misestimate (range-generator
+    // frames weigh 8 bytes/row to the planner, inherited through
+    // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
+    // attempt of the exploded side at 500 k docs.
+    val nnEdges = nEx.as("x").hint("merge").join(nEx.as("y"),
         col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.sig").as("__sa"),
         col("y.doc_id").as("b"), col("y.sig").as("__sb"))

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.LocationDictSource
+
+/** The streaming-capstone SCALE LADDER: [[StreamingCapstone]]'s 97.6
+  * docs/s was one point (sf0.1 = 5 k docs, 24 batches); this drives
+  * 100 k+ synthetic docs through the same per-batch pipeline and records
+  * the two curves the "in-stream compaction bounds small-files decay"
+  * claim needs: docs/s per batch-window and store file counts over
+  * time, with `compactEvery` ACTIVE versus OFF on the same corpus.
+  *
+  * Corpus: [[IncrementalDedupBench.corpus]] (40-token hash-derived docs,
+  * every 7th a planted adjacent near-dup) with a constant lang column —
+  * the dedup stores do real suppression work. Store set: the text-side
+  * stores (curated sink, LSH signature store, segment store, BM25
+  * index) — the stores whose per-batch READ cost decays with file
+  * count; the media/vector stages are per-batch-local decode/encode
+  * work orthogonal to layout decay, measured in the sf0.1 capstone run.
+  *
+  * Output: one line per sample window — batch id, docs so far,
+  * windowed docs/s, and per-store file counts — then a summary line per
+  * configuration. Results → SURVEY §16.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.CapstoneScaleBench"
+  * (optional args: nDocs, batches, compactEverys csv, sampleEvery).
+  */
+object CapstoneScaleBench {
+
+  /** Recursive data-file count under a store root (0 if absent) —
+    * excludes _SUCCESS/_temporary bookkeeping so the curve counts what a
+    * reader actually opens.
+    */
+  private def fileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(100000L)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(50)
+    val compactEverys = args.lift(2).getOrElse("8,0")
+      .split(",").map(_.trim.toInt).toSeq
+    val sampleEvery = args.lift(3).map(_.toInt).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("capladder").toString
+
+    // stage the synthetic corpus as JSONL slices once; each slice is one
+    // micro-batch (maxFilesPerTrigger = 1)
+    val landing = s"$work/landing"
+    IncrementalDedupBench.corpus(spark, nDocs)
+      .withColumn("lang", lit("en"))
+      .repartition(nBatches)
+      .write.mode("overwrite").json(landing)
+    val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
+
+    compactEverys.foreach { compactEvery =>
+      val root = s"$work/ce_$compactEvery"
+      val stores = StreamingCapstone.Stores(
+        s"$root/curated", s"$root/lsh_store", s"$root/seg_store",
+        s"$root/seg_out", bm25Store = s"$root/bm25_index")
+      val watched = Seq(
+        "lsh" -> stores.lshStore, "seg" -> stores.segStore,
+        "bm25" -> stores.bm25Store, "curated" -> stores.curatedDir)
+      val samples = scala.collection.mutable.ListBuffer.empty[String]
+      var windowDocs = 0L
+      var windowStart = System.nanoTime()
+      val t0 = System.nanoTime()
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string").add("lang", "string")
+      val q = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            windowDocs += StreamingCapstone.processBatch(
+              spark, batch, stores, batchId, dict, compactEvery = compactEvery)
+            if (batchId % sampleEvery == sampleEvery - 1) {
+              val secs = (System.nanoTime() - windowStart) / 1e9
+              val counts = watched
+                .map { case (k, p) => s""""$k":${fileCount(spark, p)}""" }
+                .mkString(",")
+              samples += s"""{"compact_every":$compactEvery,"batch":$batchId,""" +
+                s""""window_docs_per_sec":${math.round(windowDocs / secs)},$counts}"""
+              windowDocs = 0L
+              windowStart = System.nanoTime()
+            }
+          }
+        }
+        .start()
+      q.awaitTermination()
+      val wallS = (System.nanoTime() - t0) / 1e9
+      samples.foreach(println)
+      val finalCounts = watched
+        .map { case (k, p) => s""""$k":${fileCount(spark, p)}""" }.mkString(",")
+      println(f"""{"compact_every":$compactEvery,"docs":$nDocs,"batches":$nBatches,"wall_s":$wallS%.1f,"docs_per_sec":${nDocs / wallS}%.1f,"final_files":{$finalCounts}}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,186 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{BatchStore, Checkpoints, Curation, Dedup, IncrementalDedup}
+
+/** The round-10/12 "attack near-dup+CC" measurement: the COMPOSED curation
+  * chain (normalize → exact dedup → near-dup suppression → benchmark
+  * decontamination → quality gate) in BATCHED-ARRIVAL form, near-dup
+  * served by the persistent [[IncrementalDedup]] LSH store — versus the
+  * one-shot composed run over the same corpus with the SAME detector
+  * (one `lshDedupBatch` over everything: identical signatures, banding,
+  * estimator, closure — the [[IncrementalDedupBench]] naive-arm
+  * discipline, so the delta is architecture, not detector).
+  *
+  * `tools/CurationScaleBench` showed near-dup+CC at ~75 % of the one-shot
+  * wall at 2 M docs; this tool shows what the incremental store does to
+  * that share under arrival: per-batch near-dup cost tracks the BATCH
+  * (signatures for new docs only, candidates against store buckets),
+  * so the marginal batch is ~flat while the one-shot arm re-pays the
+  * whole corpus every run.
+  *
+  * Corpus: the [[IncrementalDedupBench.corpus]] generator (40-token
+  * hash-derived docs, every 7th a planted ADJACENT near-dup at J ≈
+  * 0.767) — adjacent-only pairs mean no bridge docs, so the incremental
+  * monotonicity contract has nothing to diverge on and the two arms'
+  * FINAL SURVIVOR SETS must agree exactly; the tool asserts count and
+  * id-checksum equality. Bench slice = doc_id % 23 (static and known
+  * up front in both arms — benchmark suites are fixed artifacts, not
+  * arrivals).
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.IncrementalCurationBench"
+  * (optional args: docCounts csv, batches). Results → SURVEY §16.
+  */
+object IncrementalCurationBench {
+
+  private def rmrf(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  /** (count, order-independent id checksum) — the survivor-set equality
+    * observable.
+    */
+  private def idChecksum(df: DataFrame, id: Column): (Long, Long) = {
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(id))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Decontamination + quality gate over a survivor frame — shared tail
+    * of both arms (per batch in the incremental arm, once in the
+    * one-shot arm; pure per-row work plus one broadcast, so splitting it
+    * by batch changes nothing).
+    */
+  private def curateTail(surv: DataFrame, bench: DataFrame): DataFrame = {
+    val contaminated = Curation.contaminationMarks(
+        surv, col("doc_id"), col("text"), bench, col("r"), n = 5)
+      .filter(col("contaminated"))
+      .select(col("id").as("doc_id"))
+    val nt = TextFunctions.tokenCount(col("text")).cast("long")
+    surv.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), nt.as("n_tokens"),
+        TextFunctions.punctCount(col("text")).cast("long").as("__np"))
+      .filter(col("n_tokens") >= 20 && col("__np") <= col("n_tokens"))
+      .select(col("doc_id"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val counts = args.headOption.getOrElse("250000,500000,1000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val work = java.nio.file.Files.createTempDirectory("inccur").toString
+
+    counts.foreach { n =>
+      // land the normalized corpus in parquet and read it back: the
+      // spark.range generator estimates 8 bytes/row, so a 500 k-doc
+      // corpus "weighs" 4 MB to the planner — under the broadcast
+      // threshold — and localCheckpoint's LogicalRDD inherits that
+      // estimate, so the LSH band self-join planned as a broadcast of
+      // the exploded corpus side (8.3 GiB actual, over the hard cap).
+      // File-based stats restore the shuffled join every real corpus
+      // (parquet/JSON sourced) gets; arrival simulation unaffected.
+      val normedPath = s"$work/normed_$n"
+      IncrementalDedupBench.corpus(spark, n)
+        .select(col("doc_id"),
+          TextFunctions.redactPii(TextFunctions.nfcNormalize(col("text"))).as("r"))
+        .write.mode("overwrite").parquet(normedPath)
+      val normed = spark.read.parquet(normedPath)
+      val bench = normed.filter(col("doc_id") % 23 === 0)
+      val corpus = normed.filter(col("doc_id") % 23 =!= 0)
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      // ---- one-shot arm: the whole corpus as batch 0 of a throwaway store
+      val os = s"$work/oneshot_$n"; rmrf(spark, os)
+      val (osOut, osWall) = timed {
+        // materialize the stage seams (the CurationScaleBench
+        // discipline): estimated sizes on aggregate/filter outputs led
+        // the static planner to pick a corpus-sized broadcast at n=500k
+        // (8.3 GiB — over the hard broadcast cap); real stats plan the
+        // shuffled join the operator docs promise
+        val exDeduped = Checkpoints.materializeFrame(
+          Dedup.exact(corpus, lower(TextFunctions.pyStrip(col("r"))),
+            col("doc_id"), payload = Seq("doc_id", "r")))
+        val surv = IncrementalDedup.lshDedupBatch(
+            spark, exDeduped, col("doc_id"), col("r"), os, batchId = 0L)
+          .filter(col("survivor"))
+        val out = idChecksum(curateTail(surv, bench), col("doc_id"))
+        Checkpoints.freeFrame(exDeduped)
+        out
+      }
+
+      // ---- incremental arm: nBatches arrivals against one persistent
+      // store; exact dedup per batch = in-batch collapse + anti-join
+      // against the HISTORY key store (earlier arrival wins — ids grow
+      // with arrival, so min-per-key over the union is the earliest doc,
+      // exactly the one-shot rule)
+      val inc = s"$work/inc_$n"; rmrf(spark, inc)
+      val keyStore = s"$inc/keys"; val lshStore = s"$inc/lsh"
+      val per = n / nBatches
+      var incTotal = 0.0
+      var lastBatch = 0.0
+      var stageEx = 0.0; var stageNd = 0.0; var stageTail = 0.0
+      var incCount = 0L; var incXor = 0L
+      (0 until nBatches).foreach { b =>
+        val lo = b * per
+        val hi = if (b == nBatches - 1) n else (b + 1) * per
+        val batch = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        val (_, wall) = timed {
+          val (exDeduped, tEx) = timed {
+            val keyed = Dedup.exact(
+              batch.withColumn("__key", lower(TextFunctions.pyStrip(col("r")))),
+              col("__key"), col("doc_id"), payload = Seq("doc_id", "r", "__key"))
+            val prior = BatchStore.readPrior(spark, keyStore, b,
+              org.apache.spark.sql.types.StructType.fromDDL("__key STRING"))
+            val fresh = Checkpoints.materializeFrame(
+              keyed.join(prior.select(col("__key")), Seq("__key"), "left_anti"))
+            fresh.select(col("__key"))
+              .write.mode("overwrite").parquet(s"$keyStore/batch=$b")
+            fresh
+          }
+          stageEx += tEx
+          val (surv, tNd) = timed {
+            IncrementalDedup.lshDedupBatch(spark, exDeduped,
+                col("doc_id"), col("r"), lshStore, batchId = b)
+              .filter(col("survivor"))
+          }
+          stageNd += tNd
+          val (_, tTail) = timed {
+            val (c, x) = idChecksum(curateTail(surv, bench), col("doc_id"))
+            incCount += c; incXor ^= x
+          }
+          stageTail += tTail
+          Checkpoints.freeFrame(exDeduped)
+        }
+        incTotal += wall
+        lastBatch = wall
+      }
+
+      val equal = osOut == ((incCount, incXor))
+      println(f"n=$n%9d batches=$nBatches oneshot=${osWall}%7.1fs " +
+        f"(${n / osWall}%8.0f docs/s) incr_total=${incTotal}%7.1fs " +
+        f"(${n / incTotal}%8.0f docs/s) incr_last_batch=${lastBatch}%6.1fs " +
+        f"(${per / lastBatch}%8.0f docs/s marginal)")
+      println(f"   incr stage totals: exact=${stageEx}%6.1fs " +
+        f"neardup=${stageNd}%6.1fs decontam+quality=${stageTail}%6.1fs " +
+        f"survivors_equal=$equal (oneshot=${osOut._1}, incremental=$incCount)")
+      require(equal, "incremental survivor set diverged from one-shot — " +
+        "bridge-free corpus must agree exactly")
+      rmrf(spark, os); rmrf(spark, inc); rmrf(spark, normedPath)
+    }
+    spark.stop()
+  }
+}

@@ -380,7 +380,12 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents raises loudly when a component's diameter exceeds the cap") {
     import spark.implicits._
-    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // hash-scatter the chain's edges: the local-contraction pre-pass
+    // collapses co-located runs, so a sequentially-sliced chain would
+    // contract to a near-star and converge under any cap — scattering
+    // keeps the post-contraction diameter real so the cap still binds
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(16, $"id_a")
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 1).collect()
     }
@@ -389,6 +394,41 @@ class DedupSpec extends SparkSpec {
     val ok = Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 40)
       .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq === Seq(1L))
+  }
+
+  test("local-contraction pre-pass preserves the exact canonical labeling across layouts") {
+    import spark.implicits._
+    // adversarial mix: two chains (one straddling any partition cut), a
+    // 40-node star, triangles, a bridge merging two dense blobs, random
+    // extra edges, duplicate + reversed-duplicate edges, self-loops —
+    // compared against a driver-side union-find ground truth under three
+    // partition layouts (all-in-one, few, many): the contraction's
+    // output must be BIT-identical to the canonical node → min(component)
+    // labeling regardless of which edges co-locate
+    val rnd = new scala.util.Random(7)
+    val blobA = (101L to 120L).flatMap(i => (i + 1 to 120L).filter(_ => rnd.nextBoolean()).map((i, _)))
+    val blobB = (201L to 220L).flatMap(i => (i + 1 to 220L).filter(_ => rnd.nextBoolean()).map((i, _)))
+    val edges: Seq[(Long, Long)] =
+      (1L to 30L).map(i => (i, i + 1)) ++            // chain
+      (301L to 340L).map(i => (300L, i)) ++           // star
+      Seq((400L, 401L), (401L, 402L), (400L, 402L)) ++ // triangle
+      blobA ++ blobB ++ Seq((115L, 210L)) ++          // bridge
+      Seq((2L, 1L), (1L, 2L), (5L, 5L), (300L, 300L)) // dups/reversed/self
+    // ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val df = edges.toDF("id_a", "id_b").repartition(parts)
+      val got = Dedup.connectedComponents(df, $"id_a", $"id_b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"labeling diverged at $parts partitions")
+    }
   }
 
   // ------------------------------------------- prefix-filtered Jaccard join
