@@ -72,6 +72,26 @@ class PlanSpec extends SparkSpec {
     assert(scanFilters.forall(!_.contains("arrays_zip")))
   }
 
+  test("corpus self-joins stay shuffled even when the planner estimates the side tiny") {
+    // The merge hint on every dedup-family SELF-join exists because a
+    // stats misestimate (8-bytes/row range frames, inherited through
+    // localCheckpoint) once planned an 8.3 GiB broadcast of the exploded
+    // corpus side. sf0.001 is exactly the regime where the planner WOULD
+    // broadcast everything — so the hinted join surviving as a
+    // SortMergeJoin here proves the hint binds; if a refactor drops it,
+    // AQE re-broadcasts on this tiny input and this test goes loud.
+    for ((name, df) <- Seq(
+        "minhash" -> DedupQueries.minHashPairs(spark, sf),
+        "inverted-shingle" -> DedupQueries.nearDupPairs(spark, sf),
+        "jaccard-prefix" -> DedupQueries.jaccardPrefixPairs(spark, sf),
+        "simhash" -> DedupQueries.simHashPairs(spark, sf),
+        "cosine" -> graft.queries.EmbeddingQueries.cosineDedup(spark, sf))) {
+      val finalPlan = finalExecutedPlan(df)
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"$name: hinted self-join collapsed to broadcast:\n$finalPlan")
+    }
+  }
+
   test("partial-ratio locator broadcasts the dictionary and evaluates the sweep once") {
     val df = TextQueries.fuzzyPartialRatio(spark, sf)
     df.collect()
