@@ -107,12 +107,15 @@ object Bench {
     * deterministic checksum loop; returns wall seconds until all finish.
     * The per-thread work is constant, so on an idle machine with >=
     * `availableProcessors` free cores the wall time is a hardware
-    * constant; external CPU load inflates it proportionally. The checksum
-    * is folded into a volatile sink so the JIT cannot dead-code the loop.
+    * constant; external CPU load inflates it proportionally. Each thread
+    * accumulates locally and the fold happens after join() (single
+    * writer — no read-modify-write race); the volatile sink exists only
+    * as an optimization barrier so the JIT cannot dead-code the loops.
     */
   @volatile private var canarySink = 0L
   def canarySeconds(): Double = {
     val threads = Runtime.getRuntime.availableProcessors()
+    val accs = new Array[Long](threads)
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { id =>
       val t = new Thread(() => {
@@ -122,11 +125,12 @@ object Bench {
           acc = java.lang.Long.rotateLeft(acc ^ i, 13) * 0x100000001B3L
           i += 1
         }
-        canarySink ^= acc
+        accs(id) = acc
       })
       t.setDaemon(true); t.start(); t
     }
     ts.foreach(_.join())
+    canarySink = accs.foldLeft(canarySink)(_ ^ _)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -136,6 +140,36 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split("\\s+").take(3).mkString(" ")
     catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** First loadavg field as a double, or -1 when unavailable — the
+    * per-query load stamp (see the `load_1m` row field).
+    */
+  def load1m(): Double =
+    loadavg().split("\\s+").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(-1.0)
+
+  /** Suite-level load factor above which the record is considered
+    * load-contaminated: the run self-heals by re-running the whole suite
+    * once (the retry usually lands after the external load subsides) and
+    * keeps the cleaner pass; if BOTH passes are dirty the record is
+    * marked `advisory: true` so cross-round comparisons know not to read
+    * its times as regressions.
+    */
+  val LoadRetryThreshold = 1.3
+
+  /** One query's measurements within a suite pass. */
+  private final case class QueryRow(
+      cold: Option[(Double, Long, Long)],
+      steady: Option[(Double, Long, Long)],
+      planHash: String, shapeHash: String, load1m: Double)
+
+  /** One full suite pass, bracketed by the load canary. */
+  private final case class SuitePass(
+      rows: Seq[(String, QueryRow)], errors: Seq[String],
+      canaryBefore: Double, canaryAfter: Double,
+      loadavgBefore: String, loadavgAfter: String, startedAt: String) {
+    def loadFactor: Double = math.max(canaryBefore, canaryAfter) / CanaryRefSec
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -161,6 +195,30 @@ object Bench {
         .withColumn("rn", row_number().over(w))
         .groupBy(col("r_name")).agg(sum(col("rn"))).collect()
     } catch { case scala.util.control.NonFatal(_) => () }
+    // Self-healing record: run the suite; if its canary window was
+    // load-contaminated (load_factor > LoadRetryThreshold), run the whole
+    // suite once more and keep the cleaner pass. Three rounds (r9–r11)
+    // produced official records whose drift was adjudicated after the
+    // fact as machine load; r12's canary made the record self-AWARE
+    // (load_factor 1.81, honestly flagged) but it was still the record of
+    // record — the retry makes it self-HEALING, and `advisory` marks the
+    // residual case where both windows were dirty.
+    val pass1 = runSuite(spark, sfDir)
+    val passes =
+      if (pass1.loadFactor > LoadRetryThreshold) {
+        System.err.println(
+          f"[bench] suite load_factor ${pass1.loadFactor}%.2f > " +
+            f"$LoadRetryThreshold — load-contaminated window, re-running suite once")
+        Seq(pass1, runSuite(spark, sfDir))
+      } else Seq(pass1)
+    val best = passes.minBy(_.loadFactor)
+    val advisory = best.loadFactor > LoadRetryThreshold
+    val discarded = passes.filterNot(_ eq best)
+    emit(best, advisory, passes.size, discarded.map(_.loadFactor), sfDir)
+    spark.stop()
+  }
+
+  private def runSuite(spark: SparkSession, sfDir: String): SuitePass = {
     // Two passes per query, deterministic name order. The FIRST (cold) run
     // includes codegen/janino compile and JIT warm-up — and in a sequential
     // session it also depends on which earlier query already compiled
@@ -194,6 +252,12 @@ object Bench {
     val loadavgBefore = loadavg()
     val canaryBefore = math.min(canarySeconds(), canarySeconds())
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // per-query load stamp: 1-min loadavg at this query's start. The
+      // suite-level canary certifies (or disclaims) the WHOLE window;
+      // the stamp makes partial contamination per-query attributable —
+      // r12's record had an unflagged 14.8 s query on an unchanged plan
+      // that only the suite-level factor could hint at.
+      val qLoad = load1m()
       // the cold run's frame, kept for the plan fingerprint below —
       // constructing a FRESH frame for hashing would re-run every eager
       // builder (CC fixpoints, Checkpoints.materialize, sampled-constant
@@ -260,35 +324,43 @@ object Bench {
       // still a failing query — surface it instead of reporting the cold
       // time as a healthy steady-state
       if (cold.isEmpty || steady.isEmpty) errors += name
-      name -> ((cold, steady, planHash, shapeHash))
+      name -> QueryRow(cold, steady, planHash, shapeHash, qLoad)
     }
     val canaryAfter = math.min(canarySeconds(), canarySeconds())
     val loadavgAfter = loadavg()
-    val loadFactor = math.max(canaryBefore, canaryAfter) / CanaryRefSec
-    val qs = results.map { case (k, (cold, steady, planHash, shapeHash)) =>
-      val t = steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
-      val c = cold.fold(-1.0)(_._1)
-      val r = cold.fold(0L)(_._2)
-      val g = steady.fold(-1L)(_._3)
+    SuitePass(results, errors.toSeq, canaryBefore, canaryAfter,
+      loadavgBefore, loadavgAfter, benchStart)
+  }
+
+  private def emit(
+      pass: SuitePass, advisory: Boolean, attempts: Int,
+      discardedLoadFactors: Seq[Double], sfDir: String): Unit = {
+    val qs = pass.rows.map { case (k, row) =>
+      val t = row.steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
+      val c = row.cold.fold(-1.0)(_._1)
+      val r = row.cold.fold(0L)(_._2)
+      val g = row.steady.fold(-1L)(_._3)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
-        ",\"gc_ms\":" + g + ",\"plan_hash\":\"" + planHash +
-        "\",\"plan_shape_hash\":\"" + shapeHash + "\"}"
+        ",\"gc_ms\":" + g + ",\"load_1m\":" + f"${row.load1m}%.2f" +
+        ",\"plan_hash\":\"" + row.planHash +
+        "\",\"plan_shape_hash\":\"" + row.shapeHash + "\"}"
     }.mkString("{", ",", "}")
-    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val contended = results.collect {
-      case (k, (Some(c), Some(s), _, _)) if s._1 > c._1 => k
+    val errJson = pass.errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val contended = pass.rows.collect {
+      case (k, QueryRow(Some(c), Some(s), _, _, _)) if s._1 > c._1 => k
     }
     val contJson = contended.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2._1.map(_._1)).sum
-    val steadyTotal = results.flatMap(_._2._2.map(_._1)).sum
+    val total = pass.rows.flatMap(_._2.cold.map(_._1)).sum
+    val steadyTotal = pass.rows.flatMap(_._2.steady.map(_._1)).sum
     val loadJson = "{\"canary_ref_sec\":" + CanaryRefSec +
-      ",\"canary_before_sec\":" + f"$canaryBefore%.3f" +
-      ",\"canary_after_sec\":" + f"$canaryAfter%.3f" +
-      ",\"load_factor\":" + f"$loadFactor%.2f" +
+      ",\"canary_before_sec\":" + f"${pass.canaryBefore}%.3f" +
+      ",\"canary_after_sec\":" + f"${pass.canaryAfter}%.3f" +
+      ",\"load_factor\":" + f"${pass.loadFactor}%.2f" +
       ",\"canary_threads\":" + Runtime.getRuntime.availableProcessors() +
-      ",\"loadavg_before\":\"" + loadavgBefore +
-      "\",\"loadavg_after\":\"" + loadavgAfter + "\"}"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"$benchStart","load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window, >1.3 means times in this record are load-inflated; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants)"}"""
+      ",\"loadavg_before\":\"" + pass.loadavgBefore +
+      "\",\"loadavg_after\":\"" + pass.loadavgAfter + "\"}"
+    val discJson = discardedLoadFactors.map(f => f"$f%.2f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants)"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.
@@ -298,6 +370,5 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     println(line)
-    spark.stop()
   }
 }

@@ -75,17 +75,51 @@ private[graft] object BatchStore {
   /** Self-heal a crashed [[compact]] swap: a crash between the old
     * tree's delete and the rename leaves the ONLY copy at `__next` —
     * adopt it before any read or write touches the store.
+    *
+    * NON-DESTRUCTIVE by construction: the heal never `delete`s a path
+    * that could hold data. The observed-empty live dir is renamed ASIDE
+    * (renames move content atomically with the dir), re-verified empty,
+    * and only then discarded — so a completeSwap in a DIFFERENT JVM that
+    * lands `__next` into the live path between our emptiness check and
+    * the clear can no longer be destroyed by the stale clear (the old
+    * delete+rename interleave lost both copies: reader sees live empty,
+    * cross-JVM swap renames `__next` in, reader's delete removes the
+    * freshly-swapped tree). If the re-verify finds the aside tree
+    * non-empty we raced exactly that swap: restore it and return — the
+    * swap already produced the state we wanted. The JVM-local swapLock
+    * still serializes same-JVM transitions; this makes the cross-JVM
+    * interleave merely racy, never lossy. A crash mid-heal strands at
+    * worst an EMPTY `__aside` dir (harmless; cleared on the next heal).
     */
   def adoptNext(fs: FileSystem, p: Path): Unit = swapLock.synchronized {
     val next = new Path(p.toString + "__next")
     val live = fs.exists(p) && fs.listStatus(p).nonEmpty
     if (!live && fs.exists(next)) {
+      if (fs.exists(p)) {
+        val aside = new Path(p.toString + "__aside")
+        // a stray aside from a crashed heal is empty by construction —
+        // verify before clearing it all the same
+        if (fs.exists(aside)) {
+          require(fs.listStatus(aside).isEmpty,
+            s"BatchStore: non-empty $aside — a heal moved data aside and " +
+              "crashed before restoring; restore or inspect it manually")
+          fs.delete(aside, true)
+        }
+        require(fs.rename(p, aside),
+          s"BatchStore: failed to move empty $p aside before adopting $next")
+        if (fs.listStatus(aside).nonEmpty) {
+          // raced a cross-JVM completeSwap: the tree we moved aside is the
+          // freshly-swapped LIVE store — put it back, adoption already done
+          require(fs.rename(aside, p),
+            s"BatchStore: failed to restore raced live tree $aside to $p")
+          return
+        }
+        fs.delete(aside, true) // verified empty — safe to discard
+      }
       // a failed adoption must surface, not fall through to an
       // empty-store read that silently forgets the whole history — but a
       // rename that LOST to another party having completed the same
       // adoption (live tree present, __next consumed) is success
-      require(fs.delete(p, true) || !fs.exists(p),
-        s"BatchStore: failed to clear empty $p before adopting $next")
       if (!fs.rename(next, p)) {
         require(fs.exists(p) && fs.listStatus(p).nonEmpty && !fs.exists(next),
           s"BatchStore: failed to adopt $next as $p")
@@ -108,6 +142,42 @@ private[graft] object BatchStore {
       fs.exists(new Path(bp, "_SUCCESS"))
     }
 
+  /** A maintenance swap completing mid-read can surface in exactly two
+    * shapes: the pinned path is gone at PLAN time (AnalysisException
+    * PATH_NOT_FOUND) or a file vanishes at EXECUTION time
+    * (FileNotFoundException, usually wrapped in a SparkException whose
+    * task-failure message embeds the cause class name rather than the
+    * cause object). Everything else — empty-store `require`, genuine
+    * query bugs, OOM-adjacent failures — is deterministic and retrying
+    * it only burns the full backoff schedule before surfacing an error
+    * that could never succeed.
+    */
+  private[graft] def isVanishedPathFailure(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getMessage != null &&
+              (a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("Path does not exist")) => return true
+        case _ =>
+      }
+      val m = t.getMessage
+      if (m != null && (m.contains("FileNotFoundException") ||
+          m.contains("PATH_NOT_FOUND") ||
+          // Spark 4's execution-time shape when a pinned file vanishes
+          // mid-scan ("FAILED_READ_FILE.FILE_NOT_EXIST ... File does not
+          // exist. It is possible the underlying files have been updated.")
+          m.contains("FILE_NOT_EXIST") ||
+          m.contains("does not exist"))) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
+  }
+
   /** Bounded-retry OPTIMISTIC serving read. A serving query pins a
     * committed-batch snapshot, plans against those explicit paths, and
     * executes; a maintenance swap completing mid-read invalidates the
@@ -115,16 +185,19 @@ private[graft] object BatchStore {
     * plan time, vanished file at execution time). The snapshot-pin makes
     * torn reads IMPOSSIBLE — a race can only fail loudly, never return a
     * state no quiesced index has — so the correct serving response is to
-    * re-pin against the healed tree and re-execute. Linear backoff;
-    * rethrows the last failure once `attempts` is exhausted (a
-    * persistent failure is a real outage, not a race).
+    * re-pin against the healed tree and re-execute. Only the two failure
+    * classes the pin can actually produce ([[isVanishedPathFailure]])
+    * are retried; anything else is deterministic and rethrown
+    * immediately. Linear backoff; rethrows the last failure once
+    * `attempts` is exhausted (a persistent failure is a real outage,
+    * not a race).
     */
   def servingRead[T](attempts: Int = 10, backoffMs: Long = 100)(body: => T): T = {
     var i = 0
     while (true) {
       try return body
       catch {
-        case scala.util.control.NonFatal(e) =>
+        case scala.util.control.NonFatal(e) if isVanishedPathFailure(e) =>
           i += 1
           if (i >= attempts) throw e
           Thread.sleep(backoffMs * i)

@@ -369,7 +369,10 @@ object Embeddings {
     val cross = repPairs.join(memA, Seq("__ra")).join(memB, Seq("__rb"))
       .select(least(col("__xa"), col("__xb")).as("id_a"),
         greatest(col("__xa"), col("__xb")).as("id_b"))
-    val intra = memA.join(memB,
+    // equal-sided corpus self-join (members × members): merge-hinted like
+    // repPairs — a stats misestimate must never elect a broadcast build
+    // of a corpus-sized side
+    val intra = memA.hint("merge").join(memB,
         col("__ra") === col("__rb") && col("__xa") < col("__xb"))
       .select(col("__xa").as("id_a"), col("__xb").as("id_b"))
     val embs = df.select(id.as("__id"), emb.as("__e"))
@@ -690,7 +693,11 @@ object Embeddings {
             .as("centroid_cosine")))
     val a = assigned.select(col("cell"), col("__id").as("id_a"), col("__e").as("__ea"))
     val b = assigned.select(col("cell"), col("__id").as("id_b"), col("__e").as("__eb"))
-    val edges = a.join(b, Seq("cell"))
+    // intra-cell pair generation is an equal-sided corpus self-join over a
+    // MATERIALIZED frame — exactly the estimate-drift class (localCheckpoint
+    // frames weigh 8 bytes/row to the planner): merge-hinted so a broadcast
+    // build of the corpus side is impossible by construction
+    val edges = a.hint("merge").join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosine(col("__ea"), col("__eb")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))

@@ -97,7 +97,9 @@ object IncrementalImageDedup {
       .select(col("__rep"), col("dh"), bandStruct(col("dh"), maxHamming).as("__b"))
     val ra = reps.select(col("__rep").as("a"), col("dh").as("__dha"), col("__b"))
     val rb = reps.select(col("__rep").as("b"), col("dh").as("__dhb"), col("__b"))
-    val repEdges = ra.join(rb, Seq("__b"))
+    // equal-sided batch self-join over a MATERIALIZED frame (8-bytes/row
+    // planner stats) — merge-hinted, the [[Dedup]] corpus-self-join rule
+    val repEdges = ra.hint("merge").join(rb, Seq("__b"))
       .filter(col("a") < col("b"))
       .filter(bit_count(col("__dha").bitwiseXOR(col("__dhb"))) <= maxHamming)
       .select(col("a"), col("b")).distinct()

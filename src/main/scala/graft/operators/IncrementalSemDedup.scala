@@ -185,7 +185,10 @@ object IncrementalSemDedup {
     // batch-internal edges, cell-scoped
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("__ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("__eb"))
-    val edges = a.join(b, Seq("cell"))
+    // equal-sided batch self-join over a MATERIALIZED frame (8-bytes/row
+    // planner stats) — merge-hinted, the [[graft.operators.Dedup]]
+    // corpus-self-join rule
+    val edges = a.hint("merge").join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))

@@ -252,6 +252,33 @@ object Retrieval {
     */
   def compactIndex(
       spark: SparkSession, path: String, upToBatch: Long): Unit = {
+    // PRE-FLIGHT: both trees must resolve the SAME batch-id set, hence
+    // the same consolidation target. [[BatchStore.compactPrepare]]
+    // computes each tree's target independently (max existing id <=
+    // upToBatch per tree); if the sets ever diverge — a crashed
+    // writeBatch landed postings batch=N without its stats commit
+    // record, and compaction ran before the stream's replay overwrote
+    // batch=N — the consolidated stats would pin ids whose postings
+    // paths no longer exist and every queryIndex read would fail
+    // PERSISTENTLY (servingRead retries cannot heal a wrong layout).
+    // Fail loudly here instead, pointing at the replay contract.
+    locally {
+      val pIds = {
+        val (fs, p) = BatchStore.fsPath(spark, s"$path/postings")
+        BatchStore.listBatches(fs, p).map(_._1).toSet
+      }
+      val sIds = {
+        val (fs, p) = BatchStore.fsPath(spark, s"$path/stats")
+        BatchStore.listBatches(fs, p).map(_._1).toSet
+      }
+      require(pIds == sIds,
+        s"compactIndex: postings/stats batch-id sets diverge at $path " +
+          s"(postings-only ${(pIds -- sIds).toSeq.sorted.mkString(",")}; " +
+          s"stats-only ${(sIds -- pIds).toSeq.sorted.mkString(",")}) — a " +
+          "crashed writeBatch left a torn append; let the stream's " +
+          "checkpoint replay overwrite that batch id (the foreachBatch " +
+          "replay contract) before compacting")
+    }
     // both trees ride [[BatchStore.compactPrepare]] (the single-sourced
     // swap + largest-existing-id discipline); postings keep their bucket
     // partitioning so the bucket-prune contract survives, and stats

@@ -623,10 +623,11 @@ object CurationQueries {
     * vocabulary trained ON the documents table (deterministic — word
     * counts tie-broken by word, merges tie-broken lexicographically, so
     * the same data always yields the same vocab), then per-source BPE
-    * token statistics. Rows-gated (no oracles entry): no ANSI-SQL engine
-    * can replay an iterative BPE merge loop — the algorithmic goldens
-    * live in BpeSpec against the published worked example, and the
-    * packing integration in its packByTokenBudget test.
+    * token statistics. FULLY oracled since round 13 (the q_mmr_diverse
+    * recursive-CTE precedent extended to a two-recursion replay): see
+    * [[bpeTokenStatsSql]]. The algorithmic goldens additionally live in
+    * BpeSpec against the published worked example, and the packing
+    * integration in its packByTokenBudget test.
     */
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -640,6 +641,118 @@ object CurationQueries {
         round(avg($"bpe_tokens"), 2).as("avg_bpe"),
         max($"bpe_tokens").as("max_bpe"))
       .orderBy($"source")
+  }
+
+  /** Oracle for [[bpeTokenStats]] — the full BPE lifecycle replayed in
+    * DuckDB as TWO recursive CTEs (the q_mmr_diverse iterative-argmax
+    * precedent, extended from a scalar picked-list state to the whole
+    * evolving segmentation table carried as a LIST&lt;STRUCT&gt; column):
+    *
+    *  - '''Training''' (`tr`): recursion state = (iteration, word list
+    *    with current segmentations, learned merges). Each step is one
+    *    LATERAL argmax over frequency-weighted adjacent-pair counts with
+    *    [[graft.ml.Bpe.train]]'s exact tiebreak `(-count, a, b)`, then a
+    *    `list_transform` applies the merge to every word. The per-word
+    *    merge is the published single left-to-right non-overlapping pass;
+    *    its greedy "keep every other match inside a run of chained
+    *    matches" selection is closed-form (`keep i iff (i − last
+    *    non-match before i) is odd`), so chains like `[a,a,a,a] → [aa,
+    *    aa]` replay exactly. Recursion ends at numMerges or when no pair
+    *    remains (the LATERAL yields no row), matching the Scala loop.
+    *  - '''Encoding''' (`enc`): per distinct pre-token, recursion merges
+    *    ONE occurrence at a time — always the leftmost occurrence of the
+    *    LOWEST-RANK pair present. This is provably equivalent to
+    *    [[graft.ml.Bpe.encodeWord]]'s rank-then-full-pass rule: merging
+    *    an occurrence of pair (a,b) can never create a new (a,b)
+    *    occurrence (ab ≠ a and ab ≠ b — symbols only grow), and any pair
+    *    containing the new symbol ab was learned AFTER (a,b), so the
+    *    running argmin re-selects (a,b) until its occurrences are
+    *    exhausted, reproducing the full pass occurrence by occurrence.
+    *  - The GPT-2-style pre-tokenizer regex and the `\s+` training split
+    *    carry over verbatim (RE2 `\p{L}`/`\p{N}` ≡ Java's; the engines'
+    *    `\s` classes differ only on U+000B, absent from the corpus).
+    *
+    * Aggregation casts `sum` back to BIGINT (DuckDB widens to HUGEINT)
+    * and rounds `avg` to 2 like the Spark side.
+    */
+  private[queries] def bpeTokenStatsSql(numMerges: Int, maxWords: Int): String = {
+    // the per-word single-pass merge of pair (a, b) over symbol list `s`,
+    // as composable SQL fragments (each inlined where needed)
+    def matchesOf(s: String, a: String, b: String): String =
+      s"[i for i in range(1, len($s)) if $s[i] = $a AND $s[i+1] = $b]"
+    def keptOf(s: String, a: String, b: String): String = {
+      val m = matchesOf(s, a, b)
+      s"[i for i in $m if (i - coalesce(list_max(" +
+        s"[q for q in range(1, i) if NOT list_contains($m, q)]), 0)) % 2 = 1]"
+    }
+    def mergedOf(s: String, a: String, b: String): String = {
+      val k = keptOf(s, a, b)
+      s"[CASE WHEN list_contains($k, j) THEN $s[j] || $s[j+1] ELSE $s[j] END " +
+        s"for j in range(1, len($s)+1) if NOT list_contains($k, j-1)]"
+    }
+    // encoding: rank of the best adjacent pair, and the leftmost position
+    // holding it (both re-derived per recursion step)
+    val rmin =
+      "list_min([list_position(f.ms, e.s[i] || ' ' || e.s[i+1]) for i in range(1, len(e.s))])"
+    val pos = "list_min([i for i in range(1, len(e.s)) " +
+      s"if list_position(f.ms, e.s[i] || ' ' || e.s[i+1]) = $rmin])"
+    val preTokRe = """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"""
+    s"""WITH RECURSIVE
+       |wc AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS w
+       |    FROM documents)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT $maxWords),
+       |init AS (
+       |  SELECT 0 AS it,
+       |    list(struct_pack(s := list_append([w[i] for i in range(1, len(w)+1)], '</w>'), c := c)) AS wl,
+       |    CAST([] AS VARCHAR[]) AS ms
+       |  FROM wc),
+       |tr AS (
+       |  SELECT * FROM init
+       |  UNION ALL
+       |  SELECT t.it + 1,
+       |    list_transform(t.wl, w2 -> struct_pack(
+       |      s := ${mergedOf("struct_extract(w2,'s')", "z.a", "z.b")},
+       |      c := struct_extract(w2,'c'))),
+       |    list_append(t.ms, z.a || ' ' || z.b)
+       |  FROM tr t, LATERAL (
+       |    SELECT p.a, p.b FROM (
+       |      SELECT s[i] AS a, s[i+1] AS b, sum(c) AS cnt FROM (
+       |        SELECT struct_extract(w,'s') AS s, struct_extract(w,'c') AS c,
+       |               unnest(range(1, len(struct_extract(w,'s')))) AS i
+       |        FROM (SELECT unnest(t.wl) AS w))
+       |      GROUP BY 1, 2) p
+       |    ORDER BY p.cnt DESC, p.a, p.b LIMIT 1) z
+       |  WHERE t.it < $numMerges),
+       |fin AS (SELECT ms FROM tr ORDER BY it DESC LIMIT 1),
+       |dt AS (
+       |  SELECT doc_id, trim(tok) AS w
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$preTokRe')) AS tok
+       |        FROM documents)
+       |  WHERE trim(tok) <> ''),
+       |encw AS (SELECT DISTINCT w FROM dt),
+       |enc AS (
+       |  SELECT w, list_append([w[i] for i in range(1, len(w)+1)], '</w>') AS s, 0 AS it
+       |  FROM encw
+       |  UNION ALL
+       |  SELECT e.w,
+       |    e.s[1:$pos-1] || [e.s[$pos] || e.s[$pos+1]] || e.s[$pos+2:],
+       |    e.it + 1
+       |  FROM enc e, fin f
+       |  WHERE $rmin IS NOT NULL),
+       |encfin AS (
+       |  SELECT w, len(s) AS ntok FROM (
+       |    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |perdoc AS (
+       |  SELECT d.doc_id, d.source, coalesce(x.bt, 0) AS bpe_tokens
+       |  FROM documents d LEFT JOIN (
+       |    SELECT dt.doc_id, sum(e.ntok) AS bt FROM dt JOIN encfin e USING (w)
+       |    GROUP BY dt.doc_id) x USING (doc_id))
+       |SELECT source, count(*) AS n_docs, CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe,
+       |  round(avg(bpe_tokens), 2) AS avg_bpe, CAST(max(bpe_tokens) AS BIGINT) AS max_bpe
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Temperature-flattened language mixing at α = 0.5 over the documents
@@ -753,6 +866,7 @@ object CurationQueries {
     "q_token_packing" -> (tokenPacking _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_token_stats" -> bpeTokenStatsSql(numMerges = 200, maxWords = 65536),
     "q_temperature_mix" -> temperatureMixSql,
     "q_passage_chunks" -> passageChunksSql,
     "q_training_order" -> trainingOrderSql,

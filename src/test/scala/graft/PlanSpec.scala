@@ -73,23 +73,117 @@ class PlanSpec extends SparkSpec {
   }
 
   test("corpus self-joins stay shuffled even when the planner estimates the side tiny") {
-    // The merge hint on every dedup-family SELF-join exists because a
-    // stats misestimate (8-bytes/row range frames, inherited through
-    // localCheckpoint) once planned an 8.3 GiB broadcast of the exploded
-    // corpus side. sf0.001 is exactly the regime where the planner WOULD
-    // broadcast everything — so the hinted join surviving as a
-    // SortMergeJoin here proves the hint binds; if a refactor drops it,
-    // AQE re-broadcasts on this tiny input and this test goes loud.
+    // The merge hint on every EQUAL-SIDED corpus/batch SELF-join exists
+    // because a stats misestimate (8-bytes/row range frames, inherited
+    // through localCheckpoint) once planned an 8.3 GiB broadcast of the
+    // exploded corpus side. sf0.001 is exactly the regime where the
+    // planner WOULD broadcast everything — so the hinted join surviving
+    // as a SortMergeJoin here proves the hint binds; if a refactor drops
+    // it, AQE re-broadcasts on this tiny input and this test goes loud.
+    //
+    // This list is the round-13 AUDIT of the repo's whole corpus-scale
+    // self-join surface. Pinned here (query-level): minhash, inverted
+    // shingle, jaccard-prefix, simhash, cosine-LSH (rep pairs AND the
+    // intra-bucket member pairs), SemDeDup cell pairs. Pinned in the
+    // incremental-store test below (write-path plans): IncrementalDedup
+    // band edges, IncrementalSemDedup cell edges, IncrementalImageDedup
+    // band edges. Audited and EXEMPT, by shape:
+    //  - knn/hard-negatives/mmr probe joins — DELIBERATE broadcast of the
+    //    probe side; the brute-force baselines are quadratic by declared
+    //    design (the scale path is ivf/ann/pq, themselves probe-broadcast
+    //    over pruned cells);
+    //  - simhash boundary recovery (Dedup tails×heads) — both sides are
+    //    partition-boundary rows, O(#partitions) by construction;
+    //  - batch×store joins in the incremental stores — UNEQUAL sides
+    //    where broadcasting the bounded batch side is legitimately
+    //    optimal, and the store side carries scan-backed stats;
+    //  - SpanDedup pos⋉cand semi-joins — the cand side is an aggregate of
+    //    a scan (real stats, no localCheckpoint lie), and broadcast
+    //    genuinely wins when the duplicated-gram set is small;
+    //  - as-of / sessionize — union + window formulations, zero joins
+    //    (pinned by their own plan tests);
+    //  - connected-components inner joins — edge-list × label frames,
+    //    both sides re-derived each fixpoint round with real stats, and
+    //    the small side SHRINKS monotonically (broadcast is the right
+    //    endgame there).
     for ((name, df) <- Seq(
         "minhash" -> DedupQueries.minHashPairs(spark, sf),
         "inverted-shingle" -> DedupQueries.nearDupPairs(spark, sf),
         "jaccard-prefix" -> DedupQueries.jaccardPrefixPairs(spark, sf),
         "simhash" -> DedupQueries.simHashPairs(spark, sf),
-        "cosine" -> graft.queries.EmbeddingQueries.cosineDedup(spark, sf))) {
+        "cosine" -> graft.queries.EmbeddingQueries.cosineDedup(spark, sf),
+        "semdedup" -> graft.queries.EmbeddingQueries.semDeDup(spark, sf))) {
       val finalPlan = finalExecutedPlan(df)
       assert(finalPlan.contains("SortMergeJoin"),
         s"$name: hinted self-join collapsed to broadcast:\n$finalPlan")
     }
+    // cosine-LSH carries TWO hinted self-joins (rep pairs + intra-bucket
+    // members): both must survive
+    val cosinePlan = finalExecutedPlan(
+      graft.queries.EmbeddingQueries.cosineDedup(spark, sf))
+    val smj = cosinePlan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj >= 2, s"cosine: expected both hinted self-joins as SMJ, got $smj:\n$cosinePlan")
+  }
+
+  test("incremental-store batch self-joins stay shuffled (write-path plans)") {
+    // The incremental stores run their pair-generating self-joins inside
+    // the batch WRITE job (the returned frame is a store re-read), so the
+    // query-level test above cannot see them — capture every executed
+    // plan via a QueryExecutionListener during one batch call and assert
+    // the hinted edge join survived as a SortMergeJoin. At this corpus
+    // size AQE broadcasts every unhinted join, so SMJ presence in the
+    // write plan proves the hint binds.
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      def awaitPlan(tag: String, pred: String => Boolean): Unit = {
+        // the listener bus is async — poll briefly for the write plan
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var found = false
+        while (!found && System.nanoTime() < deadline) {
+          import scala.jdk.CollectionConverters._
+          found = plans.asScala.exists(pred)
+          if (!found) Thread.sleep(100)
+        }
+        assert(found, s"$tag: no executed write plan with a surviving SortMergeJoin")
+      }
+      locally { // IncrementalDedup (MinHash-LSH band edges)
+        val store = java.nio.file.Files.createTempDirectory("planlsh").toString
+        val docs = (0L until 40L).map(i =>
+          (i, s"tok${i % 7} alpha beta gamma delta epsilon zeta eta theta iota")).toDF("id", "text")
+        graft.operators.IncrementalDedup.lshDedupBatch(
+          spark, docs, $"id", $"text", store, batchId = 0L).collect()
+        awaitPlan("lsh", p => p.contains("SortMergeJoin") && p.contains("__b"))
+      }
+      plans.clear()
+      locally { // IncrementalSemDedup (cell edges)
+        val store = java.nio.file.Files.createTempDirectory("plansem").toString
+        def vec(deg: Double): Array[Float] = {
+          val v = Array.fill(8)(0f)
+          v(0) = math.cos(math.toRadians(deg)).toFloat
+          v(1) = math.sin(math.toRadians(deg)).toFloat
+          v
+        }
+        val seed = Seq((100L, vec(0)), (101L, vec(90))).toDF("id", "e")
+        graft.operators.IncrementalSemDedup.init(
+          seed, col("id"), col("e"), store, nlist = 2,
+          refineIterations = 0, portableSample = true)
+        val batch = (0 until 8).map(i => (i.toLong, vec(i * 5.0))).toDF("id", "e")
+        graft.operators.IncrementalSemDedup.semDedupBatch(
+          spark, batch, col("id"), col("e"), store, batchId = 0L,
+          threshold = 0.9).collect()
+        awaitPlan("semdedup", p => p.contains("SortMergeJoin") && p.contains("cell"))
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("partial-ratio locator broadcasts the dictionary and evaluates the sweep once") {

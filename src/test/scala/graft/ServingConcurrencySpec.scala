@@ -154,4 +154,84 @@ class ServingConcurrencySpec extends SparkSpec {
     results.asScala.foreach(r => assert(r == want))
     assert(fs.exists(cells) && !fs.exists(next), "store did not end healed")
   }
+
+  test("servingRead rethrows deterministic failures immediately, retries only vanished-path classes") {
+    // a deterministic failure (empty-store require, a query bug) must not
+    // burn the backoff schedule: one attempt, immediate rethrow
+    var calls = 0
+    val boom = intercept[IllegalArgumentException] {
+      BatchStore.servingRead(attempts = 5, backoffMs = 1) {
+        calls += 1
+        require(false, "no committed batches")
+      }
+    }
+    assert(boom.getMessage.contains("no committed batches"))
+    assert(calls == 1, s"deterministic failure was retried $calls times")
+
+    // the two classes a mid-read swap can produce ARE retried to success
+    var fnfCalls = 0
+    val healed = BatchStore.servingRead(attempts = 5, backoffMs = 1) {
+      fnfCalls += 1
+      if (fnfCalls < 3) throw new java.io.FileNotFoundException("batch=0/part-0.parquet")
+      42
+    }
+    assert(healed == 42 && fnfCalls == 3)
+
+    // the execution-time shape: SparkException-style wrapper whose MESSAGE
+    // embeds the cause class (task failures flatten causes into strings)
+    var wrapCalls = 0
+    val healed2 = BatchStore.servingRead(attempts = 5, backoffMs = 1) {
+      wrapCalls += 1
+      if (wrapCalls < 2) throw new RuntimeException(
+        "Job aborted due to stage failure: java.io.FileNotFoundException: part-0 does not exist")
+      7
+    }
+    assert(healed2 == 7 && wrapCalls == 2)
+  }
+
+  test("compactIndex refuses a postings/stats batch-id divergence loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("idxdiverge").toString
+    val docs = Seq((1L, "spark shuffles data"), (2L, "duck reads parquet"))
+      .toDF("doc_id", "text")
+    Retrieval.buildIndex(docs, $"doc_id", $"text", s"$dir/idx", buckets = 4)
+    val more = Seq((3L, "spark compacts stores")).toDF("doc_id", "text")
+    Retrieval.appendIndex(more, $"doc_id", $"text", s"$dir/idx", batchId = 1L)
+    // simulate a crashed writeBatch: postings batch=2 landed, stats did not
+    val (fs, p) = BatchStore.fsPath(spark, s"$dir/idx/postings")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "batch=2"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.compactIndex(spark, s"$dir/idx", upToBatch = 2L)
+    }
+    assert(e.getMessage.contains("diverge") && e.getMessage.contains("replay"))
+    // healing the divergence (replay overwrites batch=2 — here: remove the
+    // torn dir) makes the same compaction succeed
+    fs.delete(new org.apache.hadoop.fs.Path(p, "batch=2"), true)
+    Retrieval.compactIndex(spark, s"$dir/idx", upToBatch = 1L)
+    val hits = BatchStore.servingRead() {
+      Retrieval.queryIndex(spark, s"$dir/idx", Seq("spark")).collect()
+    }
+    assert(hits.nonEmpty)
+  }
+
+  test("adoptNext heal is non-destructive: a non-empty aside tree aborts instead of being cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("adoptaside").toString
+    val (fs, p) = BatchStore.fsPath(spark, s"$dir/store")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/store__next")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/store__aside")
+    // a crashed heal that moved DATA aside (the scenario the old
+    // delete-based clear would have destroyed) must abort loudly
+    fs.mkdirs(p)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(aside, "batch=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(next, "batch=1"))
+    val e = intercept[IllegalArgumentException] { BatchStore.adoptNext(fs, p) }
+    assert(e.getMessage.contains("aside"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(aside, "batch=0")),
+      "heal destroyed the aside tree")
+    // with the aside healed away, the standard adopt completes: empty live
+    // cleared via rename-aside, __next adopted
+    fs.delete(aside, true)
+    BatchStore.adoptNext(fs, p)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "batch=1")))
+    assert(!fs.exists(next) && !fs.exists(aside))
+  }
 }
