@@ -105,16 +105,32 @@ private[graft] object BatchStore {
               "crashed before restoring; restore or inspect it manually")
           fs.delete(aside, true)
         }
-        require(fs.rename(p, aside),
-          s"BatchStore: failed to move empty $p aside before adopting $next")
-        if (fs.listStatus(aside).nonEmpty) {
-          // raced a cross-JVM completeSwap: the tree we moved aside is the
-          // freshly-swapped LIVE store — put it back, adoption already done
-          require(fs.rename(aside, p),
-            s"BatchStore: failed to restore raced live tree $aside to $p")
-          return
+        if (fs.rename(p, aside)) {
+          if (fs.listStatus(aside).nonEmpty) {
+            // raced a cross-JVM completeSwap: the tree we moved aside is
+            // the freshly-swapped LIVE store — put it back, adoption done
+            require(fs.rename(aside, p),
+              s"BatchStore: failed to restore raced live tree $aside to $p")
+            return
+          }
+          fs.delete(aside, true) // verified empty — safe to discard
+        } else {
+          // the move-aside can only lose to ANOTHER HEALER (cross-JVM;
+          // swapLock covers same-JVM) having taken the empty tree itself.
+          // Two benign shapes, by how far the winner got:
+          if (fs.exists(p)) {
+            // winner completed the WHOLE heal already (adopted __next
+            // into the live path): nothing left to do — but a rename
+            // failure with a still-EMPTY live tree present is a real
+            // fault (nobody could have raced it) and must surface
+            require(fs.listStatus(p).nonEmpty && !fs.exists(next),
+              s"BatchStore: failed to move empty $p aside before adopting $next")
+            return
+          }
+          // winner moved the empty tree aside but has not adopted yet:
+          // fall through — the adoption below tolerates losing THAT
+          // race too (live tree present, __next consumed, is success)
         }
-        fs.delete(aside, true) // verified empty — safe to discard
       }
       // a failed adoption must surface, not fall through to an
       // empty-store read that silently forgets the whole history — but a
@@ -171,7 +187,11 @@ private[graft] object BatchStore {
           // mid-scan ("FAILED_READ_FILE.FILE_NOT_EXIST ... File does not
           // exist. It is possible the underlying files have been updated.")
           m.contains("FILE_NOT_EXIST") ||
-          m.contains("does not exist"))) return true
+          // scoped to PATH/FILE contexts: a bare "does not exist" would
+          // also match deterministic analysis failures (missing table,
+          // missing column) and burn the whole backoff before surfacing
+          m.contains("Path does not exist") ||
+          m.contains("File does not exist"))) return true
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }
@@ -322,8 +342,21 @@ private[graft] object BatchStore {
       merge(spark.read.parquet(path)
         .filter(col("batch") <= upToBatch).drop("batch")),
       s"$next/batch=$target")
-    batches.map(_._1).filter(_ > upToBatch).foreach { b =>
-      write(spark.read.parquet(s"$path/batch=$b"), s"$next/batch=$b")
+    batches.filter(_._1 > upToBatch).foreach { case (b, bp) =>
+      // a torn append can leave a FILE-LESS batch dir above the range
+      // (dir created, no task file landed before the crash): there is
+      // nothing to consolidate, but the dir itself must survive the swap
+      // — it is the stream-replay overwrite target, and callers like
+      // compactIndex's pre-flight key divergence detection on its
+      // presence. Recreate it empty instead of schema-inferring nothing.
+      val files = fs.listFiles(bp, true)
+      var hasData = false
+      while (!hasData && files.hasNext) {
+        val n = files.next().getPath.getName
+        hasData = !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (hasData) write(spark.read.parquet(s"$path/batch=$b"), s"$next/batch=$b")
+      else fs.mkdirs(new Path(s"$next/batch=$b"))
     }
     Some(PendingSwap(fs, p, next))
   }

@@ -38,10 +38,31 @@ object Curation {
   def contaminationMarks(
       corpus: DataFrame, id: Column, text: Column,
       benchmark: DataFrame, benchmarkText: Column,
-      n: Int = 13): DataFrame = {
-    val benchShingles = benchmark
+      n: Int = 13): DataFrame =
+    contaminationMarksOnShingles(corpus, id, text,
+      benchmarkShingles(benchmark, benchmarkText, n), n)
+
+  /** The distinct benchmark n-gram set [[contaminationMarks]] broadcasts
+    * — exposed so REPEATED-ARRIVAL callers (an incremental curation
+    * stream decontaminating every batch against the same fixed suites)
+    * can compute it ONCE, `.cache()` it, and pass it to
+    * [[contaminationMarksOnShingles]] per batch: benchmark suites are
+    * static artifacts, and re-shingling them per arrival is pure fixed
+    * overhead (re-paid tokenize + explode + distinct every batch).
+    */
+  def benchmarkShingles(
+      benchmark: DataFrame, benchmarkText: Column, n: Int = 13): DataFrame =
+    benchmark
       .select(explode(Dedup.wordShingles(benchmarkText, n)).as("__g"))
       .distinct()
+
+  /** [[contaminationMarks]] against a precomputed [[benchmarkShingles]]
+    * frame (single column `__g`). Same plan shape: one corpus scan, the
+    * shingle set broadcast, corpus text never shuffles.
+    */
+  def contaminationMarksOnShingles(
+      corpus: DataFrame, id: Column, text: Column,
+      benchShingles: DataFrame, n: Int = 13): DataFrame = {
     val corpusShingles = corpus
       .select(id.as("id"), Dedup.tokens(text).as("__toks"))
       .select(col("id"), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))

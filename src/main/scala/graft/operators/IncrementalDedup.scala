@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   *     projection — [[Dedup.minHashSignature]]); docs shorter than the
   *     shingle length carry no bands and can never match or be matched;
   *  2. candidate pairs via band-bucket equality — batch×batch (self-join)
-  *     and batch×store (join against the store's exploded bands, ids
-  *     only; the store's signature join follows for candidates alone);
+  *     and batch×store (join against the NARROW band-index tree at
+  *     `<store>__bands`, partition-pruned to the batch's colliding
+  *     buckets; the store's signatures are fetched afterwards for the
+  *     distinct colliding ids alone);
   *  3. verification by ESTIMATED Jaccard — the fraction of agreeing
   *     signature components (the store holds no shingles, so exact
   *     Jaccard is unavailable by design; at k=64 the estimator's σ is
@@ -70,12 +72,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: the only wide operations are the band-bucket joins
   * (keyed on 8-byte band hashes), the component loop over the
   * batch-internal edge list, and the final label join — so STORE text is
-  * never read at all, and BATCH text moves through exactly one exchange
-  * (batch-sized, not corpus-sized). Store growth is one row per doc ever
-  * seen; at trillions of docs the band join becomes a bucketed/sorted
-  * join on a band-hash-partitioned store layout, which this layout
-  * (top-level `bands` array, stable schema) supports without rewriting
-  * history.
+  * never read at all, STORE signatures never ride the band explosion
+  * (the batch×store candidate join reads the 16-byte-row band-index
+  * tree, partition-pruned to the batch's colliding `bucket=` dirs, and
+  * signatures are fetched only for the distinct colliding ids), and
+  * BATCH text moves through exactly one exchange (batch-sized, not
+  * corpus-sized). Store growth is one row per doc ever seen plus
+  * `bands` index rows per doc; the index layout ([[BandBuckets]]
+  * hash-bucketed dirs per batch, preserved through compaction) is
+  * exactly the band-hash-partitioned layout a trillion-doc store needs.
   */
 object IncrementalDedup {
 
@@ -90,6 +95,65 @@ object IncrementalDedup {
 
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, sig ARRAY<BIGINT>, bands ARRAY<BIGINT>, rep_id BIGINT, survivor BOOLEAN")
+
+  /** Partition fan of the band-index tree (`<store>__bands`): each
+    * batch's exploded (band hash, doc id) rows land under
+    * `batch=<id>/bucket=pmod(hash(band), BandBuckets)`. The index is
+    * what the batch×store candidate join reads INSTEAD of exploding the
+    * store's signature rows: 16 bytes/row versus the 8 KB/doc
+    * (k=64 signature × bands) the old exploded join shuffled. The
+    * bucket layout additionally lets a SMALL batch (the hourly-trickle
+    * regime) partition-prune the store read to its colliding buckets —
+    * the batch's band keys are known before the store is touched.
+    */
+  val BandBuckets = 64
+
+  private[operators] def bandsRoot(storePath: String): String =
+    storePath + "__bands"
+
+  private def bandIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "__b BIGINT, __sid BIGINT, bucket INT")
+
+  /** One batch partition's rows as band-index rows — the exact content
+    * the index write lands for that batch (shared by the batch write,
+    * the derive fallback, and the compaction backfill, so all three are
+    * row-identical by construction).
+    */
+  private def deriveBands(main: DataFrame): DataFrame =
+    main.select(col("doc_id").as("__sid"), explode(col("bands")).as("__b"))
+      .select(col("__b"), col("__sid"),
+        pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
+
+  /** The pre-batch band index: every prior batch's (band, doc_id)
+    * rows. An index partition counts only when its job-commit
+    * `_SUCCESS` marker exists — a torn index write (crash between the
+    * main and index writes of one batch) must not serve a PARTIAL band
+    * set, which would silently drop candidates. Batches whose index
+    * partition is missing or uncommitted — legacy stores, torn writes —
+    * are DERIVED from the main tree's `bands` column on the fly:
+    * correctness never depends on the index, only speed does.
+    */
+  private def readPriorBands(
+      spark: SparkSession, storePath: String, batchId: Long): DataFrame = {
+    val idxRoot = bandsRoot(storePath)
+    val (mfs, mp) = BatchStore.fsPath(spark, storePath)
+    val (ifs, ip) = BatchStore.fsPath(spark, idxRoot)
+    val mainIds = BatchStore.listBatches(mfs, mp).filter(_._1 < batchId)
+    val committed = BatchStore.committedBatches(ifs, ip).filter(_._1 < batchId)
+    val committedIds = committed.map(_._1).toSet
+    val indexed =
+      if (committed.nonEmpty)
+        spark.read.option("basePath", idxRoot)
+          .parquet(committed.map(_._2.toString): _*)
+          .select(col("__b"), col("__sid"), col("bucket"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandIndexSchema)
+    val missing = mainIds.filterNot { case (b, _) => committedIds.contains(b) }
+    if (missing.isEmpty) indexed
+    else indexed.unionByName(deriveBands(
+      spark.read.option("basePath", storePath)
+        .parquet(missing.map(_._2.toString): _*)))
+  }
 
   /** Self-heal for [[compactStore]]'s swap — the [[BatchStore]] family
     * discipline (single-sourced there since round 10).
@@ -127,9 +191,11 @@ object IncrementalDedup {
     // the pre-batch state from EXPLICIT batch < batchId paths (the
     // BatchStore replay-exclusion contract): a replayed micro-batch
     // recomputes against the exact pre-batch store, never its own
-    // (possibly torn) prior write
+    // (possibly torn) prior write. The bands column is NOT selected —
+    // candidate generation reads the narrow band-index tree instead,
+    // and this scan only serves the candidate signature fetch
     val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
-      .select(col("doc_id"), col("sig"), col("bands"), col("rep_id"))
+      .select(col("doc_id"), col("sig"), col("rep_id"))
 
     val nEx = banded.select(col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
     // batch×batch candidate edges, verified on estimated Jaccard. The
@@ -147,12 +213,29 @@ object IncrementalDedup {
       .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
       .select(col("a"), col("b"))
     // batch×store: min matched store REP per batch doc (matching a
-    // suppressed store doc adopts ITS rep — cross-batch transitivity)
-    val sEx = store.select(col("doc_id").as("__sid"), col("sig").as("__ssig"),
-      col("rep_id").as("__srep"), explode(col("bands")).as("__b"))
-    val storeRep = nEx.join(sEx, Seq("__b"))
-      .select(col("doc_id"), col("sig"), col("__sid"), col("__ssig"), col("__srep"))
+    // suppressed store doc adopts ITS rep — cross-batch transitivity).
+    // Candidates come from the NARROW band-index tree, partition-pruned
+    // to the batch's colliding buckets (known before the store read) —
+    // the store's 8 KB/doc signature rows never ride the band explosion
+    // (~67 % of the incremental bill at 1 M history before this). The
+    // batch band side is the bounded side of an UNEQUAL join (exempt
+    // from the merge-hint audit: broadcasting it is legitimately
+    // optimal); signatures are fetched ONLY for the distinct colliding
+    // ids, whose bounded frame broadcasts against one narrow store scan.
+    val batchBuckets = banded
+      .select(explode(col("bands")).as("__b"))
+      .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= BandBuckets rows
+    val idx = readPriorBands(spark, storePath, batchId)
+      .filter(col("bucket").isin(batchBuckets: _*))
+    val candIds = nEx.select(col("doc_id"), col("__b"))
+      .join(idx, Seq("__b"))
+      .select(col("doc_id"), col("__sid"))
       .distinct()
+    val storeRep = candIds
+      .join(store.select(col("doc_id").as("__sid"), col("sig").as("__ssig"),
+        col("rep_id").as("__srep")), Seq("__sid"))
+      .join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
       .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
 
@@ -176,6 +259,15 @@ object IncrementalDedup {
     val out = bandedOut.unionByName(shortOut)
 
     out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    // band index AFTER the main tree (a crash between the two leaves a
+    // main batch the index lacks — readPriorBands derives it from the
+    // main tree, so the gap costs speed, never correctness; the replay
+    // overwrite repairs both). repartition(bucket) puts each bucket in
+    // exactly one task = one file per bucket dir.
+    deriveBands(banded)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
     Checkpoints.free(banded)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
@@ -215,6 +307,55 @@ object IncrementalDedup {
     */
   def compactStore(
       spark: SparkSession, storePath: String, upToBatch: Long,
-      targetFiles: Int = 8): Unit =
-    BatchStore.compact(spark, storePath, upToBatch, targetFiles)
+      targetFiles: Int = 8): Unit = {
+    // two-tree store: stage BOTH replacement trees fully, then swap
+    // back-to-back (the Retrieval.compactIndex discipline) so a
+    // concurrent reader's pin can straddle at most the two renames.
+    // The bucket layout survives compaction (partitionCols), keeping
+    // the batch-bucket prune valid over consolidated history.
+    //
+    // BACKFILL FIRST: compaction collapses batch identity, so the
+    // consolidated index partition must cover the consolidated main
+    // membership EXACTLY — a legacy batch (written before the index
+    // tree existed) or a torn index write that slipped into the
+    // consolidation would silently drop its docs from all future
+    // candidate generation, with no fallback left to catch it
+    // (readPriorBands derives per missing BATCH, and after compaction
+    // the batch is "present"). Every main batch <= upToBatch therefore
+    // gets a committed index partition before either tree stages; the
+    // backfill write is row-identical to what the batch write would
+    // have landed (deriveBands), so it is idempotent under replay.
+    val idxRoot = bandsRoot(storePath)
+    locally {
+      val (mfs, mp) = BatchStore.fsPath(spark, storePath)
+      val (ifs, ip) = BatchStore.fsPath(spark, idxRoot)
+      // this method also compacts OTHER batch-keyed stores (segment,
+      // perceptual — the shared layout-maintenance discipline): only a
+      // tree actually carrying the LSH signature schema has a band
+      // index to backfill
+      val mainBatches = BatchStore.listBatches(mfs, mp)
+      val isLshTree = mainBatches.nonEmpty && {
+        val cols = scala.util.Try(
+          spark.read.parquet(storePath).columns.toSet).getOrElse(Set.empty[String])
+        cols.contains("doc_id") && cols.contains("bands")
+      }
+      if (isLshTree) {
+        val committedIdx = BatchStore.committedBatches(ifs, ip).map(_._1).toSet
+        mainBatches
+          .filter { case (b, _) => b <= upToBatch && !committedIdx.contains(b) }
+          .foreach { case (b, bp) =>
+            deriveBands(spark.read.option("basePath", storePath)
+                .parquet(bp.toString))
+              .repartition(col("bucket"))
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$idxRoot/batch=$b")
+          }
+      }
+    }
+    val main = BatchStore.compactPrepare(spark, storePath, upToBatch, targetFiles)
+    val idx = BatchStore.compactPrepare(spark, idxRoot, upToBatch,
+      partitionCols = Seq("bucket"))
+    main.foreach(BatchStore.completeSwap)
+    idx.foreach(BatchStore.completeSwap)
+  }
 }

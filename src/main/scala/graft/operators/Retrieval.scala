@@ -263,13 +263,18 @@ object Retrieval {
     // PERSISTENTLY (servingRead retries cannot heal a wrong layout).
     // Fail loudly here instead, pointing at the replay contract.
     locally {
+      // scope the check to ids <= upToBatch — the set this compaction
+      // actually consolidates. A torn batch ABOVE the compaction range
+      // (stream died before replaying it) is outside this run's blast
+      // radius: blocking consolidation of older fully-committed batches
+      // on it would make one dead stream permanently freeze maintenance.
       val pIds = {
         val (fs, p) = BatchStore.fsPath(spark, s"$path/postings")
-        BatchStore.listBatches(fs, p).map(_._1).toSet
+        BatchStore.listBatches(fs, p).map(_._1).filter(_ <= upToBatch).toSet
       }
       val sIds = {
         val (fs, p) = BatchStore.fsPath(spark, s"$path/stats")
-        BatchStore.listBatches(fs, p).map(_._1).toSet
+        BatchStore.listBatches(fs, p).map(_._1).filter(_ <= upToBatch).toSet
       }
       require(pIds == sIds,
         s"compactIndex: postings/stats batch-id sets diverge at $path " +

@@ -671,6 +671,14 @@ object CurationQueries {
     *  - The GPT-2-style pre-tokenizer regex and the `\s+` training split
     *    carry over verbatim (RE2 `\p{L}`/`\p{N}` ≡ Java's; the engines'
     *    `\s` classes differ only on U+000B, absent from the corpus).
+    *  - '''BMP-only assumption''': the initial symbol split uses DuckDB
+    *    character indexing (CODEPOINTS) while [[graft.ml.Bpe.toSymbols]]
+    *    maps over `String` (UTF-16 CODE UNITS), so a supplementary-plane
+    *    character (emoji, rare CJK) would segment as one symbol here and
+    *    two surrogate halves there. The documents fixture is BMP-only
+    *    (pinned by BpeSpec's fixture-scan test), so the replays agree; if
+    *    astral text ever enters the corpus, normalize `toSymbols` to
+    *    codepoints first.
     *
     * Aggregation casts `sum` back to BIGINT (DuckDB widens to HUGEINT)
     * and rounds `avg` to 2 like the Spark side.

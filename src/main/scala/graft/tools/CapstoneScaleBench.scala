@@ -15,18 +15,24 @@ import graft.sources.LocationDictSource
   *
   * Corpus: [[IncrementalDedupBench.corpus]] (40-token hash-derived docs,
   * every 7th a planted adjacent near-dup) with a constant lang column —
-  * the dedup stores do real suppression work. Store set: the text-side
-  * stores (curated sink, LSH signature store, segment store, BM25
-  * index) — the stores whose per-batch READ cost decays with file
-  * count; the media/vector stages are per-batch-local decode/encode
-  * work orthogonal to layout decay, measured in the sf0.1 capstone run.
+  * the dedup stores do real suppression work. Store sets:
+  *  - mode `text` (default): curated sink, LSH signature store, segment
+  *    store, BM25 index — the stores whose per-batch READ cost decays
+  *    with file count;
+  *  - mode `full`: text stores PLUS the media/vector stores — the
+  *    perceptual dHash store ([[ImageDedupBench.corpus]]'s synthetic
+  *    BMPs, first quarter planted dup clusters), the SemDeDup store and
+  *    the IVF-PQ index ([[SemDedupBench.corpus]]'s 64-dim embeddings,
+  *    same planted-cluster shape) — so the decay-bounded claim gets a
+  *    measured curve on the media/vector side too, not just text.
   *
   * Output: one line per sample window — batch id, docs so far,
   * windowed docs/s, and per-store file counts — then a summary line per
-  * configuration. Results → SURVEY §16.
+  * configuration. Results → SURVEY §16/§18.
   *
   * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.CapstoneScaleBench"
-  * (optional args: nDocs, batches, compactEverys csv, sampleEvery).
+  * (optional args: nDocs, batches, compactEverys csv, sampleEvery,
+  * mode text|full).
   */
 object CapstoneScaleBench {
 
@@ -54,6 +60,8 @@ object CapstoneScaleBench {
     val compactEverys = args.lift(2).getOrElse("8,0")
       .split(",").map(_.trim.toInt).toSeq
     val sampleEvery = args.lift(3).map(_.toInt).getOrElse(5)
+    val mode = args.lift(4).getOrElse("text")
+    require(mode == "text" || mode == "full", s"mode must be text|full, got $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -73,15 +81,32 @@ object CapstoneScaleBench {
       .repartition(nBatches)
       .write.mode("overwrite").json(landing)
     val dict = LocationDictSource.fromFileOrDefault(s"$sfDir/locations.json")
+    // full mode: deterministic synthetic embeddings and BMP payloads for
+    // every doc id, materialized ONCE (the stream joins each landed
+    // batch against them — the capstone's vectors/media contract)
+    val (vectors, media) =
+      if (mode == "full") (
+        Some(SemDedupBench.corpus(spark, nDocs)
+          .select(col("vec_id"), col("emb").as("embedding")).cache()),
+        Some(ImageDedupBench.corpus(spark, nDocs).cache()))
+      else (None, None)
 
     compactEverys.foreach { compactEvery =>
       val root = s"$work/ce_$compactEvery"
-      val stores = StreamingCapstone.Stores(
+      val base = StreamingCapstone.Stores(
         s"$root/curated", s"$root/lsh_store", s"$root/seg_store",
         s"$root/seg_out", bm25Store = s"$root/bm25_index")
+      val stores =
+        if (mode == "full") base.copy(vecStore = s"$root/ivfpq",
+          imgStore = s"$root/img_store", semStore = s"$root/sem_store")
+        else base
       val watched = Seq(
         "lsh" -> stores.lshStore, "seg" -> stores.segStore,
-        "bm25" -> stores.bm25Store, "curated" -> stores.curatedDir)
+        "bm25" -> stores.bm25Store, "curated" -> stores.curatedDir) ++
+        (if (mode == "full") Seq(
+          "ivfpq" -> stores.vecStore, "img" -> stores.imgStore,
+          "sem" -> stores.semStore)
+         else Seq.empty)
       val samples = scala.collection.mutable.ListBuffer.empty[String]
       var windowDocs = 0L
       var windowStart = System.nanoTime()
@@ -98,7 +123,8 @@ object CapstoneScaleBench {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           if (!batch.isEmpty) {
             windowDocs += StreamingCapstone.processBatch(
-              spark, batch, stores, batchId, dict, compactEvery = compactEvery)
+              spark, batch, stores, batchId, dict, compactEvery = compactEvery,
+              vectors = vectors, media = media)
             if (batchId % sampleEvery == sampleEvery - 1) {
               val secs = (System.nanoTime() - windowStart) / 1e9
               val counts = watched
@@ -117,7 +143,7 @@ object CapstoneScaleBench {
       samples.foreach(println)
       val finalCounts = watched
         .map { case (k, p) => s""""$k":${fileCount(spark, p)}""" }.mkString(",")
-      println(f"""{"compact_every":$compactEvery,"docs":$nDocs,"batches":$nBatches,"wall_s":$wallS%.1f,"docs_per_sec":${nDocs / wallS}%.1f,"final_files":{$finalCounts}}""")
+      println(f"""{"mode":"$mode","compact_every":$compactEvery,"docs":$nDocs,"batches":$nBatches,"wall_s":$wallS%.1f,"docs_per_sec":${nDocs / wallS}%.1f,"final_files":{$finalCounts}}""")
     }
     spark.stop()
   }

@@ -53,11 +53,15 @@ object IncrementalCurationBench {
   /** Decontamination + quality gate over a survivor frame — shared tail
     * of both arms (per batch in the incremental arm, once in the
     * one-shot arm; pure per-row work plus one broadcast, so splitting it
-    * by batch changes nothing).
+    * by batch changes nothing). `benchShingles` is the PRECOMPUTED
+    * benchmark n-gram set ([[Curation.benchmarkShingles]], cached by the
+    * caller): benchmark suites are static, so the incremental arm pays
+    * the shingle build once across all arrivals instead of re-paying
+    * tokenize + explode + distinct as per-batch fixed overhead.
     */
-  private def curateTail(surv: DataFrame, bench: DataFrame): DataFrame = {
-    val contaminated = Curation.contaminationMarks(
-        surv, col("doc_id"), col("text"), bench, col("r"), n = 5)
+  private def curateTail(surv: DataFrame, benchShingles: DataFrame): DataFrame = {
+    val contaminated = Curation.contaminationMarksOnShingles(
+        surv, col("doc_id"), col("text"), benchShingles, n = 5)
       .filter(col("contaminated"))
       .select(col("id").as("doc_id"))
     val nt = TextFunctions.tokenCount(col("text")).cast("long")
@@ -98,6 +102,10 @@ object IncrementalCurationBench {
       val normed = spark.read.parquet(normedPath)
       val bench = normed.filter(col("doc_id") % 23 === 0)
       val corpus = normed.filter(col("doc_id") % 23 =!= 0)
+      // static benchmark artifact: shingle it ONCE for every arrival (and
+      // for the one-shot arm — same detector both sides)
+      val benchShingles = Curation.benchmarkShingles(bench, col("r"), n = 5).cache()
+      benchShingles.count(): Unit
       def timed[T](body: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = body
         (r, (System.nanoTime() - t0) / 1e9)
@@ -117,7 +125,7 @@ object IncrementalCurationBench {
         val surv = IncrementalDedup.lshDedupBatch(
             spark, exDeduped, col("doc_id"), col("r"), os, batchId = 0L)
           .filter(col("survivor"))
-        val out = idChecksum(curateTail(surv, bench), col("doc_id"))
+        val out = idChecksum(curateTail(surv, benchShingles), col("doc_id"))
         Checkpoints.freeFrame(exDeduped)
         out
       }
@@ -134,6 +142,7 @@ object IncrementalCurationBench {
       var lastBatch = 0.0
       var stageEx = 0.0; var stageNd = 0.0; var stageTail = 0.0
       var incCount = 0L; var incXor = 0L
+      val batchWalls = scala.collection.mutable.ListBuffer.empty[Double]
       (0 until nBatches).foreach { b =>
         val lo = b * per
         val hi = if (b == nBatches - 1) n else (b + 1) * per
@@ -159,7 +168,7 @@ object IncrementalCurationBench {
           }
           stageNd += tNd
           val (_, tTail) = timed {
-            val (c, x) = idChecksum(curateTail(surv, bench), col("doc_id"))
+            val (c, x) = idChecksum(curateTail(surv, benchShingles), col("doc_id"))
             incCount += c; incXor ^= x
           }
           stageTail += tTail
@@ -167,6 +176,7 @@ object IncrementalCurationBench {
         }
         incTotal += wall
         lastBatch = wall
+        batchWalls += wall
       }
 
       val equal = osOut == ((incCount, incXor))
@@ -177,8 +187,16 @@ object IncrementalCurationBench {
       println(f"   incr stage totals: exact=${stageEx}%6.1fs " +
         f"neardup=${stageNd}%6.1fs decontam+quality=${stageTail}%6.1fs " +
         f"survivors_equal=$equal (oneshot=${osOut._1}, incremental=$incCount)")
+      // fixed-vs-marginal profile: with a near-flat store (history grows
+      // but per-batch work tracks the batch), the spread of per-batch
+      // walls bounds the history-dependent share; min(wall) − pure
+      // marginal ≈ the per-arrival fixed overhead being amortized
+      println("   per-batch walls: " +
+        batchWalls.map(w => f"$w%.1f").mkString("s ") + "s " +
+        f"(min=${batchWalls.min}%.1f max=${batchWalls.max}%.1f)")
       require(equal, "incremental survivor set diverged from one-shot — " +
         "bridge-free corpus must agree exactly")
+      benchShingles.unpersist()
       rmrf(spark, os); rmrf(spark, inc); rmrf(spark, normedPath)
     }
     spark.stop()

@@ -91,6 +91,24 @@ class BpeSpec extends SparkSpec {
     assert(capped != expectedMerges)
   }
 
+  test("documents fixture is BMP-only (the BPE oracle's codepoint/code-unit equivalence)") {
+    // The DuckDB oracle splits words into symbols by CODEPOINT while
+    // Bpe.toSymbols maps UTF-16 CODE UNITS — equivalent exactly when no
+    // supplementary-plane character (surrogate pair) appears in the
+    // corpus. Pin that assumption against the real fixture at both test
+    // SFs: if astral text ever enters documents.parquet, this fails loud
+    // and toSymbols must switch to codepoint segmentation.
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val astral = Tables(spark, s"/root/testdata/$sf", "documents")
+        .filter(regexp_like(col("text"), lit("[\\x{10000}-\\x{10FFFF}]")))
+        .count()
+      assert(astral == 0L,
+        s"$sf: $astral documents carry supplementary-plane characters — " +
+          "the BPE DuckDB oracle's symbol split no longer matches toSymbols")
+    }
+  }
+
   test("BPE counts feed packByTokenBudget: budgets hold in BPE tokens") {
     import spark.implicits._
     val docs = (0 until 60).map { i =>

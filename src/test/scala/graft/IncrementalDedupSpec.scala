@@ -215,6 +215,51 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!new java.io.File(store + "__next").exists())
   }
 
+  test("band-index tree: bucketed layout, legacy-store fallback, compaction-preserving prune") {
+    val store = tmpDir("inc-dedup-bands")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def idxDirs(batch: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"${store}__bands/$batch")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bucket=")).toSeq.sorted
+    }
+    IncrementalDedup.lshDedupBatch(spark, Seq(1L -> textA, 4L -> textC).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 0L, threshold = Threshold, bands = TestBands)
+    IncrementalDedup.lshDedupBatch(spark, Seq(2L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 1L, threshold = Threshold, bands = TestBands)
+    // the index tree exists, hash-bucketed per batch
+    assert(idxDirs("batch=0").nonEmpty && idxDirs("batch=0").forall(_.startsWith("bucket=")))
+
+    // LEGACY FALLBACK: a store written before the index tree existed
+    // (or whose index write crashed) must still suppress identically —
+    // delete the whole index tree and replay batch 2's suppression
+    val suppressed = IncrementalDedup.lshDedupBatch(
+      spark, Seq(3L -> textG).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 2L, threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(suppressed === Seq((3L, 1L, false)), "indexed path: G chains to A through B")
+    fs.delete(new org.apache.hadoop.fs.Path(s"${store}__bands"), true)
+    val replayed = IncrementalDedup.lshDedupBatch(
+      spark, Seq(3L -> textG).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 2L, threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(replayed === suppressed, "derived-bands fallback diverged from the indexed path")
+
+    // compaction stages BOTH trees and preserves the bucket layout
+    // (the replay above rebuilt batch=2's index; 0 and 1 re-derive)
+    IncrementalDedup.compactStore(spark, store, upToBatch = 2L)
+    assert(idxDirs("batch=2").nonEmpty && idxDirs("batch=2").forall(_.startsWith("bucket=")),
+      "compacted index tree lost its bucket partitioning")
+    // and post-compaction suppression still reads through the index
+    val b3 = IncrementalDedup.lshDedupBatch(
+      spark, Seq(5L -> textB).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), store, 3L, threshold = Threshold, bands = TestBands)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(b3 === Seq((5L, 1L, false)))
+  }
+
   test("streaming wrapper: LSH dedup store survives checkpoint resume") {
     val dir = tmpDir("inc-dedup-stream")
     val landing = s"$dir/landing"

@@ -33,6 +33,36 @@ class PlanSpec extends SparkSpec {
         s"'$f' tree leaked into a filter:\n${filterish.mkString("\n")}"))
   }
 
+  /** Run `body` with a QueryExecutionListener attached and poll (the
+    * listener bus is async) until SOME executed plan satisfies `pred`.
+    * This is the only way to observe plans that execute INSIDE an
+    * operator — eager fixpoints, store writes — because by the time the
+    * returned frame runs, their results are checkpoint-backed
+    * `Scan ExistingRDD` nodes and `finalExecutedPlan` cannot see them.
+    */
+  private def assertInnerPlan(tag: String)(pred: String => Boolean)(body: => Unit): Unit = {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var found = false
+      while (!found && System.nanoTime() < deadline) {
+        import scala.jdk.CollectionConverters._
+        found = plans.asScala.exists(pred)
+        if (!found) Thread.sleep(100)
+      }
+      assert(found, s"$tag: no executed plan matched the predicate")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("date-range predicate pushes down to the parquet scan") {
     val p = plan(RelationalQueries.ordersInRange(spark, sf))
     assert(p.contains("PushedFilters:") &&
@@ -84,7 +114,11 @@ class PlanSpec extends SparkSpec {
     // This list is the round-13 AUDIT of the repo's whole corpus-scale
     // self-join surface. Pinned here (query-level): minhash, inverted
     // shingle, jaccard-prefix, simhash, cosine-LSH (rep pairs AND the
-    // intra-bucket member pairs), SemDeDup cell pairs. Pinned in the
+    // intra-bucket member pairs). SemDeDup's cell pairs execute INSIDE
+    // the eager connected-components fixpoint (the returned frame reads
+    // the CC labels as checkpoint-backed Scan ExistingRDD nodes and
+    // carries only the label/keeper joins, which legitimately
+    // broadcast) — pinned below via listener capture. Pinned in the
     // incremental-store test below (write-path plans): IncrementalDedup
     // band edges, IncrementalSemDedup cell edges, IncrementalImageDedup
     // band edges. Audited and EXEMPT, by shape:
@@ -111,11 +145,20 @@ class PlanSpec extends SparkSpec {
         "inverted-shingle" -> DedupQueries.nearDupPairs(spark, sf),
         "jaccard-prefix" -> DedupQueries.jaccardPrefixPairs(spark, sf),
         "simhash" -> DedupQueries.simHashPairs(spark, sf),
-        "cosine" -> graft.queries.EmbeddingQueries.cosineDedup(spark, sf),
-        "semdedup" -> graft.queries.EmbeddingQueries.semDeDup(spark, sf))) {
+        "cosine" -> graft.queries.EmbeddingQueries.cosineDedup(spark, sf))) {
       val finalPlan = finalExecutedPlan(df)
       assert(finalPlan.contains("SortMergeJoin"),
         s"$name: hinted self-join collapsed to broadcast:\n$finalPlan")
+    }
+    // semdedup: the hinted cell self-join is only visible in the INNER
+    // edge-materialization plan (it feeds the eager CC fixpoint) — the
+    // same shape the incremental-store test handles, so the same
+    // listener discipline: the executed edge plan must show the join
+    // surviving as a SortMergeJoin on the cell key even at sf0.001,
+    // where AQE would broadcast any unhinted side.
+    assertInnerPlan("semdedup: hinted cell self-join collapsed to broadcast")(
+      p => p.contains("SortMergeJoin") && p.contains("cell")) {
+      graft.queries.EmbeddingQueries.semDeDup(spark, sf).collect()
     }
     // cosine-LSH carries TWO hinted self-joins (rep pairs + intra-bucket
     // members): both must survive

@@ -234,4 +234,109 @@ class ServingConcurrencySpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(p, "batch=1")))
     assert(!fs.exists(next) && !fs.exists(aside))
   }
+
+  test("adoptNext tolerates losing the move-aside race to a concurrent healer") {
+    import org.apache.hadoop.fs.{FileSystem, FilterFileSystem, Path}
+    // Two reader JVMs can heal the same crashed swap concurrently;
+    // swapLock is JVM-local, so the loser's rename(p, aside) fails with
+    // p already taken by the winner. Both shapes of how far the winner
+    // got must be absorbed — an IllegalArgumentException here is not in
+    // servingRead's retry classes, so a spurious throw loses the read.
+    def freshStore(tag: String): (FileSystem, Path, Path) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      val (fs, p) = BatchStore.fsPath(spark, s"$dir/store")
+      val next = new Path(s"$dir/store__next")
+      fs.mkdirs(p) // empty live tree — the crashed-swap shape
+      fs.mkdirs(new Path(next, "batch=0"))
+      (fs, p, next)
+    }
+    // shape 1: the winner completed the WHOLE heal between our emptiness
+    // check and the move-aside (live tree adopted, __next consumed)
+    locally {
+      val (fs, p, next) = freshStore("adoptrace1")
+      val racing = new FilterFileSystem(fs) {
+        override def rename(src: Path, dst: Path): Boolean =
+          if (src.toUri.getPath == p.toUri.getPath &&
+              dst.toString.endsWith("__aside")) {
+            fs.delete(src, true)
+            fs.rename(next, p)
+            false // the loser's view: rename failed, p gone then re-adopted
+          } else super.rename(src, dst)
+      }
+      BatchStore.adoptNext(racing, p)
+      assert(fs.exists(new Path(p, "batch=0")) && !fs.exists(next))
+    }
+    // shape 2: the winner only moved the empty tree aside — the loser
+    // falls through and performs the adoption itself
+    locally {
+      val (fs, p, next) = freshStore("adoptrace2")
+      val racing = new FilterFileSystem(fs) {
+        override def rename(src: Path, dst: Path): Boolean =
+          if (src.toUri.getPath == p.toUri.getPath &&
+              dst.toString.endsWith("__aside")) {
+            fs.delete(src, true) // winner took the empty tree, nothing more
+            false
+          } else super.rename(src, dst)
+      }
+      BatchStore.adoptNext(racing, p)
+      assert(fs.exists(new Path(p, "batch=0")) && !fs.exists(next))
+    }
+    // a rename failure with the EMPTY live tree still present is a real
+    // fault (nobody raced it) and must stay loud
+    locally {
+      val (fs, p, _) = freshStore("adoptrace3")
+      val broken = new FilterFileSystem(fs) {
+        override def rename(src: Path, dst: Path): Boolean =
+          if (src.toUri.getPath == p.toUri.getPath &&
+              dst.toString.endsWith("__aside")) false
+          else super.rename(src, dst)
+      }
+      val e = intercept[IllegalArgumentException] { BatchStore.adoptNext(broken, p) }
+      assert(e.getMessage.contains("failed to move"))
+    }
+  }
+
+  test("compactIndex pre-flight is scoped to upToBatch: a torn batch above the range never freezes maintenance") {
+    val dir = java.nio.file.Files.createTempDirectory("idxscope").toString
+    val docs = Seq((1L, "spark shuffles data"), (2L, "duck reads parquet"))
+      .toDF("doc_id", "text")
+    Retrieval.buildIndex(docs, $"doc_id", $"text", s"$dir/idx", buckets = 4)
+    val more = Seq((3L, "spark compacts stores")).toDF("doc_id", "text")
+    Retrieval.appendIndex(more, $"doc_id", $"text", s"$dir/idx", batchId = 1L)
+    // a torn postings batch ABOVE the compaction range (the stream died
+    // before its replay): older fully-committed batches must still compact
+    val (fs, p) = BatchStore.fsPath(spark, s"$dir/idx/postings")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "batch=5"))
+    Retrieval.compactIndex(spark, s"$dir/idx", upToBatch = 1L)
+    val hits = BatchStore.servingRead() {
+      Retrieval.queryIndex(spark, s"$dir/idx", Seq("spark")).collect()
+    }
+    assert(hits.nonEmpty)
+    // but compacting THROUGH the torn id still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.compactIndex(spark, s"$dir/idx", upToBatch = 5L)
+    }
+    assert(e.getMessage.contains("diverge"))
+  }
+
+  test("deterministic 'does not exist' analysis failures are not retried as vanished paths") {
+    // the retry classifier keys on PATH/FILE contexts — a missing-table
+    // or missing-column message (e.g. "[TABLE_OR_VIEW_NOT_FOUND] The
+    // table or view `x` cannot be found" / "Table x does not exist")
+    // could never heal and must surface after ONE attempt
+    var calls = 0
+    val boom = intercept[RuntimeException] {
+      BatchStore.servingRead(attempts = 5, backoffMs = 1) {
+        calls += 1
+        throw new RuntimeException("Table or view 'snapshots' does not exist")
+      }
+    }
+    assert(boom.getMessage.contains("does not exist"))
+    assert(calls == 1, s"deterministic analysis failure was retried $calls times")
+    // while the two genuine path shapes stay retryable
+    assert(BatchStore.isVanishedPathFailure(
+      new RuntimeException("Path does not exist: file:/store/batch=0")))
+    assert(BatchStore.isVanishedPathFailure(
+      new RuntimeException("FAILED_READ_FILE.FILE_NOT_EXIST: File does not exist")))
+  }
 }
