@@ -312,13 +312,17 @@ object Bench {
       val (planHash, shapeHash) = try {
         val frame = if (hashFrame != null) hashFrame else fn(spark, sfDir)
         val s = normalizedPlan(frame)
-        // diagnostic: dump the exact hashed string for run-to-run diffing
+        val shape = normalizedPlan(frame, maskLiterals = true)
+        // diagnostic: dump BOTH hashed strings for run-to-run diffing
+        // (the r14 shape-hash adjudication needed the masked string too)
         sys.env.get("SPARK_GRAFT_PLAN_DUMP").foreach { dir =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$dir/$name.txt"), s)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/$name.shape.txt"), shape)
         }
-        (digest(s), digest(normalizedPlan(frame, maskLiterals = true)))
+        (digest(s), digest(shape))
       } catch { case scala.util.control.NonFatal(_) => ("", "") }
       // a query that succeeded cold but failed all three steady runs is
       // still a failing query — surface it instead of reporting the cold

@@ -108,6 +108,15 @@ object IncrementalDedup {
     */
   val BandBuckets = 64
 
+  /** Cap on batch band-key rows for the probe-side broadcast of the
+    * batch×store candidate join: 4M rows ≈ 64 MB of (band, doc_id)
+    * payload, a few hundred MB as a hash relation — comfortably inside
+    * an executor. 4M band rows = a 250k-doc arrival at the default
+    * bands=16; bulk arrivals beyond that take the shuffled join, which
+    * is the right plan when the arrival stops being the small side.
+    */
+  val BroadcastBandRowsMax = 4000000L
+
   private[operators] def bandsRoot(storePath: String): String =
     storePath + "__bands"
 
@@ -222,19 +231,46 @@ object IncrementalDedup {
     // from the merge-hint audit: broadcasting it is legitimately
     // optimal); signatures are fetched ONLY for the distinct colliding
     // ids, whose bounded frame broadcasts against one narrow store scan.
-    val batchBuckets = banded
+    val bandStats = banded
       .select(explode(col("bands")).as("__b"))
       .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded: <= BandBuckets rows
+      .agg(collect_set(col("bucket")).as("bk"), count(lit(1)).as("n"))
+      .head() // bounded: one row, <= BandBuckets bucket ids
+    val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
+    val batchBandRows = bandStats.getLong(1)
     val idx = readPriorBands(spark, storePath, batchId)
       .filter(col("bucket").isin(batchBuckets: _*))
-    val candIds = nEx.select(col("doc_id"), col("__b"))
-      .join(idx, Seq("__b"))
-      .select(col("doc_id"), col("__sid"))
-      .distinct()
-    val storeRep = candIds
-      .join(store.select(col("doc_id").as("__sid"), col("sig").as("__ssig"),
-        col("rep_id").as("__srep")), Seq("__sid"))
+    // the candidate join is UNEQUAL (arrival << store history): when the
+    // batch band-key side is bounded, BROADCAST it so the store index is
+    // a pure pruned scan + hash probe — measured at 4M-doc history, the
+    // unhinted SortMergeJoin exchanged the whole 64M-row index (~2.5 GB
+    // shuffle, the dominant arrival cost); the probe-side broadcast
+    // removes that exchange entirely and the arrival cost drops to the
+    // index SCAN term. Above the cap (a bulk arrival, not a trickle),
+    // the shuffled join is the right plan and AQE keeps it.
+    val batchBands = nEx.select(col("doc_id"), col("__b"))
+    val candRaw =
+      if (batchBandRows <= BroadcastBandRowsMax)
+        idx.join(broadcast(batchBands), Seq("__b"))
+      else idx.join(batchBands, Seq("__b"))
+    // materialize the candidate id pairs and pick the fetch plan by their
+    // MEASURED size: an explicit broadcast keeps the store's signature
+    // table out of the exchange entirely (AQE alone plans the fetch as a
+    // sort-merge and only converts after BOTH map sides already shuffled
+    // — at 4M-doc history that map side writes the whole ~1.5 GB sig
+    // table before the conversion can see the tiny candidate count).
+    // Degenerate flood batches (every doc matching thousands of store
+    // rows) exceed the cap and take the shuffled join — correct, just
+    // wide, exactly when the candidate side stops being small.
+    val candIds = Checkpoints.materializeFrame(
+      candRaw.select(col("doc_id"), col("__sid")).distinct())
+    val sigTable = store.select(col("doc_id").as("__sid"),
+      col("sig").as("__ssig"), col("rep_id").as("__srep"))
+    val fetched =
+      if (candIds.count() <= BroadcastBandRowsMax)
+        sigTable.join(broadcast(candIds), Seq("__sid"))
+      else sigTable.join(candIds, Seq("__sid"))
+    val storeRep = fetched
       .join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
       .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
       .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
@@ -269,6 +305,7 @@ object IncrementalDedup {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
     Checkpoints.free(banded)
+    Checkpoints.freeFrame(candIds)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
   }

@@ -65,6 +65,52 @@ object IncrementalDedupBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Frontier mode: the MARGINAL cost of one `arrival`-doc batch at a
+    * deep accepted history — the SegmentDedupBench discipline. Seeds the
+    * store with `history` docs as batch 0 (through parquet, so the band
+    * self-join sees file stats, the IncrementalCurationBench rationale),
+    * compacts it to the serving layout (consolidated batch + bucketed
+    * band index), then times the arrival at batchId=1 twice (the second
+    * rep is an exact checkpoint-replay — store reads exclude batch >= 1 —
+    * so both reps do identical work) against the naive alternative:
+    * one-shot re-dedup of history+arrival on a throwaway store.
+    */
+  private def frontier(spark: SparkSession, base: String,
+      history: Long, arrival: Long): Unit = {
+    val allPath = s"$base/frontier-corpus-$history"
+    corpus(spark, history + arrival)
+      .write.mode("overwrite").parquet(allPath)
+    val all = spark.read.parquet(allPath)
+    val hist = all.filter(col("doc_id") < history)
+    val batch = all.filter(col("doc_id") >= history)
+    val store = s"$base/frontier-$history"
+    IncrementalDedup.lshDedupBatch(spark, hist,
+      col("doc_id"), col("text"), store, 0L)
+    IncrementalDedup.compactStore(spark, store, upToBatch = 0L)
+    val incT = (0 until 2).map { _ =>
+      timed {
+        IncrementalDedup.lshDedupBatch(spark, batch,
+          col("doc_id"), col("text"), store, 1L).count()
+      }._2
+    }.min
+    val naiveT = (0 until 2).map { rep =>
+      val os = s"$base/frontier-naive-$history-$rep"
+      timed {
+        IncrementalDedup.lshDedupBatch(spark, all,
+          col("doc_id"), col("text"), os, 0L).count()
+      }._2
+    }.min
+    val incSurv = IncrementalDedup.survivors(spark, store).count()
+    val naiveSurv = IncrementalDedup.survivors(
+      spark, s"$base/frontier-naive-$history-1").count()
+    require(incSurv == naiveSurv,
+      s"survivor sets diverged: incremental $incSurv vs one-shot $naiveSurv")
+    println(f"FRONTIER history=$history%9d arrival=$arrival%8d " +
+      f"incr=$incT%7.2fs naive=$naiveT%7.2fs ${naiveT / incT}%5.2fx " +
+      f"survivors=$incSurv%9d")
+    rmrf(spark, base)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -74,6 +120,20 @@ object IncrementalDedupBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("frontier")) {
+      val base = s"target/tmp/inc-bench-frontier-${System.nanoTime()}"
+      val arrival = args.lift(2).map(_.toLong).getOrElse(100000L)
+      // warmup (codegen costs out of the first measured rung)
+      IncrementalDedup.lshDedupBatch(spark, corpus(spark, 2000L),
+        col("doc_id"), col("text"), s"$base/warmup", 0L)
+      rmrf(spark, s"$base/warmup")
+      args.lift(1).map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(1000000L, 2000000L, 4000000L, 8000000L))
+        .foreach(h => frontier(spark, base, h, arrival))
+      rmrf(spark, base)
+      spark.stop()
+      return
+    }
     val sizes = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(20000L, 50000L))
     val batches = args.lift(1).map(_.toInt).getOrElse(5)
