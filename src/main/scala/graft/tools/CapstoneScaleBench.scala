@@ -101,7 +101,8 @@ object CapstoneScaleBench {
           imgStore = s"$root/img_store", semStore = s"$root/sem_store")
         else base
       val watched = Seq(
-        "lsh" -> stores.lshStore, "seg" -> stores.segStore,
+        "lsh" -> stores.lshStore, "lsh_bands" -> (stores.lshStore + "__bands"),
+        "seg" -> stores.segStore,
         "bm25" -> stores.bm25Store, "curated" -> stores.curatedDir) ++
         (if (mode == "full") Seq(
           "ivfpq" -> stores.vecStore, "img" -> stores.imgStore,
