@@ -304,8 +304,10 @@ private[graft] object BatchStore {
   def compact(
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
-      merge: DataFrame => DataFrame = identity): Unit =
-    compactPrepare(spark, path, upToBatch, targetFiles, partitionCols, merge)
+      merge: DataFrame => DataFrame = identity,
+      dataSchema: Option[StructType] = None): Unit =
+    compactPrepare(spark, path, upToBatch, targetFiles, partitionCols, merge,
+        dataSchema)
       .foreach(completeSwap)
 
   /** A fully-staged replacement tree awaiting its [[completeSwap]]. */
@@ -325,7 +327,8 @@ private[graft] object BatchStore {
   def compactPrepare(
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
-      merge: DataFrame => DataFrame = identity): Option[PendingSwap] = {
+      merge: DataFrame => DataFrame = identity,
+      dataSchema: Option[StructType] = None): Option[PendingSwap] = {
     val (fs, p) = fsPath(spark, path)
     val batches = listBatches(fs, p)
     if (!batches.exists(_._1 <= upToBatch)) return None
@@ -338,8 +341,19 @@ private[graft] object BatchStore {
         df.repartition(partitionCols.map(col): _*)
           .write.partitionBy(partitionCols: _*).parquet(out)
       else df.coalesce(targetFiles).write.parquet(out)
+    // `dataSchema` (the store row layout WITHOUT the batch column) lets a
+    // tree whose committed partitions can ALL be file-less — a nested
+    // store where an empty batch's partitionBy write emits only _SUCCESS,
+    // e.g. IncrementalDedup's band index after an all-short seed batch —
+    // compact without tripping parquet schema inference on zero footers.
+    val rootRead = dataSchema match {
+      case Some(s) => spark.read.schema(
+        s.add(org.apache.spark.sql.types.StructField(
+          "batch", org.apache.spark.sql.types.LongType)))
+      case None => spark.read
+    }
     write(
-      merge(spark.read.parquet(path)
+      merge(rootRead.parquet(path)
         .filter(col("batch") <= upToBatch).drop("batch")),
       s"$next/batch=$target")
     batches.filter(_._1 > upToBatch).foreach { case (b, bp) =>
@@ -348,7 +362,12 @@ private[graft] object BatchStore {
       // nothing to consolidate, but the dir itself must survive the swap
       // — it is the stream-replay overwrite target, and callers like
       // compactIndex's pre-flight key divergence detection on its
-      // presence. Recreate it empty instead of schema-inferring nothing.
+      // presence. Recreate it empty instead of schema-inferring nothing —
+      // and when the source dir carries the job-commit _SUCCESS marker
+      // (a legitimately committed zero-row batch, not a torn append),
+      // recreate the marker too: dropping it would silently demote the
+      // batch out of committedBatches, changing what serving reads and
+      // readPriorBands observe.
       val files = fs.listFiles(bp, true)
       var hasData = false
       while (!hasData && files.hasNext) {
@@ -356,7 +375,11 @@ private[graft] object BatchStore {
         hasData = !n.startsWith("_") && !n.startsWith(".")
       }
       if (hasData) write(spark.read.parquet(s"$path/batch=$b"), s"$next/batch=$b")
-      else fs.mkdirs(new Path(s"$next/batch=$b"))
+      else {
+        fs.mkdirs(new Path(s"$next/batch=$b"))
+        if (fs.exists(new Path(bp, "_SUCCESS")))
+          fs.create(new Path(s"$next/batch=$b/_SUCCESS"), true).close()
+      }
     }
     Some(PendingSwap(fs, p, next))
   }

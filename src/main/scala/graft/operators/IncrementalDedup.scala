@@ -70,14 +70,16 @@ import org.apache.spark.sql.functions._
   * suppression passed the estimator gate.
   *
   * Scale shape: the only wide operations are the band-bucket joins
-  * (keyed on 8-byte band hashes), the component loop over the
-  * batch-internal edge list, and the final label join — so STORE text is
-  * never read at all, STORE signatures never ride the band explosion
-  * (the batch×store candidate join reads the 16-byte-row band-index
-  * tree, partition-pruned to the batch's colliding `bucket=` dirs, and
-  * signatures are fetched only for the distinct colliding ids), and
-  * BATCH text moves through exactly one exchange (batch-sized, not
-  * corpus-sized). Store growth is one row per doc ever seen plus
+  * (keyed on 8-byte band hashes over 16-byte rows), the component loop
+  * over the batch-internal edge list, and the final label join — so
+  * STORE text is never read at all, and NEITHER side's signatures ride
+  * the band explosion: the batch×store candidate join reads the
+  * 16-byte-row band-index tree, partition-pruned to the batch's
+  * colliding `bucket=` dirs; the batch×batch self-join exchanges bare
+  * (band, id) rows; and signatures are fetched afterwards for the
+  * distinct colliding ids alone, broadcast-probed below the measured
+  * caps. BATCH text moves through exactly one exchange (batch-sized,
+  * not corpus-sized). Store growth is one row per doc ever seen plus
   * `bands` index rows per doc; the index layout ([[BandBuckets]]
   * hash-bucketed dirs per batch, preserved through compaction) is
   * exactly the band-hash-partitioned layout a trillion-doc store needs.
@@ -117,6 +119,15 @@ object IncrementalDedup {
     */
   val BroadcastBandRowsMax = 4000000L
 
+  /** Cap on SIGNATURE-carrying rows for the broadcast fetch joins (the
+    * colliding-id slices of the batch and store signature tables): 1M
+    * rows × ~530 B (k=64 longs + id) ≈ 530 MB as payload — the hash
+    * relation fits a reasonably-sized executor, and 1M colliding docs
+    * per batch is already a flood regime where the shuffled fallback is
+    * the right plan anyway.
+    */
+  val BroadcastSigRowsMax = 1000000L
+
   private[operators] def bandsRoot(storePath: String): String =
     storePath + "__bands"
 
@@ -152,7 +163,12 @@ object IncrementalDedup {
     val committedIds = committed.map(_._1).toSet
     val indexed =
       if (committed.nonEmpty)
-        spark.read.option("basePath", idxRoot)
+        // EXPLICIT schema: a committed all-short batch writes a file-less
+        // index partition (empty frame + partitionBy emits only _SUCCESS);
+        // when every committed partition is file-less, schema inference
+        // has no footer to read and the whole arrival crashes. The index
+        // schema is a constant of the layout — never infer it.
+        spark.read.schema(bandIndexSchema).option("basePath", idxRoot)
           .parquet(committed.map(_._2.toString): _*)
           .select(col("__b"), col("__sid"), col("bucket"))
       else spark.createDataFrame(
@@ -206,19 +222,51 @@ object IncrementalDedup {
     val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
       .select(col("doc_id"), col("sig"), col("rep_id"))
 
-    val nEx = banded.select(col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
-    // batch×batch candidate edges, verified on estimated Jaccard. The
-    // self-join is merge-hinted (the [[Dedup]] corpus-scale self-join
-    // rule): both sides are the same batch-sized frame, so a broadcast
-    // build can never win — and a stats misestimate (range-generator
-    // frames weigh 8 bytes/row to the planner, inherited through
-    // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
-    // attempt of the exploded side at 500 k docs.
-    val nnEdges = nEx.as("x").hint("merge").join(nEx.as("y"),
-        col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.sig").as("__sa"),
-        col("y.doc_id").as("b"), col("y.sig").as("__sb"))
-      .distinct()
+    // NARROW band rows — (band hash, doc id), 16 bytes — are all that
+    // rides the batch×batch band exchange. Until round 15 each exploded
+    // row also carried the k=64 signature (~530 bytes), so the self-join
+    // shuffled ~bands×530 B/doc (~68 GB at an 8 M-doc seed — the spill
+    // that disk-blocked the frontier's 8 M rung); signatures are now
+    // fetched AFTER candidate generation, for the colliding ids alone.
+    val nEx = banded.select(col("doc_id"), explode(col("bands")).as("__b"))
+    // batch×batch candidate id pairs. The self-join is merge-hinted (the
+    // [[Dedup]] corpus-scale self-join rule): both sides are the same
+    // batch-sized frame, so a broadcast build can never win — and a
+    // stats misestimate (range-generator frames weigh 8 bytes/row to the
+    // planner, inherited through localCheckpoint) measurably turned this
+    // into an 8.3 GiB broadcast attempt of the exploded side at 500 k
+    // docs. Materialized: the pair set feeds the colliding-id projection,
+    // the count that picks the fetch plan, and the verify join.
+    val pairIds = Checkpoints.materializeFrame(
+      nEx.as("x").hint("merge").join(nEx.as("y"),
+          col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct())
+    val pairCnt = pairIds.count()
+    // signature fetch for the batch pairs, by MEASURED size (the store-
+    // side discipline): the colliding-id set is bounded by 2×pairs, so a
+    // bounded pair set broadcasts the id probe into one scan of the
+    // batch signature frame — signatures never shuffle at all; and the
+    // fetched slice (collision-bounded, typically << batch) broadcasts
+    // into both sides of the pair verify, so the PAIR exchange carries
+    // 16-byte rows too. A flood batch beyond the caps degrades to
+    // shuffled joins whose widest exchange is one batch-sized signature
+    // table — still bands× narrower than the pre-r15 exploded join.
+    val sigsB = banded.select(col("doc_id"), col("sig"))
+    val collIds = pairIds.select(col("a").as("doc_id"))
+      .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
+    val collSigs = Checkpoints.materializeFrame(
+      if (pairCnt * 2 <= BroadcastBandRowsMax)
+        sigsB.join(broadcast(collIds), Seq("doc_id"))
+      else sigsB.join(collIds, Seq("doc_id")))
+    val collCnt = collSigs.count()
+    val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+    val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+    val paired =
+      if (collCnt <= BroadcastSigRowsMax)
+        pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
+      else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
+    val nnEdges = paired
       .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
       .select(col("a"), col("b"))
     // batch×store: min matched store REP per batch doc (matching a
@@ -248,7 +296,7 @@ object IncrementalDedup {
     // removes that exchange entirely and the arrival cost drops to the
     // index SCAN term. Above the cap (a bulk arrival, not a trickle),
     // the shuffled join is the right plan and AQE keeps it.
-    val batchBands = nEx.select(col("doc_id"), col("__b"))
+    val batchBands = nEx
     val candRaw =
       if (batchBandRows <= BroadcastBandRowsMax)
         idx.join(broadcast(batchBands), Seq("__b"))
@@ -264,14 +312,22 @@ object IncrementalDedup {
     // wide, exactly when the candidate side stops being small.
     val candIds = Checkpoints.materializeFrame(
       candRaw.select(col("doc_id"), col("__sid")).distinct())
+    val candCnt = candIds.count()
     val sigTable = store.select(col("doc_id").as("__sid"),
       col("sig").as("__ssig"), col("rep_id").as("__srep"))
     val fetched =
-      if (candIds.count() <= BroadcastBandRowsMax)
+      if (candCnt <= BroadcastBandRowsMax)
         sigTable.join(broadcast(candIds), Seq("__sid"))
       else sigTable.join(candIds, Seq("__sid"))
-    val storeRep = fetched
-      .join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
+    // the verify join against the batch's own signatures: when the
+    // fetched slice (≤ candCnt rows, sig-carrying) is bounded, broadcast
+    // it so the batch signature frame is scanned in place rather than
+    // exchanged — the same measured-size rule as the batch-side fetch
+    val verifyJoined =
+      if (candCnt <= BroadcastSigRowsMax)
+        banded.select(col("doc_id"), col("sig")).join(broadcast(fetched), Seq("doc_id"))
+      else fetched.join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
+    val storeRep = verifyJoined
       .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
       .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
 
@@ -306,6 +362,8 @@ object IncrementalDedup {
       .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
     Checkpoints.free(banded)
     Checkpoints.freeFrame(candIds)
+    Checkpoints.freeFrame(pairIds)
+    Checkpoints.freeFrame(collSigs)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
   }
@@ -390,8 +448,10 @@ object IncrementalDedup {
       }
     }
     val main = BatchStore.compactPrepare(spark, storePath, upToBatch, targetFiles)
+    // explicit schema: the index tree's committed partitions can ALL be
+    // file-less (all-short batches), leaving zero footers to infer from
     val idx = BatchStore.compactPrepare(spark, idxRoot, upToBatch,
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("bucket"), dataSchema = Some(bandIndexSchema))
     main.foreach(BatchStore.completeSwap)
     idx.foreach(BatchStore.completeSwap)
   }

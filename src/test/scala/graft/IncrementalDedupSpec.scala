@@ -260,6 +260,46 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(b3 === Seq((5L, 1L, false)))
   }
 
+  test("all-short seed batch: file-less committed index partitions crash neither arrivals nor compaction") {
+    // an all-short batch has zero band rows, so its index write commits a
+    // FILE-LESS partition (empty frame + partitionBy emits only _SUCCESS).
+    // When every committed index partition is file-less, schema inference
+    // has no parquet footer — the explicit-schema read is what keeps the
+    // next arrival and compactStore alive (regression: both crashed with
+    // 'Unable to infer schema', and since the partition was committed,
+    // neither the derive fallback nor the backfill repaired it).
+    val store = tmpDir("inc-dedup-allshort")
+    def run(batchId: Long, rows: (Long, String)*): Map[Long, (Long, Boolean)] =
+      IncrementalDedup.lshDedupBatch(
+        spark, rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        store, batchId, threshold = Threshold, bands = TestBands)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+
+    val b0 = run(0L, 1L -> "hi", 2L -> "yo") // seed: every doc shingle-less
+    assert(b0 === Map(1L -> ((1L, true)), 2L -> ((2L, true))))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx0 = new org.apache.hadoop.fs.Path(s"${store}__bands/batch=0")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx0, "_SUCCESS")),
+      "precondition: the all-short index partition should be committed")
+    assert(fs.listStatus(idx0).forall(_.getPath.getName.startsWith("_")),
+      "precondition: the all-short index partition should be file-less")
+
+    // compaction over ONLY the file-less index partition must not crash
+    IncrementalDedup.compactStore(spark, store, upToBatch = 0L)
+    // the next arrival reads the (still file-less) committed index
+    val b1 = run(1L, 10L -> textA)
+    assert(b1 === Map(10L -> ((10L, true))))
+    // and suppression through the index still works downstream
+    val b2 = run(2L, 20L -> textB)
+    assert(b2 === Map(20L -> ((10L, false))))
+    // full compaction across mixed file-less + real index partitions
+    IncrementalDedup.compactStore(spark, store, upToBatch = 2L)
+    val b3 = run(3L, 30L -> textG)
+    assert(b3 === Map(30L -> ((10L, false))),
+      "post-compaction suppression chain broken")
+  }
+
   test("streaming wrapper: LSH dedup store survives checkpoint resume") {
     val dir = tmpDir("inc-dedup-stream")
     val landing = s"$dir/landing"

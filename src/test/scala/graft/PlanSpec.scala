@@ -156,8 +156,11 @@ class PlanSpec extends SparkSpec {
     // listener discipline: the executed edge plan must show the join
     // surviving as a SortMergeJoin on the cell key even at sf0.001,
     // where AQE would broadcast any unhinted side.
+    // the cell key must appear on the SortMergeJoin line ITSELF — a plan
+    // with an unrelated SMJ plus the word "cell" elsewhere must not pass
     assertInnerPlan("semdedup: hinted cell self-join collapsed to broadcast")(
-      p => p.contains("SortMergeJoin") && p.contains("cell")) {
+      p => p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("cell"))) {
       graft.queries.EmbeddingQueries.semDeDup(spark, sf).collect()
     }
     // cosine-LSH carries TWO hinted self-joins (rep pairs + intra-bucket
@@ -205,7 +208,8 @@ class PlanSpec extends SparkSpec {
           (i, s"tok${i % 7} alpha beta gamma delta epsilon zeta eta theta iota")).toDF("id", "text")
         graft.operators.IncrementalDedup.lshDedupBatch(
           spark, docs, $"id", $"text", store, batchId = 0L).collect()
-        awaitPlan("lsh", p => p.contains("SortMergeJoin") && p.contains("__b"))
+        awaitPlan("lsh", p => p.linesIterator.exists(l =>
+          l.contains("SortMergeJoin") && l.contains("__b")))
       }
       plans.clear()
       locally { // IncrementalSemDedup (cell edges)
@@ -224,7 +228,8 @@ class PlanSpec extends SparkSpec {
         graft.operators.IncrementalSemDedup.semDedupBatch(
           spark, batch, col("id"), col("e"), store, batchId = 0L,
           threshold = 0.9).collect()
-        awaitPlan("semdedup", p => p.contains("SortMergeJoin") && p.contains("cell"))
+        awaitPlan("semdedup", p => p.linesIterator.exists(l =>
+          l.contains("SortMergeJoin") && l.contains("cell")))
       }
     } finally spark.listenerManager.unregister(listener)
   }

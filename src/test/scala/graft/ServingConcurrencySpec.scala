@@ -319,6 +319,34 @@ class ServingConcurrencySpec extends SparkSpec {
     assert(e.getMessage.contains("diverge"))
   }
 
+  test("compaction preserves the _SUCCESS marker of a committed zero-row batch above the range") {
+    // a NESTED store's zero-row batch commits file-less (partitionBy of
+    // an empty frame emits only _SUCCESS). Compacting below it recreates
+    // the dir — and must recreate the marker too, or the batch silently
+    // demotes out of committedBatches after the swap, changing the commit
+    // status serving reads and readPriorBands observe.
+    val dir = java.nio.file.Files.createTempDirectory("succkeep").toString
+    val path = s"$dir/store"
+    Seq((1L, 0), (2L, 1)).toDF("v", "cell")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/batch=0")
+    spark.range(0).select($"id".as("v"), $"id".cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$path/batch=1")
+    val (fs, p) = BatchStore.fsPath(spark, path)
+    assert(BatchStore.committedBatches(fs, p).map(_._1).sorted === Seq(0L, 1L))
+    BatchStore.compact(spark, path, upToBatch = 0L, partitionCols = Seq("cell"))
+    assert(BatchStore.committedBatches(fs, p).map(_._1).sorted === Seq(0L, 1L),
+      "compaction demoted the committed zero-row batch above the range")
+    // a torn (uncommitted) file-less dir must stay uncommitted — the
+    // marker is preserved, never invented
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "batch=2"))
+    BatchStore.compact(spark, path, upToBatch = 0L, partitionCols = Seq("cell"))
+    assert(BatchStore.listBatches(fs, p).map(_._1).sorted === Seq(0L, 1L, 2L))
+    assert(BatchStore.committedBatches(fs, p).map(_._1).sorted === Seq(0L, 1L),
+      "compaction invented a _SUCCESS marker for a torn batch dir")
+  }
+
   test("deterministic 'does not exist' analysis failures are not retried as vanished paths") {
     // the retry classifier keys on PATH/FILE contexts — a missing-table
     // or missing-column message (e.g. "[TABLE_OR_VIEW_NOT_FOUND] The
