@@ -265,6 +265,25 @@ private[graft] object BatchStore {
     * therefore also carries a `batch` partition column and possibly a
     * different column ORDER than `schema` — callers select by name.
     */
+  /** Total DATA bytes at rest in the pre-batch partitions (`batch <
+    * batchId`) — the driver-side store-size signal a caller's join-plan
+    * gate reads (one FS listing, no Spark job; bookkeeping files
+    * excluded). 0 for a missing or empty store.
+    */
+  def priorBytes(spark: SparkSession, path: String, batchId: Long): Long = {
+    val (fs, p) = fsPath(spark, path)
+    listBatches(fs, p).filter(_._1 < batchId).map { case (_, bp) =>
+      val it = fs.listFiles(bp, true)
+      var s = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) s += f.getLen
+      }
+      s
+    }.sum
+  }
+
   def readPrior(
       spark: SparkSession, path: String, batchId: Long,
       schema: StructType): DataFrame = {
@@ -305,9 +324,10 @@ private[graft] object BatchStore {
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
       merge: DataFrame => DataFrame = identity,
-      dataSchema: Option[StructType] = None): Unit =
+      dataSchema: Option[StructType] = None,
+      sortCols: Seq[String] = Nil): Unit =
     compactPrepare(spark, path, upToBatch, targetFiles, partitionCols, merge,
-        dataSchema)
+        dataSchema, sortCols)
       .foreach(completeSwap)
 
   /** A fully-staged replacement tree awaiting its [[completeSwap]]. */
@@ -328,7 +348,8 @@ private[graft] object BatchStore {
       spark: SparkSession, path: String, upToBatch: Long,
       targetFiles: Int = 8, partitionCols: Seq[String] = Nil,
       merge: DataFrame => DataFrame = identity,
-      dataSchema: Option[StructType] = None): Option[PendingSwap] = {
+      dataSchema: Option[StructType] = None,
+      sortCols: Seq[String] = Nil): Option[PendingSwap] = {
     val (fs, p) = fsPath(spark, path)
     val batches = listBatches(fs, p)
     if (!batches.exists(_._1 <= upToBatch)) return None
@@ -336,11 +357,19 @@ private[graft] object BatchStore {
     val next = new Path(path + "__next")
     require(fs.delete(next, true) || !fs.exists(next),
       s"BatchStore.compact: failed to clear stale $next")
+    // `sortCols` keeps a consolidated file's rows clustered on the
+    // caller's data-column key (e.g. the bucketed cells layout stores
+    // `cell` INSIDE `cbk=` files): the sort costs nothing extra — the
+    // shuffle is already paid — and preserves the tight per-row-group
+    // min/max stats the caller's key-isin filters skip on.
     def write(df: DataFrame, out: String): Unit =
-      if (partitionCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
-          .write.partitionBy(partitionCols: _*).parquet(out)
-      else df.coalesce(targetFiles).write.parquet(out)
+      if (partitionCols.nonEmpty) {
+        val rep = df.repartition(partitionCols.map(col): _*)
+        val clustered =
+          if (sortCols.isEmpty) rep
+          else rep.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        clustered.write.partitionBy(partitionCols: _*).parquet(out)
+      } else df.coalesce(targetFiles).write.parquet(out)
     // `dataSchema` (the store row layout WITHOUT the batch column) lets a
     // tree whose committed partitions can ALL be file-less — a nested
     // store where an empty batch's partitionBy write emits only _SUCCESS,

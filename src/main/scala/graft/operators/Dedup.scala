@@ -572,10 +572,54 @@ object Dedup {
     * the distinct; edge count is bounded by the original m throughout
     * (each step emits ≤ one edge per input edge, deduplicated).
     */
+  /** Edge cap for the driver-local closure short-circuit of
+    * [[connectedComponents]]: 250k (a, b) longs collect to ~4 MB — a
+    * bounded driver sip, and far above any trickle batch's edge set
+    * (the composed-curation profile measured the distributed fixpoint
+    * as the largest FIXED per-arrival stage: 3 jobs per alternating
+    * round on kilobytes of edges). Corpus-scale edge sets exceed the
+    * cap after one cheap limit-probe and take the large-star/small-star
+    * fixpoint unchanged.
+    */
+  val LocalCcEdgesMax = 250000
+
   def connectedComponents(
       pairs: DataFrame, src: Column, dst: Column,
-      maxIterations: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, src, dst, maxIterations)._1
+      maxIterations: Int = 20): DataFrame = {
+    // measured-size short-circuit (the store-family plan discipline): a
+    // batch-scale edge set union-finds on the driver in microseconds —
+    // ONE CollectLimit job versus 2 + 3·rounds distributed jobs whose
+    // scheduling floors dominate at trickle size. The labeling is the
+    // same canonical node → min(component) the fixpoint converges to,
+    // so the two paths are output-identical (spec-pinned both ways).
+    val spark = pairs.sparkSession
+    val canon = pairs
+      .select(greatest(src.cast("long"), dst.cast("long")).as("a"),
+        least(src.cast("long"), dst.cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val probe = canon.limit(LocalCcEdgesMax + 1).collect()
+    if (probe.length > LocalCcEdgesMax)
+      connectedComponentsWithRounds(pairs, src, dst, maxIterations)._1
+    else {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = parent.keysIterator.toArray
+      import spark.implicits._
+      nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_rep")
+    }
+  }
 
   /** Partition-local union-find contraction — the zero-shuffle pre-pass
     * in front of the global large-star/small-star fixpoint. Each task

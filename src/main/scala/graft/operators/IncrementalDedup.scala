@@ -73,12 +73,15 @@ import org.apache.spark.sql.functions._
   * (keyed on 8-byte band hashes over 16-byte rows), the component loop
   * over the batch-internal edge list, and the final label join — so
   * STORE text is never read at all, and NEITHER side's signatures ride
-  * the band explosion: the batch×store candidate join reads the
-  * 16-byte-row band-index tree, partition-pruned to the batch's
-  * colliding `bucket=` dirs; the batch×batch self-join exchanges bare
-  * (band, id) rows; and signatures are fetched afterwards for the
-  * distinct colliding ids alone, broadcast-probed below the measured
-  * caps. BATCH text moves through exactly one exchange (batch-sized,
+  * the band explosion at scale: the batch×store candidate join reads
+  * the 16-byte-row band-index tree, partition-pruned to the batch's
+  * colliding `bucket=` dirs; the batch×batch self-join is size-gated
+  * ([[NarrowSelfJoinBandRowsMin]]) — a trickle batch keeps the classic
+  * one-shuffle plan (signatures ride its batch-sized exchange), a
+  * seed-scale batch exchanges bare (band, id) rows with signatures
+  * fetched afterwards for the distinct colliding ids alone,
+  * broadcast-probed below the measured caps. BATCH text moves through
+  * exactly one exchange (batch-sized,
   * not corpus-sized). Store growth is one row per doc ever seen plus
   * `bands` index rows per doc; the index layout ([[BandBuckets]]
   * hash-bucketed dirs per batch, preserved through compaction) is
@@ -127,6 +130,23 @@ object IncrementalDedup {
     * the right plan anyway.
     */
   val BroadcastSigRowsMax = 1000000L
+
+  /** Band-row threshold above which the batch self-join switches from
+    * the CLASSIC plan (signatures ride the band exchange — ONE shuffle,
+    * zero extra jobs) to the NARROW plan (bare 16-byte (band, id) rows
+    * through the exchange, signatures fetched afterwards for the
+    * colliding ids alone). 8M band rows = a 500k-doc batch at bands=16,
+    * whose classic exchange is ~4 GB — fine; a SEED-scale batch (8M
+    * docs = 128M band rows, ~68 GB classic exchange, the spill that
+    * disk-blocked the r14 frontier) needs narrow. Below the cap the
+    * narrow plan's eager plumbing (two localCheckpoint materializations
+    * + three gate counts) COSTS more than the exchange it saves —
+    * measured at a 100k-doc arrival: 16.3 s narrow vs 8.0 s classic
+    * wall, over half the narrow wall being driver-side job floors — so
+    * the gate picks by measured batch size, like every other plan
+    * choice in this store.
+    */
+  val NarrowSelfJoinBandRowsMin = 8000000L
 
   private[operators] def bandsRoot(storePath: String): String =
     storePath + "__bands"
@@ -222,53 +242,81 @@ object IncrementalDedup {
     val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
       .select(col("doc_id"), col("sig"), col("rep_id"))
 
-    // NARROW band rows — (band hash, doc id), 16 bytes — are all that
-    // rides the batch×batch band exchange. Until round 15 each exploded
-    // row also carried the k=64 signature (~530 bytes), so the self-join
-    // shuffled ~bands×530 B/doc (~68 GB at an 8 M-doc seed — the spill
-    // that disk-blocked the frontier's 8 M rung); signatures are now
-    // fetched AFTER candidate generation, for the colliding ids alone.
+    // one bounded driver row, measured BEFORE any join plan is chosen:
+    // the batch's colliding bucket set (the store-read prune below) and
+    // its band-row count (the plan dial for both the self-join and the
+    // candidate join)
+    val bandStats = banded
+      .select(explode(col("bands")).as("__b"))
+      .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
+      .agg(collect_set(col("bucket")).as("bk"), count(lit(1)).as("n"))
+      .head() // bounded: one row, <= BandBuckets bucket ids
+    val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
+    val batchBandRows = bandStats.getLong(1)
+
     val nEx = banded.select(col("doc_id"), explode(col("bands")).as("__b"))
-    // batch×batch candidate id pairs. The self-join is merge-hinted (the
-    // [[Dedup]] corpus-scale self-join rule): both sides are the same
-    // batch-sized frame, so a broadcast build can never win — and a
-    // stats misestimate (range-generator frames weigh 8 bytes/row to the
-    // planner, inherited through localCheckpoint) measurably turned this
-    // into an 8.3 GiB broadcast attempt of the exploded side at 500 k
-    // docs. Materialized: the pair set feeds the colliding-id projection,
-    // the count that picks the fetch plan, and the verify join.
-    val pairIds = Checkpoints.materializeFrame(
-      nEx.as("x").hint("merge").join(nEx.as("y"),
-          col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct())
-    val pairCnt = pairIds.count()
-    // signature fetch for the batch pairs, by MEASURED size (the store-
-    // side discipline): the colliding-id set is bounded by 2×pairs, so a
-    // bounded pair set broadcasts the id probe into one scan of the
-    // batch signature frame — signatures never shuffle at all; and the
-    // fetched slice (collision-bounded, typically << batch) broadcasts
-    // into both sides of the pair verify, so the PAIR exchange carries
-    // 16-byte rows too. A flood batch beyond the caps degrades to
-    // shuffled joins whose widest exchange is one batch-sized signature
-    // table — still bands× narrower than the pre-r15 exploded join.
-    val sigsB = banded.select(col("doc_id"), col("sig"))
-    val collIds = pairIds.select(col("a").as("doc_id"))
-      .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
-    val collSigs = Checkpoints.materializeFrame(
-      if (pairCnt * 2 <= BroadcastBandRowsMax)
-        sigsB.join(broadcast(collIds), Seq("doc_id"))
-      else sigsB.join(collIds, Seq("doc_id")))
-    val collCnt = collSigs.count()
-    val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
-    val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
-    val paired =
-      if (collCnt <= BroadcastSigRowsMax)
-        pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
-      else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
-    val nnEdges = paired
-      .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
-      .select(col("a"), col("b"))
+    // batch×batch candidate edges, by MEASURED batch size. The self-join
+    // is merge-hinted either way (the [[Dedup]] corpus-scale self-join
+    // rule): both sides are the same batch-sized frame, so a broadcast
+    // build can never win — and a stats misestimate (range-generator
+    // frames weigh 8 bytes/row to the planner, inherited through
+    // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
+    // attempt of the exploded side at 500 k docs.
+    //
+    // CLASSIC plan (batch below [[NarrowSelfJoinBandRowsMin]]):
+    // signatures ride the band exchange — one shuffle, zero extra jobs.
+    // NARROW plan (seed-scale batch): bare 16-byte (band, id) rows ride
+    // the exchange — until round 15 each exploded row also carried the
+    // k=64 signature (~530 bytes), so a seed's self-join shuffled
+    // ~bands×530 B/doc (~68 GB at 8 M docs — the spill that
+    // disk-blocked the r14 frontier's 8 M rung); the pair set is
+    // materialized and signatures are fetched afterwards for the
+    // colliding ids alone, broadcast-probed under the measured caps.
+    val (nnEdges, selfJoinScratch) =
+      if (batchBandRows <= NarrowSelfJoinBandRowsMin) {
+        val sEx = banded.select(
+          col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
+        val edges = sEx.as("x").hint("merge").join(sEx.as("y"),
+            col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
+          .filter(estimatedJaccard(col("x.sig"), col("y.sig"), k) >= threshold)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        (edges, Seq.empty[DataFrame])
+      } else {
+        val pairIds = Checkpoints.materializeFrame(
+          nEx.as("x").hint("merge").join(nEx.as("y"),
+              col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+            .distinct())
+        val pairCnt = pairIds.count()
+        // the colliding-id set is bounded by 2×pairs, so a bounded pair
+        // set broadcasts the id probe into one scan of the batch
+        // signature frame — signatures never shuffle at all; and the
+        // fetched slice (collision-bounded, << batch) broadcasts into
+        // both sides of the pair verify, so the PAIR exchange carries
+        // 16-byte rows too. A flood batch beyond the caps degrades to
+        // shuffled joins whose widest exchange is one batch-sized
+        // signature table — still bands× narrower than the pre-r15
+        // exploded join.
+        val sigsB = banded.select(col("doc_id"), col("sig"))
+        val collIds = pairIds.select(col("a").as("doc_id"))
+          .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
+        val collSigs = Checkpoints.materializeFrame(
+          if (pairCnt * 2 <= BroadcastBandRowsMax)
+            sigsB.join(broadcast(collIds), Seq("doc_id"))
+          else sigsB.join(collIds, Seq("doc_id")))
+        val collCnt = collSigs.count()
+        val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+        val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+        val paired =
+          if (collCnt <= BroadcastSigRowsMax)
+            pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
+          else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
+        val edges = paired
+          .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
+          .select(col("a"), col("b"))
+        (edges, Seq(pairIds, collSigs))
+      }
     // batch×store: min matched store REP per batch doc (matching a
     // suppressed store doc adopts ITS rep — cross-batch transitivity).
     // Candidates come from the NARROW band-index tree, partition-pruned
@@ -279,13 +327,6 @@ object IncrementalDedup {
     // from the merge-hint audit: broadcasting it is legitimately
     // optimal); signatures are fetched ONLY for the distinct colliding
     // ids, whose bounded frame broadcasts against one narrow store scan.
-    val bandStats = banded
-      .select(explode(col("bands")).as("__b"))
-      .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
-      .agg(collect_set(col("bucket")).as("bk"), count(lit(1)).as("n"))
-      .head() // bounded: one row, <= BandBuckets bucket ids
-    val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
-    val batchBandRows = bandStats.getLong(1)
     val idx = readPriorBands(spark, storePath, batchId)
       .filter(col("bucket").isin(batchBuckets: _*))
     // the candidate join is UNEQUAL (arrival << store history): when the
@@ -332,6 +373,12 @@ object IncrementalDedup {
       .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
 
     val comp = Dedup.connectedComponents(nnEdges, col("a"), col("b"))
+    // the component fixpoint is EAGER (its edge list materializes inside
+    // the call), so the narrow path's scratch frames are consumed now —
+    // free them before the batch-sized labeling joins below, not after
+    // the write: at seed scale they pin ~0.7 GB of block-manager state
+    // through the heaviest stage of the job
+    selfJoinScratch.foreach(Checkpoints.freeFrame)
     val ids = banded.select(col("doc_id"))
     val compOf = ids
       .join(comp, ids("doc_id") === comp("node"), "left")
@@ -362,8 +409,6 @@ object IncrementalDedup {
       .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
     Checkpoints.free(banded)
     Checkpoints.freeFrame(candIds)
-    Checkpoints.freeFrame(pairIds)
-    Checkpoints.freeFrame(collSigs)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
   }

@@ -58,6 +58,14 @@ object IncrementalImageDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "media_id BIGINT, dh BIGINT, rep_id BIGINT, survivor BOOLEAN")
 
+  /** Cap on the batch's distinct (band, key) rows for the probe-side
+    * broadcast of the batch×store candidate join: 4M ~24-byte structs is
+    * a few hundred MB as a hash relation (the [[IncrementalDedup]]
+    * measured-size discipline). At the default radius 6 that is a
+    * ~570k-image arrival; bulk loads beyond it take the shuffled plan.
+    */
+  val BroadcastBandRowsMax = 4000000L
+
   /** (band, key) rows for a 64-bit hash column: `maxHamming + 1`
     * disjoint segments ([[Multimodal.pigeonholeBands]] — exact recall
     * at every radius, with the widest keys the pigeonhole allows; bands
@@ -111,11 +119,36 @@ object IncrementalImageDedup {
       .select(col("media_id"), col("dh"), col("rep_id"))
     // store side collapsed to (distinct hash, min rep): equal hashes
     // matched each other at ingest, so min-rep per hash is exactly the
-    // rep the full row set would contribute
-    val sReps = store.filter(col("dh").isNotNull)
-      .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
-      .select(col("dh").as("__sdh"), col("__srep"),
-        bandStruct(col("dh"), maxHamming).as("__b"))
+    // rep the full row set would contribute. PLAN, by measured size (the
+    // [[IncrementalDedup]] r15 discipline): the natural plan pays TWO
+    // history-sized exchanges per arrival — the groupBy(dh) collapse of
+    // the full store, then the band join's store side. The batch's
+    // distinct (band, key) set is bounded, so broadcast IT as a probe
+    // into one store scan (explode bands per row in place — a generator,
+    // not a shuffle), and collapse equal hashes AFTER the probe: rows of
+    // one hash carry identical band sets, so every row of a colliding
+    // hash survives the probe and min-rep over the collided slice equals
+    // min-rep over the full store for those hashes. Only colliding rows
+    // ever reach an exchange. Explicit broadcast, not AQE — AQE converts
+    // only after both map sides already materialized (the
+    // LshFrontierProbe lesson). Flood batches beyond the cap take the
+    // original collapsed-store plan.
+    val bKeys = Checkpoints.materializeFrame(
+      reps.select(col("__b")).distinct())
+    val bKeyCnt = bKeys.count()
+    val sReps =
+      if (bKeyCnt <= BroadcastBandRowsMax)
+        store.filter(col("dh").isNotNull)
+          .select(col("dh"), col("rep_id"), bandStruct(col("dh"), maxHamming).as("__b"))
+          .join(broadcast(bKeys), Seq("__b"))
+          .groupBy(col("__b"), col("dh"))
+          .agg(min(col("rep_id")).as("__srep"))
+          .select(col("__b"), col("dh").as("__sdh"), col("__srep"))
+      else
+        store.filter(col("dh").isNotNull)
+          .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
+          .select(col("dh").as("__sdh"), col("__srep"),
+            bandStruct(col("dh"), maxHamming).as("__b"))
     val bEx = reps.select(col("__rep"), col("dh"), col("__b"))
     val storeRep = bEx.join(sReps, Seq("__b"))
       .filter(bit_count(col("dh").bitwiseXOR(col("__sdh"))) <= maxHamming)
@@ -140,6 +173,7 @@ object IncrementalImageDedup {
         (col("rep_id") === col("media_id")).as("survivor"))
 
     out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    Checkpoints.freeFrame(bKeys)
     Checkpoints.free(hashed)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("media_id"), col("rep_id"), col("survivor"))

@@ -55,6 +55,37 @@ object IncrementalSegmentDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "seg_hash BIGINT, seg STRING")
 
+  /** Cap on batch fingerprint rows for the probe-side broadcast of the
+    * batch×store collision fetch: 4M 8-byte keys ≈ 32 MB of payload, a
+    * few hundred MB as a hash relation (the [[IncrementalDedup]]
+    * measured-size discipline). A batch with more distinct segments than
+    * this is a bulk load, not a trickle — the shuffled anti-join is the
+    * right plan there.
+    */
+  val BroadcastKeyRowsMax = 4000000L
+
+  /** Cap on TEXT-carrying store rows for the anti-join broadcast: 1M
+    * colliding segments × ~100 B ≈ 100 MB payload. Collisions are
+    * bounded by the batch's own distinct segments, so this only trips
+    * when the batch itself is flood-sized.
+    */
+  val BroadcastSegRowsMax = 1000000L
+
+  /** STORE bytes at rest below which the plain shuffled anti-join stays
+    * the plan. The probe-broadcast path exists to kill the
+    * history-sized store exchange, but its fixed plumbing (a winner
+    * materialization + two gate counts + two broadcast builds) is not
+    * free — measured: a 100k-doc arrival reads 7.3 s classic vs 12.5 s
+    * probed at a 1M-doc store (~90 MB at rest) and 5.8 vs 13.2 s at 4M
+    * (~350 MB), because the exchange those stores' sizes buy back is
+    * smaller than the plumbing. The crossover is where the store's
+    * shuffle-read time exceeds those ~6 s of fixed cost — ~2 GiB at
+    * rest on this hardware, far below any production crawl store, so
+    * the deep-history regime always probes; the driver reads the size
+    * from one FS listing ([[BatchStore.priorBytes]]), no job.
+    */
+  val StoreProbeBytesMin = 2L << 30
+
   /** Suppress one batch's segments against the store, persist the novel
     * segments, and return the per-doc reassembly
     * `(id, n_seg, n_kept, keep_frac, kept, kept_text)`.
@@ -62,7 +93,8 @@ object IncrementalSegmentDedup {
   def segmentDedupBatch(
       spark: SparkSession, batch: DataFrame, id: Column, text: Column,
       storePath: String, batchId: Long,
-      segTokens: Int = 10, minKeepFrac: Double = 0.5): DataFrame = {
+      segTokens: Int = 10, minKeepFrac: Double = 0.5,
+      storeProbeBytesMin: Long = StoreProbeBytesMin): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     // NOT materialized: base is consumed twice (election explode, per-doc
     // n_seg join) but it is a pure projection over the batch — recomputing
@@ -85,10 +117,48 @@ object IncrementalSegmentDedup {
       .select(col("seg_hash"), col("seg"))
 
     // hash bounds the join, text decides it — a 60-bit collision can
-    // never suppress a novel segment
-    val novel = winners.join(store,
-      winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
-      "left_anti")
+    // never suppress a novel segment. PLAN, by TWO measured sizes (the
+    // [[IncrementalDedup]] r15 discipline, extended to the STORE side):
+    // the anti-join's natural plan shuffles the WHOLE store —
+    // fingerprint AND segment text — on every arrival, a history-sized
+    // exchange for a batch-sized question. Above
+    // [[StoreProbeBytesMin]], the batch's bounded distinct fingerprints
+    // broadcast as a probe into one store scan: the store contributes
+    // only the rows whose key collides with the batch (≤ batch winners,
+    // up to 60-bit collisions), and that bounded slice broadcasts into
+    // the anti-join — the store never shuffles at all. An explicit
+    // broadcast, not AQE: AQE converts a join only AFTER both map sides
+    // have materialized, i.e. after the store-side exchange already
+    // wrote (the LshFrontierProbe lesson). BELOW the store gate the
+    // plain shuffled anti-join stays — the probe path's fixed plumbing
+    // costs more than a small store's exchange (measured in the cap
+    // doc above); a flood batch beyond the batch-side cap likewise
+    // degrades to the shuffled plan.
+    val probeStore =
+      BatchStore.priorBytes(spark, storePath, batchId) >= storeProbeBytesMin
+    val (novel, scratch) =
+      if (!probeStore)
+        (winners.join(store,
+          winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
+          "left_anti"), Seq.empty[DataFrame])
+      else {
+        val winnersM = Checkpoints.materializeFrame(winners)
+        val winnerCnt = winnersM.count()
+        if (winnerCnt <= BroadcastKeyRowsMax) {
+          val keys = winnersM.select(col("__h").as("seg_hash")).distinct()
+          val h = Checkpoints.materializeFrame(
+            store.join(broadcast(keys), Seq("seg_hash"))
+              .select(col("seg_hash"), col("seg")))
+          val hitCnt = h.count()
+          val right = if (hitCnt <= BroadcastSegRowsMax) broadcast(h) else h
+          (winnersM.join(right,
+            winnersM("__h") === right("seg_hash") && winnersM("__seg") === right("seg"),
+            "left_anti"), Seq(winnersM, h))
+        } else
+          (winnersM.join(store,
+            winnersM("__h") === store("seg_hash") && winnersM("__seg") === store("seg"),
+            "left_anti"), Seq(winnersM))
+      }
 
     // the store write IS the materialization: novel computes exactly once
     // into its partition, and the reassembly reads that partition back —
@@ -98,6 +168,7 @@ object IncrementalSegmentDedup {
     novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"),
         col("__id").as("first_doc_id"), col("__idx").as("first_idx"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    scratch.foreach(Checkpoints.freeFrame)
     val written = spark.read.parquet(s"$storePath/batch=$batchId")
 
     val reassembled = written.groupBy(col("first_doc_id").as("__id"))

@@ -68,6 +68,14 @@ object IncrementalSemDedup {
     "vec_id BIGINT, cell INT, code BIGINT, centroid_cosine DOUBLE, " +
       "rep_id BIGINT, survivor BOOLEAN")
 
+  /** Cap on batch rows for the probe-side broadcast of the batch×store
+    * cell join: 1M rows × ~300 B (a 64-dim float embedding + keys) ≈
+    * 300 MB as a hash relation — the [[IncrementalDedup]] measured-size
+    * discipline, sized like its signature cap. Bulk arrivals beyond it
+    * take the shuffled join.
+    */
+  val BroadcastVecRowsMax = 1000000L
+
   /** Write the fixed centroid geometry from a SEED corpus (typically the
     * first batch, or a representative sample). Must run once before any
     * [[semDedupBatch]]; re-running overwrites the whole store (a new
@@ -197,8 +205,14 @@ object IncrementalSemDedup {
     // IvfIndex.probe discipline), and the rows tree is partitioned by
     // cell under each batch dir, so the isin filter prunes cell=
     // directories at file-index time instead of scanning store history
-    val touchedCells = assigned.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // one bounded driver row: the touched-cell set (≤ nlist, the
+    // IvfIndex.probe discipline) AND the batch row count that picks the
+    // batch×store join plan below
+    val batchStats = assigned
+      .agg(collect_set(col("cell")).as("cells"), count(lit(1)).as("n")).head()
+    val touchedCells =
+      batchStats.getAs[scala.collection.Seq[Int]](0).sorted.toIndexedSeq
+    val batchRows = batchStats.getLong(1)
     // the pre-batch state from EXPLICIT batch < batchId paths (the
     // [[BatchStore]] replay-exclusion contract — until round 10 this
     // store read the whole rows tree and replay idempotence rested on a
@@ -212,13 +226,29 @@ object IncrementalSemDedup {
     // reconstructed store row) at threshold − adcSlack
     val store = BatchStore.readPrior(spark, rowsPath, batchId,
         if (books.nonEmpty) pqStoreSchema else storeSchema)
-      .filter(col("cell").isin(touchedCells.toIndexedSeq: _*))
+      .filter(col("cell").isin(touchedCells: _*))
       .select(col("vec_id").as("__sid"), col("cell"),
         (if (books.nonEmpty) reconOf(col("code"), books) else col("emb"))
           .as("__se"),
         col("rep_id").as("__srep"))
     val storeThreshold = if (books.nonEmpty) threshold - adcSlack else threshold
-    val storeRep = assigned.join(store, Seq("cell"))
+    // PLAN, by measured size (the [[IncrementalDedup]] r15 discipline):
+    // the natural plan shuffles BOTH sides on the cell key — a
+    // history-sized exchange of the store's embedding (or
+    // reconstruction) rows, on a key whose cardinality is ≤ nlist (so it
+    // also skews into few tasks). The batch side is bounded and already
+    // counted, so broadcast IT: the store side becomes one pruned scan +
+    // hash probe with no exchange at all, and in PQ mode the codeword
+    // reconstruction is computed inside the scan instead of riding a
+    // shuffle. Explicit broadcast, not AQE — AQE converts a join only
+    // after both map sides have materialized (the LshFrontierProbe
+    // lesson). Bulk arrivals beyond the cap take the shuffled join.
+    val batchSide = assigned.select(col("vec_id"), col("emb"), col("cell"))
+    val joined =
+      if (batchRows <= BroadcastVecRowsMax)
+        store.join(broadcast(batchSide), Seq("cell"))
+      else batchSide.join(store, Seq("cell"))
+    val storeRep = joined
       .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= storeThreshold)
       .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
     val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
@@ -250,7 +280,13 @@ object IncrementalSemDedup {
           Embeddings.pqPack(col("__codes"), books.size, books.head.size)
             .as("code"),
           col("centroid_cosine"), col("rep_id"), col("survivor"))
-    outRows.write.mode("overwrite").partitionBy("cell")
+    // one shuffle keyed on the cell: each cell lands in exactly ONE task
+    // = one file per touched cell dir, instead of one per (write task ×
+    // cell) — the compaction write's fan discipline, applied at append
+    // time (an 8× production-rate cut at 32 tasks before compaction
+    // ever runs)
+    outRows.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$rowsPath/batch=$batchId")
     Checkpoints.free(assigned)
     spark.read.parquet(s"$rowsPath/batch=$batchId")

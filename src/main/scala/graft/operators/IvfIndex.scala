@@ -19,17 +19,27 @@ import org.apache.spark.sql.functions._
   *    dedup store discipline, `IncrementalDedup.scala` precedent);
   *    replaying a batch id overwrites its own partition, idempotent;
   *  - [[probe]]: read centroids, pick each probe's `nprobe` cells,
-  *    and scan ONLY those cells' files — the probed cell ids become a
-  *    static partition filter (collected to the driver first: probes are
-  *    small by contract, so the cell list is bounded by
-  *    probes·nprobe), so the parquet reader prunes `cell=` directories
-  *    by construction. Probe cost is flat in corpus size at fixed
+  *    and scan ONLY those cells' rows — the probed cell ids become a
+  *    static partition filter on their buckets (collected to the driver
+  *    first: probes are small by contract, so the cell list is bounded
+  *    by probes·nprobe), so the parquet reader prunes `cbk=` directories
+  *    at file-index time and row-group-skips to the probed cells inside
+  *    them. Probe cost is flat in corpus size at fixed
   *    geometry: ~|corpus|·nprobe/nlist rows scanned per probe batch,
   *    measured in `tools/IvfCrossover`'s probe-only column.
   *
   * Layout: `path/centroids` (cell, centroid), `path/meta` (nlist, dim,
-  * replicas, seed), `path/cells/batch=B/cell=C/` parquet files of
-  * (neighbor_id, emb, nrm). Embeddings are stored in their source
+  * replicas, seed), `path/cells/batch=B/cbk=K/` parquet files of
+  * (neighbor_id, emb, nrm, cell) — `cbk = cell % 64` ([[IvfCells]]), the
+  * `cell` itself a DATA column each file is sorted on. Bucketing the
+  * directory dimension caps an append's file production at
+  * O([[IvfCells.CellBuckets]]) instead of one-file-per-touched-cell ×
+  * write tasks (measured ~1,350 files per 2k-row append at nlist≈170 —
+  * the dominant small-files producer of the r14 capstone ladder, and at
+  * a production nlist of 10k+ an unusable 10k files per append); probes
+  * keep directory pruning on `cbk` and recover cell granularity from
+  * parquet row-group min/max stats on the sorted `cell` column.
+  * Embeddings are stored in their source
   * precision; every dot runs in doubles either way (DotFExpr casts), so
   * probe() cosines are bit-identical to [[Embeddings.ivfTopK]]'s over
   * the same rows — IvfIndexSpec pins exactly that.
@@ -120,9 +130,14 @@ object IvfIndex {
     val (cfs, cellsP) = BatchStore.fsPath(spark, cellsRoot)
     val committedCells = BatchStore.committedBatches(cfs, cellsP)
     require(committedCells.nonEmpty, s"IvfIndex: no committed batches at $cellsRoot")
+    // two-level prune: `cbk` is the partition dir (file-index-time
+    // prune), `cell` the sorted data column (parquet row-group skip on
+    // min/max stats — the bucketed-layout recovery of cell granularity)
+    val neededBuckets = neededCells.map(IvfCells.bucketOf).distinct.sorted
     val cells = spark.read.option("basePath", cellsRoot)
       .parquet(committedCells.map(_._2.toString): _*)
-      .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
+      .filter(col("cbk").isin(neededBuckets.toIndexedSeq: _*) &&
+        col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("emb"), col("nrm"), col("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
@@ -173,10 +188,7 @@ object IvfIndex {
   }
 
   private def writeBatch(assigned: DataFrame, path: String, batchId: Long): Unit =
-    assigned
-      .write.mode("overwrite")
-      .partitionBy("cell")
-      .parquet(s"$path/cells/batch=$batchId")
+    IvfCells.writeBucketed(assigned, s"$path/cells/batch=$batchId")
 
   /** Consolidate `batch=` partitions with id <= `upToBatch` into one,
     * preserving the cell partitioning — see [[IvfCells.compact]] for the
@@ -186,9 +198,10 @@ object IvfIndex {
     IvfCells.compact(spark, path, upToBatch)
 }
 
-/** Shared cells-tree compaction for the persistent vector indexes
-  * ([[IvfIndex]], [[IvfPqIndex]] — same `cells/batch=B/cell=C` layout,
-  * different row payloads). Append-many accumulates one directory tree
+/** Shared cells-tree layout + compaction for the persistent vector
+  * indexes ([[IvfIndex]], [[IvfPqIndex]] — same `cells/batch=B/cbk=K`
+  * bucketed layout, different row payloads). Append-many accumulates one
+  * directory tree
   * per batch; a serving probe then pays per-batch file listing and one
   * parquet footer per tiny file. Compaction consolidates history the
   * same way [[IncrementalDedup.compactStore]] does:
@@ -210,6 +223,34 @@ object IvfIndex {
   */
 private[operators] object IvfCells {
 
+  /** Bucket fan of the cells tree: `cbk = cell % CellBuckets` is the
+    * directory dimension (the `IncrementalDedup.BandBuckets` pattern),
+    * `cell` a sorted data column inside each file. An append lands
+    * O(CellBuckets) files regardless of nlist; a probe prunes `cbk=`
+    * dirs at file-index time and row-group-skips to its cells on the
+    * sorted column's min/max stats. Plain modulo, not a hash: cell ids
+    * are already dense 0..nlist-1, and the driver-side [[bucketOf]]
+    * must agree with the executor-side expression exactly.
+    */
+  val CellBuckets = 64
+
+  /** Driver-side twin of the write-path bucket expression. */
+  def bucketOf(cell: Int): Int = ((cell % CellBuckets) + CellBuckets) % CellBuckets
+
+  /** Land one batch's assigned/encoded rows in the bucketed layout:
+    * one shuffle keyed on the bucket (each bucket in exactly ONE task =
+    * one file per touched `cbk=` dir), rows sorted by cell within the
+    * task for tight row-group stats.
+    */
+  def writeBucketed(rows: DataFrame, batchDir: String): Unit =
+    rows
+      .withColumn("cbk", pmod(col("cell"), lit(CellBuckets)).cast("int"))
+      .repartition(col("cbk"))
+      .sortWithinPartitions(col("cbk"), col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cbk")
+      .parquet(batchDir)
+
   /** Resolve the readable cells tree at `path`, healing a crashed
     * [[compact]] first: a crash between the old tree's delete and the
     * rename leaves the ONLY copy at `cells__next`, and until round 9 only
@@ -224,11 +265,13 @@ private[operators] object IvfCells {
     cells.toString
   }
 
-  /** Delegates to [[BatchStore.compact]] with the cell partitioning
-    * preserved — see its doc for the swap, the largest-existing-id rule,
-    * and the SAFETY CONTRACT (only committed-past batch ids).
+  /** Delegates to [[BatchStore.compact]] with the bucket partitioning
+    * preserved and the consolidated files re-sorted on `cell` (the
+    * row-group-skip key) — see its doc for the swap, the
+    * largest-existing-id rule, and the SAFETY CONTRACT (only
+    * committed-past batch ids).
     */
   def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
     BatchStore.compact(spark, s"$path/cells", upToBatch,
-      partitionCols = Seq("cell"))
+      partitionCols = Seq("cbk"), sortCols = Seq("cell"))
 }

@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `path/centroids` (cell, centroid), `path/codebooks`
   * (j, ci, sub), `path/meta` (nlist, dim, replicas, seed, m, ks),
-  * `path/cells/batch=B/cell=C/` parquet of (neighbor_id, code, nrm).
+  * `path/cells/batch=B/cbk=K/` parquet of (neighbor_id, code, nrm,
+  * cell) — the [[IvfCells]] bucketed layout: `cbk = cell % 64` is the
+  * directory dimension (so an append lands O(64) files instead of
+  * one per touched cell × write task — the r14 capstone ladder's
+  * dominant small-files producer at ~1,350 files/batch), and `cell` is
+  * a sorted data column probes row-group-skip on.
   */
 object IvfPqIndex {
 
@@ -136,9 +141,13 @@ object IvfPqIndex {
     val (cfs, cellsP) = BatchStore.fsPath(spark, cellsRoot)
     val committedCells = BatchStore.committedBatches(cfs, cellsP)
     require(committedCells.nonEmpty, s"IvfPqIndex: no committed batches at $cellsRoot")
+    // two-level prune: `cbk` dirs at file-index time, probed cells via
+    // row-group skip on the sorted `cell` data column (bucketed layout)
+    val neededBuckets = neededCells.map(IvfCells.bucketOf).distinct.sorted
     val cells = spark.read.option("basePath", cellsRoot)
       .parquet(committedCells.map(_._2.toString): _*)
-      .filter(col("cell").isin(neededCells.toIndexedSeq: _*))
+      .filter(col("cbk").isin(neededBuckets.toIndexedSeq: _*) &&
+        col("cell").isin(neededCells.toIndexedSeq: _*))
       .select(col("neighbor_id"), col("code"), col("nrm"), col("cell"))
       .withColumn("__codes", Embeddings.pqUnpack(col("code"), m, ks))
     val adc = (0 until m).map(j =>
@@ -272,8 +281,5 @@ object IvfPqIndex {
   }
 
   private def writeBatch(encoded: DataFrame, path: String, batchId: Long): Unit =
-    encoded
-      .write.mode("overwrite")
-      .partitionBy("cell")
-      .parquet(s"$path/cells/batch=$batchId")
+    IvfCells.writeBucketed(encoded, s"$path/cells/batch=$batchId")
 }

@@ -72,10 +72,53 @@ object IncrementalCurationBench {
       .select(col("doc_id"))
   }
 
+  /** Per-JOB profile of the incremental arm's fixed per-arrival floor:
+    * aggregates every Spark job's duration by its call site across all
+    * arrivals (fixed stages repeat per batch, so they dominate the
+    * by-site totals), and reports the driver-side gap (arrival wall −
+    * Σ job time) — the share no stage metric can see: FS listing,
+    * parquet footer planning, job-scheduling floors.
+    */
+  private final class JobProfile extends org.apache.spark.scheduler.SparkListener {
+    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+    @volatile var jobs = 0L
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      // the result stage's name carries the action's call site — the
+      // operator line that launched the job (job properties don't ship
+      // callSite.short through this bus)
+      val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+        .getOrElse("?")
+      starts.put(js.jobId, (site, js.time)): Unit
+    }
+    override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val s = starts.remove(je.jobId)
+      if (s != null) {
+        val secs = (je.time - s._2) / 1e3
+        bySite.merge(s._1, (1L, secs),
+          (a, b) => (a._1 + b._1, a._2 + b._2)): Unit
+        jobs += 1
+      }
+    }
+    def report(wallTotal: Double): Unit = {
+      import scala.jdk.CollectionConverters._
+      val rows = bySite.asScala.toSeq.sortBy(-_._2._2)
+      val jobTotal = rows.map(_._2._2).sum
+      println(f"   PROFILE: $jobs jobs, job time ${jobTotal}%.1fs of " +
+        f"${wallTotal}%.1fs arrival wall (driver gap ${wallTotal - jobTotal}%.1fs)")
+      rows.takeWhile(_._2._2 > 0.2).foreach { case (site, (cnt, secs)) =>
+        println(f"     ${secs}%7.2fs  x$cnt%-4d $site")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val counts = args.headOption.getOrElse("250000,500000,1000000")
+    val profileMode = args.headOption.contains("profile")
+    val eff = if (profileMode) args.drop(1) else args
+    val counts = eff.headOption.getOrElse(
+        if (profileMode) "250000" else "250000,500000,1000000")
       .split(",").map(_.trim.toLong).toSeq
-    val nBatches = args.lift(1).map(_.toInt).getOrElse(8)
+    val nBatches = eff.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,7 +186,12 @@ object IncrementalCurationBench {
       var stageEx = 0.0; var stageNd = 0.0; var stageTail = 0.0
       var incCount = 0L; var incXor = 0L
       val batchWalls = scala.collection.mutable.ListBuffer.empty[Double]
+      // profile mode watches the TAIL arrivals only (skip the first two:
+      // empty-store seeding and codegen warmup are not the steady floor)
+      val prof = if (profileMode) Some(new JobProfile) else None
+      var profWall = 0.0
       (0 until nBatches).foreach { b =>
+        if (b == 2) prof.foreach(spark.sparkContext.addSparkListener)
         val lo = b * per
         val hi = if (b == nBatches - 1) n else (b + 1) * per
         val batch = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -177,6 +225,12 @@ object IncrementalCurationBench {
         incTotal += wall
         lastBatch = wall
         batchWalls += wall
+        if (b >= 2) profWall += wall
+      }
+      prof.foreach { pr =>
+        Thread.sleep(2000) // listener bus drain
+        spark.sparkContext.removeSparkListener(pr)
+        pr.report(profWall)
       }
 
       val equal = osOut == ((incCount, incXor))

@@ -50,7 +50,10 @@ class CheckpointsSpec extends SparkSpec {
         (1L, 2L), (2L, 3L), (1L, 3L),
         (10L, 11L), (11L, 12L), (10L, 12L),
         (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
-      val comp = Dedup.connectedComponents(pairs, col("a"), col("b"))
+      // the fixpoint entry point, deliberately: the public wrapper's
+      // driver-local short-circuit would bypass the iteration file-sets
+      // this test exists to account for
+      val comp = Dedup.connectedComponentsWithRounds(pairs, col("a"), col("b"))._1
       val reps = comp.groupBy($"cluster_rep").count().collect()
       assert(reps.length === 3)
       // the loop freed every superseded iteration (and the edge list); only

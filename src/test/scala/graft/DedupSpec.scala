@@ -383,17 +383,29 @@ class DedupSpec extends SparkSpec {
     // hash-scatter the chain's edges: the local-contraction pre-pass
     // collapses co-located runs, so a sequentially-sliced chain would
     // contract to a near-star and converge under any cap — scattering
-    // keeps the post-contraction diameter real so the cap still binds
+    // keeps the post-contraction diameter real so the cap still binds.
+    // Driven through the FIXPOINT entry point: the public wrapper's
+    // driver-local short-circuit absorbs any sub-cap edge set before
+    // maxIterations can matter (that path is exercised below and by
+    // every small-graph arm in this suite)
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
       .repartition(16, $"id_a")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 1).collect()
+      Dedup.connectedComponentsWithRounds(
+        chain, $"id_a", $"id_b", maxIterations = 1)._1.collect()
     }
     assert(e.getMessage.contains("not converged"))
     // and the same graph converges with an adequate cap
     val ok = Dedup.connectedComponents(chain, $"id_a", $"id_b", maxIterations = 40)
       .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq === Seq(1L))
+    // the short-circuit and the fixpoint agree row-for-row on this graph
+    val viaFixpoint = Dedup.connectedComponentsWithRounds(
+        chain, $"id_a", $"id_b", maxIterations = 40)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLocal = Dedup.connectedComponents(chain, $"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLocal === viaFixpoint)
   }
 
   test("local-contraction pre-pass preserves the exact canonical labeling across layouts") {

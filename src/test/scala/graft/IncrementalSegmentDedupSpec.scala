@@ -53,6 +53,18 @@ class IncrementalSegmentDedupSpec extends SparkSpec {
     // and the semantics themselves: doc 5 lost everything transitively
     assert(incremental.find(_._1 == 5L).get === ((5L, 2L, 0L, false, "")))
     assert(incremental.find(_._1 == 3L).get === ((3L, 2L, 1L, true, "u5 u6")))
+    // and the DEEP-HISTORY plan (probe-broadcast batch×store, forced by
+    // storeProbeBytesMin = 0) produces the identical rows — both join
+    // plans of the size gate are equality-pinned, not just the default
+    val store2 = tmpDir("segstore-probed")
+    val probed = Seq(batch1, batch2, batch3).zipWithIndex.flatMap {
+      case (b, i) =>
+        outRows(IncrementalSegmentDedup.segmentDedupBatch(
+          spark, b.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          store2, batchId = i.toLong, segTokens = 2,
+          storeProbeBytesMin = 0L))
+    }
+    assert(probed === oneShot)
   }
 
   test("a replayed batch recomputes against the pre-batch state and changes nothing") {

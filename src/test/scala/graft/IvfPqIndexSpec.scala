@@ -171,6 +171,39 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(after == Seq("batch=3"), s"got $after")
   }
 
+  test("append file fan is bounded by the bucket count, not cells x tasks") {
+    import spark.implicits._
+    // 64 cells, rows spread over every executor partition: the pre-r15
+    // cell-dir layout landed up to one file per (touched cell x write
+    // task) per append — the r14 capstone's dominant small-files
+    // producer (~1,350 files/batch). The bucketed layout bounds an
+    // append at one file per touched cbk= dir.
+    val vecs = planted(nClusters = 64, perCluster = 8, dim = 64)
+    val (first, second) = vecs.partition(_._1 % 2 == 0)
+    val path = tmpDir()
+    IvfPqIndex.build(
+      first.toDF("vec_id", "embedding").repartition(32),
+      $"vec_id", $"embedding", path, nlist = 64, replicas = 1, m = 8, ks = 16)
+    IvfPqIndex.append(spark,
+      second.toDF("vec_id", "embedding").repartition(32),
+      $"vec_id", $"embedding", path, batchId = 1L)
+    val batchDir = java.nio.file.Paths.get(s"$path/cells/batch=1")
+    val s = java.nio.file.Files.walk(batchDir)
+    val dataFiles =
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .map[String](_.getFileName.toString)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .count()
+      finally s.close()
+    // 64 planted cells spread over 32 input tasks would be up to ~2048
+    // files in the cell-dir layout; the bucket fan caps it at 64
+    assert(dataFiles <= 64, s"append landed $dataFiles files, wanted <= 64")
+    val dirs = new java.io.File(s"$path/cells/batch=1").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cbk=")),
+      s"expected bucketed cbk= dirs, got ${dirs.take(5).mkString(",")}")
+  }
+
   test("probe scans only the probed cells' partitions") {
     import spark.implicits._
     val vecs = planted(nClusters = 8, perCluster = 8, dim = 64)

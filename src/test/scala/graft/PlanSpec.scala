@@ -234,6 +234,74 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("incremental-store batch-x-store joins broadcast the bounded batch probe") {
+    // The r15 treatment: each store's batch×store join is UNEQUAL (a
+    // bounded arrival against unbounded history), so the bounded side
+    // broadcasts EXPLICITLY under a measured cap — AQE alone converts a
+    // join only after both map sides have materialized, i.e. after the
+    // history-sized exchange already wrote (the LshFrontierProbe
+    // lesson). These arms pin the treated plan per store: a write-path
+    // plan must carry a BroadcastHashJoin on the store-probe key. Runs
+    // against a SEEDED store (batch 1) — against an empty store AQE
+    // folds the join away entirely.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    locally { // segment store: anti-join consumes broadcast collision fetch
+      val store = java.nio.file.Files.createTempDirectory("plansegstore").toString
+      def docs(lo: Int) = (lo until lo + 20).map(i =>
+        (i.toLong, (0 until 20).map(j => s"w${(i * 20 + j) % 97}").mkString(" ")))
+        .toDF("id", "text")
+      graft.operators.IncrementalSegmentDedup.segmentDedupBatch(
+        spark, docs(0), $"id", $"text", store, batchId = 0L).collect()
+      // storeProbeBytesMin = 0 forces the deep-history plan on a tiny
+      // test store (the production gate keeps small stores classic)
+      assertInnerPlan("segment: batch×store anti-join not broadcast")(
+        p => p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))) {
+        graft.operators.IncrementalSegmentDedup.segmentDedupBatch(
+          spark, docs(20), $"id", $"text", store, batchId = 1L,
+          storeProbeBytesMin = 0L).collect()
+      }
+    }
+    locally { // image store: band probe of the store scan broadcasts batch keys
+      val store = java.nio.file.Files.createTempDirectory("planimgstore").toString
+      val imgs = graft.tools.ImageDedupBench.corpus(spark, 24L)
+      graft.operators.IncrementalImageDedup.dhashDedupBatch(
+        spark, imgs.filter($"media_id" < 12), $"media_id", $"payload",
+        store, batchId = 0L).collect()
+      assertInnerPlan("image: batch×store band probe not broadcast")(
+        p => p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("__b"))) {
+        graft.operators.IncrementalImageDedup.dhashDedupBatch(
+          spark, imgs.filter($"media_id" >= 12), $"media_id", $"payload",
+          store, batchId = 1L).collect()
+      }
+    }
+    locally { // sem store: cell join broadcasts the counted batch side
+      val store = java.nio.file.Files.createTempDirectory("plansemstore").toString
+      def vec(deg: Double): Array[Float] = {
+        val v = Array.fill(8)(0f)
+        v(0) = math.cos(math.toRadians(deg)).toFloat
+        v(1) = math.sin(math.toRadians(deg)).toFloat
+        v
+      }
+      val seed = Seq((100L, vec(0)), (101L, vec(90))).toDF("id", "e")
+      graft.operators.IncrementalSemDedup.init(
+        seed, col("id"), col("e"), store, nlist = 2,
+        refineIterations = 0, portableSample = true)
+      graft.operators.IncrementalSemDedup.semDedupBatch(
+        spark, (0 until 8).map(i => (i.toLong, vec(i * 5.0))).toDF("id", "e"),
+        col("id"), col("e"), store, batchId = 0L, threshold = 0.9).collect()
+      assertInnerPlan("sem: batch×store cell join not broadcast")(
+        p => p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("cell"))) {
+        graft.operators.IncrementalSemDedup.semDedupBatch(
+          spark, (8 until 16).map(i => (i.toLong, vec(i * 5.0))).toDF("id", "e"),
+          col("id"), col("e"), store, batchId = 1L, threshold = 0.9).collect()
+      }
+    }
+  }
+
   test("partial-ratio locator broadcasts the dictionary and evaluates the sweep once") {
     val df = TextQueries.fuzzyPartialRatio(spark, sf)
     df.collect()
