@@ -369,7 +369,16 @@ private[graft] object BatchStore {
           if (sortCols.isEmpty) rep
           else rep.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
         clustered.write.partitionBy(partitionCols: _*).parquet(out)
-      } else df.coalesce(targetFiles).write.parquet(out)
+      } else {
+        // sortCols clusters the coalesced files too — a flat store's
+        // row-group min/max skip key deserves the same treatment as a
+        // partitioned one's (and silently ignoring the parameter here
+        // would hand a future caller unclustered files with no error)
+        val co = df.coalesce(targetFiles)
+        val clustered =
+          if (sortCols.isEmpty) co else co.sortWithinPartitions(sortCols.map(col): _*)
+        clustered.write.parquet(out)
+      }
     // `dataSchema` (the store row layout WITHOUT the batch column) lets a
     // tree whose committed partitions can ALL be file-less — a nested
     // store where an empty batch's partitionBy write emits only _SUCCESS,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale corpus curation (SURVEY.md §2.5
@@ -572,16 +572,14 @@ object Dedup {
     * the distinct; edge count is bounded by the original m throughout
     * (each step emits ≤ one edge per input edge, deduplicated).
     */
-  /** Edge cap for the driver-local closure short-circuit of
-    * [[connectedComponents]]: 250k (a, b) longs collect to ~4 MB — a
-    * bounded driver sip, and far above any trickle batch's edge set
-    * (the composed-curation profile measured the distributed fixpoint
-    * as the largest FIXED per-arrival stage: 3 jobs per alternating
-    * round on kilobytes of edges). Corpus-scale edge sets exceed the
-    * cap after one cheap limit-probe and take the large-star/small-star
-    * fixpoint unchanged.
+  /** Canonical larger→smaller edge list — the shared input of both
+    * closure paths (self-pairs carry no information).
     */
-  val LocalCcEdgesMax = 250000
+  private def canonEdges(pairs: DataFrame, src: Column, dst: Column): DataFrame =
+    pairs
+      .select(greatest(src.cast("long"), dst.cast("long")).as("a"),
+        least(src.cast("long"), dst.cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
 
   def connectedComponents(
       pairs: DataFrame, src: Column, dst: Column,
@@ -592,32 +590,55 @@ object Dedup {
     // scheduling floors dominate at trickle size. The labeling is the
     // same canonical node → min(component) the fixpoint converges to,
     // so the two paths are output-identical (spec-pinned both ways).
+    // Cap via [[graft.config.ScaleGates.localCcEdgesMax]] (conf-tunable;
+    // 16 B/edge collected).
     val spark = pairs.sparkSession
-    val canon = pairs
-      .select(greatest(src.cast("long"), dst.cast("long")).as("a"),
-        least(src.cast("long"), dst.cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-    val probe = canon.limit(LocalCcEdgesMax + 1).collect()
-    if (probe.length > LocalCcEdgesMax)
-      connectedComponentsWithRounds(pairs, src, dst, maxIterations)._1
-    else {
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
+    val cap = graft.config.ScaleGates.localCcEdgesMax(spark)
+    require(cap <= Int.MaxValue - 1, s"localCcEdgesMax too large: $cap")
+    // persist() BEFORE the probe so the two paths share ONE execution of
+    // the upstream pair pipeline: the limit-probe runs every ancestor
+    // shuffle map stage in full, and without the cache an over-cap edge
+    // set would then re-execute the entire pipeline from scratch inside
+    // the fixpoint — doubling the most expensive stage of exactly the
+    // largest jobs. With the cache, partitions the probe computed are
+    // reused and only the ones its incremental CollectLimit skipped run
+    // in the fixpoint; the trickle path pays nothing beyond the block
+    // bookkeeping (its probe IS the full computation).
+    closureFromCanon(spark, canonEdges(pairs, src, dst),
+      cap.toInt, maxIterations)
+  }
+
+  private def closureFromCanon(
+      spark: SparkSession, canon: DataFrame,
+      cap: Int, maxIterations: Int): DataFrame = {
+    canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = canon.limit(cap + 1).collect()
+      if (probe.length > cap) ccFixpoint(canon, maxIterations)._1
+      else {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+        }
+        val nodes = parent.keysIterator.toArray
+        import spark.implicits._
+        nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_rep")
       }
-      probe.foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
-      }
-      val nodes = parent.keysIterator.toArray
-      import spark.implicits._
-      nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_rep")
+    } finally {
+      // safe on both paths: the local result is driver data, and the
+      // fixpoint's first move materializes localContract(canon) — no
+      // descendant of the raw canon executes after either returns
+      canon.unpersist(blocking = false)
     }
   }
 
@@ -672,16 +693,20 @@ object Dedup {
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, src: Column, dst: Column,
-      maxIterations: Int = 20): (DataFrame, Int) = {
-    // canonical larger→smaller edge list (via the local contraction
-    // pre-pass, which preserves canonicity: star edges point node → a
-    // strictly smaller local min); self-pairs carry no information
-    var e = Checkpoints.materialize(
-      localContract(
-        pairs.select(greatest(src.cast("long"), dst.cast("long")).as("a"),
-            least(src.cast("long"), dst.cast("long")).as("b"))
-          .filter(col("a") =!= col("b")))
-        .distinct())
+      maxIterations: Int = 20): (DataFrame, Int) =
+    ccFixpoint(canonEdges(pairs, src, dst), maxIterations)
+
+  /** The distributed fixpoint over an already-canonical edge frame —
+    * split from [[connectedComponentsWithRounds]] so the over-cap path
+    * of [[connectedComponents]] can feed it the SAME (persisted) canon
+    * frame its limit-probe just executed, instead of re-deriving and
+    * re-executing the upstream pair pipeline from scratch.
+    */
+  private def ccFixpoint(
+      canon: DataFrame, maxIterations: Int): (DataFrame, Int) = {
+    // the local contraction pre-pass preserves canonicity: star edges
+    // point node → a strictly smaller local min
+    var e = Checkpoints.materialize(localContract(canon).distinct())
     var eCount = e.count()
     var it = 0
     var converged = false

@@ -76,7 +76,7 @@ import org.apache.spark.sql.functions._
   * the band explosion at scale: the batch×store candidate join reads
   * the 16-byte-row band-index tree, partition-pruned to the batch's
   * colliding `bucket=` dirs; the batch×batch self-join is size-gated
-  * ([[NarrowSelfJoinBandRowsMin]]) — a trickle batch keeps the classic
+  * ([[graft.config.ScaleGates.lshNarrowSelfJoinBandRowsMin]]) — a trickle batch keeps the classic
   * one-shuffle plan (signatures ride its batch-sized exchange), a
   * seed-scale batch exchanges bare (band, id) rows with signatures
   * fetched afterwards for the distinct colliding ids alone,
@@ -113,40 +113,11 @@ object IncrementalDedup {
     */
   val BandBuckets = 64
 
-  /** Cap on batch band-key rows for the probe-side broadcast of the
-    * batch×store candidate join: 4M rows ≈ 64 MB of (band, doc_id)
-    * payload, a few hundred MB as a hash relation — comfortably inside
-    * an executor. 4M band rows = a 250k-doc arrival at the default
-    * bands=16; bulk arrivals beyond that take the shuffled join, which
-    * is the right plan when the arrival stops being the small side.
-    */
-  val BroadcastBandRowsMax = 4000000L
-
-  /** Cap on SIGNATURE-carrying rows for the broadcast fetch joins (the
-    * colliding-id slices of the batch and store signature tables): 1M
-    * rows × ~530 B (k=64 longs + id) ≈ 530 MB as payload — the hash
-    * relation fits a reasonably-sized executor, and 1M colliding docs
-    * per batch is already a flood regime where the shuffled fallback is
-    * the right plan anyway.
-    */
-  val BroadcastSigRowsMax = 1000000L
-
-  /** Band-row threshold above which the batch self-join switches from
-    * the CLASSIC plan (signatures ride the band exchange — ONE shuffle,
-    * zero extra jobs) to the NARROW plan (bare 16-byte (band, id) rows
-    * through the exchange, signatures fetched afterwards for the
-    * colliding ids alone). 8M band rows = a 500k-doc batch at bands=16,
-    * whose classic exchange is ~4 GB — fine; a SEED-scale batch (8M
-    * docs = 128M band rows, ~68 GB classic exchange, the spill that
-    * disk-blocked the r14 frontier) needs narrow. Below the cap the
-    * narrow plan's eager plumbing (two localCheckpoint materializations
-    * + three gate counts) COSTS more than the exchange it saves —
-    * measured at a 100k-doc arrival: 16.3 s narrow vs 8.0 s classic
-    * wall, over half the narrow wall being driver-side job floors — so
-    * the gate picks by measured batch size, like every other plan
-    * choice in this store.
-    */
-  val NarrowSelfJoinBandRowsMin = 8000000L
+  // The measured-size plan gates of this store — probe-side broadcast
+  // cap, signature-fetch broadcast cap, narrow-self-join threshold —
+  // live in [[graft.config.ScaleGates]] (conf-overridable, defaults +
+  // derivations documented there): lshBroadcastBandRowsMax,
+  // lshBroadcastSigRowsMax, lshNarrowSelfJoinBandRowsMin.
 
   private[operators] def bandsRoot(storePath: String): String =
     storePath + "__bands"
@@ -253,6 +224,9 @@ object IncrementalDedup {
       .head() // bounded: one row, <= BandBuckets bucket ids
     val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
     val batchBandRows = bandStats.getLong(1)
+    val broadcastBandRowsMax = graft.config.ScaleGates.lshBroadcastBandRowsMax(spark)
+    val broadcastSigRowsMax = graft.config.ScaleGates.lshBroadcastSigRowsMax(spark)
+    val narrowSelfJoinBandRowsMin = graft.config.ScaleGates.lshNarrowSelfJoinBandRowsMin(spark)
 
     val nEx = banded.select(col("doc_id"), explode(col("bands")).as("__b"))
     // batch×batch candidate edges, by MEASURED batch size. The self-join
@@ -263,7 +237,7 @@ object IncrementalDedup {
     // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
     // attempt of the exploded side at 500 k docs.
     //
-    // CLASSIC plan (batch below [[NarrowSelfJoinBandRowsMin]]):
+    // CLASSIC plan (batch below the narrow-self-join gate):
     // signatures ride the band exchange — one shuffle, zero extra jobs.
     // NARROW plan (seed-scale batch): bare 16-byte (band, id) rows ride
     // the exchange — until round 15 each exploded row also carried the
@@ -273,7 +247,7 @@ object IncrementalDedup {
     // materialized and signatures are fetched afterwards for the
     // colliding ids alone, broadcast-probed under the measured caps.
     val (nnEdges, selfJoinScratch) =
-      if (batchBandRows <= NarrowSelfJoinBandRowsMin) {
+      if (batchBandRows <= narrowSelfJoinBandRowsMin) {
         val sEx = banded.select(
           col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
         val edges = sEx.as("x").hint("merge").join(sEx.as("y"),
@@ -302,14 +276,14 @@ object IncrementalDedup {
         val collIds = pairIds.select(col("a").as("doc_id"))
           .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
         val collSigs = Checkpoints.materializeFrame(
-          if (pairCnt * 2 <= BroadcastBandRowsMax)
+          if (pairCnt * 2 <= broadcastBandRowsMax)
             sigsB.join(broadcast(collIds), Seq("doc_id"))
           else sigsB.join(collIds, Seq("doc_id")))
         val collCnt = collSigs.count()
         val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
         val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
         val paired =
-          if (collCnt <= BroadcastSigRowsMax)
+          if (collCnt <= broadcastSigRowsMax)
             pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
           else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
         val edges = paired
@@ -339,7 +313,7 @@ object IncrementalDedup {
     // the shuffled join is the right plan and AQE keeps it.
     val batchBands = nEx
     val candRaw =
-      if (batchBandRows <= BroadcastBandRowsMax)
+      if (batchBandRows <= broadcastBandRowsMax)
         idx.join(broadcast(batchBands), Seq("__b"))
       else idx.join(batchBands, Seq("__b"))
     // materialize the candidate id pairs and pick the fetch plan by their
@@ -357,7 +331,7 @@ object IncrementalDedup {
     val sigTable = store.select(col("doc_id").as("__sid"),
       col("sig").as("__ssig"), col("rep_id").as("__srep"))
     val fetched =
-      if (candCnt <= BroadcastBandRowsMax)
+      if (candCnt <= broadcastBandRowsMax)
         sigTable.join(broadcast(candIds), Seq("__sid"))
       else sigTable.join(candIds, Seq("__sid"))
     // the verify join against the batch's own signatures: when the
@@ -365,7 +339,7 @@ object IncrementalDedup {
     // it so the batch signature frame is scanned in place rather than
     // exchanged — the same measured-size rule as the batch-side fetch
     val verifyJoined =
-      if (candCnt <= BroadcastSigRowsMax)
+      if (candCnt <= broadcastSigRowsMax)
         banded.select(col("doc_id"), col("sig")).join(broadcast(fetched), Seq("doc_id"))
       else fetched.join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
     val storeRep = verifyJoined

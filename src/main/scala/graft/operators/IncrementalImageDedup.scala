@@ -58,13 +58,9 @@ object IncrementalImageDedup {
   private def storeSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "media_id BIGINT, dh BIGINT, rep_id BIGINT, survivor BOOLEAN")
 
-  /** Cap on the batch's distinct (band, key) rows for the probe-side
-    * broadcast of the batch×store candidate join: 4M ~24-byte structs is
-    * a few hundred MB as a hash relation (the [[IncrementalDedup]]
-    * measured-size discipline). At the default radius 6 that is a
-    * ~570k-image arrival; bulk loads beyond it take the shuffled plan.
-    */
-  val BroadcastBandRowsMax = 4000000L
+  // The probe-side broadcast cap of the batch×store candidate join lives
+  // in [[graft.config.ScaleGates.imageBroadcastBandRowsMax]]
+  // (conf-overridable, default + derivation documented there).
 
   /** (band, key) rows for a 64-bit hash column: `maxHamming + 1`
     * disjoint segments ([[Multimodal.pigeonholeBands]] — exact recall
@@ -137,7 +133,7 @@ object IncrementalImageDedup {
       reps.select(col("__b")).distinct())
     val bKeyCnt = bKeys.count()
     val sReps =
-      if (bKeyCnt <= BroadcastBandRowsMax)
+      if (bKeyCnt <= graft.config.ScaleGates.imageBroadcastBandRowsMax(spark))
         store.filter(col("dh").isNotNull)
           .select(col("dh"), col("rep_id"), bandStruct(col("dh"), maxHamming).as("__b"))
           .join(broadcast(bKeys), Seq("__b"))

@@ -84,7 +84,11 @@ object IncrementalSegmentDedup {
     * the deep-history regime always probes; the driver reads the size
     * from one FS listing ([[BatchStore.priorBytes]]), no job.
     */
-  val StoreProbeBytesMin = 2L << 30
+  // The store-size floor of the probe-broadcast plan lives in
+  // [[graft.config.ScaleGates.segmentStoreProbeBytesMin]]
+  // (conf-overridable, default + derivation documented there). The
+  // `storeProbeBytesMin` parameter overrides it per call when >= 0
+  // (specs pass 0L to force the probe plan on a test-sized store).
 
   /** Suppress one batch's segments against the store, persist the novel
     * segments, and return the per-doc reassembly
@@ -94,7 +98,7 @@ object IncrementalSegmentDedup {
       spark: SparkSession, batch: DataFrame, id: Column, text: Column,
       storePath: String, batchId: Long,
       segTokens: Int = 10, minKeepFrac: Double = 0.5,
-      storeProbeBytesMin: Long = StoreProbeBytesMin): DataFrame = {
+      storeProbeBytesMin: Long = -1L): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     // NOT materialized: base is consumed twice (election explode, per-doc
     // n_seg join) but it is a pure projection over the batch — recomputing
@@ -122,7 +126,7 @@ object IncrementalSegmentDedup {
     // the anti-join's natural plan shuffles the WHOLE store —
     // fingerprint AND segment text — on every arrival, a history-sized
     // exchange for a batch-sized question. Above
-    // [[StoreProbeBytesMin]], the batch's bounded distinct fingerprints
+    // the store-bytes gate, the batch's bounded distinct fingerprints
     // broadcast as a probe into one store scan: the store contributes
     // only the rows whose key collides with the batch (≤ batch winners,
     // up to 60-bit collisions), and that bounded slice broadcasts into
@@ -134,8 +138,11 @@ object IncrementalSegmentDedup {
     // costs more than a small store's exchange (measured in the cap
     // doc above); a flood batch beyond the batch-side cap likewise
     // degrades to the shuffled plan.
+    val probeBytesMin =
+      if (storeProbeBytesMin >= 0L) storeProbeBytesMin
+      else graft.config.ScaleGates.segmentStoreProbeBytesMin(spark)
     val probeStore =
-      BatchStore.priorBytes(spark, storePath, batchId) >= storeProbeBytesMin
+      BatchStore.priorBytes(spark, storePath, batchId) >= probeBytesMin
     val (novel, scratch) =
       if (!probeStore)
         (winners.join(store,

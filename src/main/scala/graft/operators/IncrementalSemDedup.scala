@@ -68,13 +68,9 @@ object IncrementalSemDedup {
     "vec_id BIGINT, cell INT, code BIGINT, centroid_cosine DOUBLE, " +
       "rep_id BIGINT, survivor BOOLEAN")
 
-  /** Cap on batch rows for the probe-side broadcast of the batch×store
-    * cell join: 1M rows × ~300 B (a 64-dim float embedding + keys) ≈
-    * 300 MB as a hash relation — the [[IncrementalDedup]] measured-size
-    * discipline, sized like its signature cap. Bulk arrivals beyond it
-    * take the shuffled join.
-    */
-  val BroadcastVecRowsMax = 1000000L
+  // The probe-side broadcast cap of the batch×store cell join lives in
+  // [[graft.config.ScaleGates.semBroadcastVecRowsMax]] (conf-overridable,
+  // default + derivation documented there).
 
   /** Write the fixed centroid geometry from a SEED corpus (typically the
     * first batch, or a representative sample). Must run once before any
@@ -245,7 +241,7 @@ object IncrementalSemDedup {
     // lesson). Bulk arrivals beyond the cap take the shuffled join.
     val batchSide = assigned.select(col("vec_id"), col("emb"), col("cell"))
     val joined =
-      if (batchRows <= BroadcastVecRowsMax)
+      if (batchRows <= graft.config.ScaleGates.semBroadcastVecRowsMax(spark))
         store.join(broadcast(batchSide), Seq("cell"))
       else batchSide.join(store, Seq("cell"))
     val storeRep = joined

@@ -89,6 +89,11 @@ object IvfIndex {
       spark: SparkSession, rows: DataFrame, id: Column, emb: Column,
       path: String, batchId: Long): Unit = {
     require(batchId > 0L, s"append batchId must be > 0 (0 is the build), got $batchId")
+    // resolve (heals a crashed compact) AND layout-guard BEFORE writing:
+    // an append landed into a legacy cell= tree would create a
+    // mixed-layout store whose reads fail with a conflicting-partition
+    // error that never names the cause
+    IvfCells.resolveCells(spark, path)
     val (mat, replicas) = readCentroids(spark, path)
     writeBatch(assign(rows, id, emb, mat, replicas), path, batchId)
   }
@@ -113,9 +118,12 @@ object IvfIndex {
       .filter(col("__rn") <= nprobe)
       .select(col("probe_id"), col("__pe"), col("__c.cell").as("cell"))
       .withColumn("__pn", Embeddings.norm(col("__pe")))
-    // the probed cell set, collected: a STATIC partition filter prunes
-    // cell= directories at file-index time — no full-store scan, and no
-    // reliance on dynamic pruning kicking in. Bounded by probes·nprobe.
+    // the probed cell set, collected: a STATIC filter on the cells'
+    // cbk= buckets prunes directories at file-index time, and the
+    // cell-isin filter row-group-skips to the probed cells inside them
+    // via min/max stats on the sorted cell column — no full-store scan,
+    // and no reliance on dynamic pruning kicking in. Bounded by
+    // probes·nprobe.
     val neededCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     // SNAPSHOT PIN (the [[Retrieval.queryIndex]] serving discipline):
@@ -196,6 +204,12 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
     IvfCells.compact(spark, path, upToBatch)
+
+  /** One-time migration of a pre-bucketing `cell=`-partitioned cells
+    * tree to the current `cbk=` layout — see [[IvfCells.migrate]].
+    */
+  def migrate(spark: SparkSession, path: String): Unit =
+    IvfCells.migrate(spark, path)
 }
 
 /** Shared cells-tree layout + compaction for the persistent vector
@@ -262,7 +276,87 @@ private[operators] object IvfCells {
   def resolveCells(spark: SparkSession, path: String): String = {
     val (fs, cells) = BatchStore.fsPath(spark, s"$path/cells")
     BatchStore.adoptNext(fs, cells)
+    assertCbkLayout(fs, cells)
     cells.toString
+  }
+
+  /** LAYOUT GUARD: indexes written before round 15 partitioned the
+    * cells tree by `cell=` directory; the bucketed layout partitions by
+    * `cbk=` with cell demoted to a sorted data column. The two are
+    * mutually unreadable — probing or appending into a legacy tree
+    * fails with an unresolved-`cbk` / conflicting-partition-column
+    * error that never names the cause — so every read/write path
+    * resolves through here and a legacy tree fails FAST with the fix
+    * spelled out. O(committed batches) driver-side listings, paid once
+    * per probe/append (the probe already lists the same dirs for its
+    * snapshot pin).
+    */
+  private def assertCbkLayout(
+      fs: org.apache.hadoop.fs.FileSystem,
+      cells: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(cells)) return
+    val legacy = fs.listStatus(cells).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap(b => fs.listStatus(b.getPath).iterator)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    if (legacy) throw new IllegalStateException(
+      s"IvfIndex at ${cells.getParent}: legacy cell= partition layout detected " +
+        "(index written before the bucketed cbk= cells layout). Run " +
+        "IvfIndex.migrate(spark, path) (or IvfPqIndex.migrate) to rewrite it " +
+        "in the bucketed layout in place, or rebuild the index with build().")
+  }
+
+  /** One-time in-place migration of a legacy `cell=`-partitioned cells
+    * tree to the bucketed `cbk=` layout: every batch is rewritten
+    * bucketed (legacy batches recover `cell` from their partition
+    * directories; already-bucketed batches pass through re-bucketed,
+    * so a MIXED tree — legacy build + crashed post-upgrade append —
+    * heals too), staged beside the live tree and swapped in with the
+    * [[BatchStore.completeSwap]] crash contract (a crash between delete
+    * and rename leaves only `cells__next`, adopted on next touch).
+    * Batch ids, row content, and probe results are unchanged —
+    * IvfIndexSpec pins probe-equality across the migration. No-op on an
+    * already-bucketed tree.
+    */
+  def migrate(spark: SparkSession, path: String): Unit = {
+    val (fs, cells) = BatchStore.fsPath(spark, s"$path/cells")
+    BatchStore.adoptNext(fs, cells)
+    if (!fs.exists(cells)) return
+    val batches = fs.listStatus(cells)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val anyLegacy = batches.exists(b => fs.listStatus(b.getPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell=")))
+    if (!anyLegacy) return
+    val next = new org.apache.hadoop.fs.Path(cells.toString + "__next")
+    require(fs.delete(next, true) || !fs.exists(next),
+      s"IvfCells.migrate: failed to clear stale $next")
+    batches.foreach { b =>
+      val hasData = {
+        val files = fs.listFiles(b.getPath, true)
+        var found = false
+        while (!found && files.hasNext) {
+          val n = files.next().getPath.getName
+          found = !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
+      val out = s"$next/${b.getPath.getName}"
+      if (!hasData) {
+        // preserve a committed zero-row batch's dir + _SUCCESS marker
+        // (the compactPrepare rule): dropping it would demote the batch
+        // out of committedBatches and change what serving reads observe
+        fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+        if (fs.exists(new org.apache.hadoop.fs.Path(b.getPath, "_SUCCESS")))
+          fs.create(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS"), true).close()
+      } else {
+        // a legacy batch dir surfaces `cell` as its partition column; a
+        // bucketed one surfaces `cbk` with cell in the data — drop the
+        // stale bucket column and writeBucketed re-derives it
+        val rows = spark.read.parquet(b.getPath.toString).drop("cbk")
+        writeBucketed(rows, out)
+      }
+    }
+    BatchStore.completeSwap(BatchStore.PendingSwap(fs, cells, next))
   }
 
   /** Delegates to [[BatchStore.compact]] with the bucket partitioning
@@ -271,7 +365,11 @@ private[operators] object IvfCells {
     * largest-existing-id rule, and the SAFETY CONTRACT (only
     * committed-past batch ids).
     */
-  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
+  def compact(spark: SparkSession, path: String, upToBatch: Long): Unit = {
+    // layout-guard first: consolidating a legacy cell= tree under
+    // partitionBy("cbk") would fail on an unresolved column mid-write
+    resolveCells(spark, path)
     BatchStore.compact(spark, s"$path/cells", upToBatch,
       partitionCols = Seq("cbk"), sortCols = Seq("cell"))
+  }
 }

@@ -217,6 +217,12 @@ object IvfPqIndex {
     * preserving the cell partitioning — see [[IvfCells.compact]] for the
     * safety contract.
     */
+  /** One-time migration of a pre-bucketing `cell=`-partitioned cells
+    * tree to the current `cbk=` layout — see [[IvfCells.migrate]].
+    */
+  def migrate(spark: SparkSession, path: String): Unit =
+    IvfCells.migrate(spark, path)
+
   def compact(spark: SparkSession, path: String, upToBatch: Long): Unit =
     IvfCells.compact(spark, path, upToBatch)
 

@@ -101,4 +101,52 @@ class IvfIndexSpec extends SparkSpec {
     // 8 cells exist; nprobe=2 must prune to at most 2 partitions
     assert(scanned <= 2, s"probe read $scanned cell partitions, wanted <= 2")
   }
+
+  test("legacy cell= layout fails fast on probe/append and migrate heals a mixed tree") {
+    import spark.implicits._
+    val vecs = planted(nClusters = 6, perCluster = 8, dim = 64)
+    val (first, second) = vecs.partition(_._1 < 24)
+    val path = tmpDir()
+    IvfIndex.build(first.toDF("vec_id", "embedding"), $"vec_id", $"embedding",
+      path, nlist = 8, replicas = 2)
+    IvfIndex.append(spark, second.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", path, batchId = 1L)
+    val probes = vecs.filter(_._1 % 8 == 0).toDF("vec_id", "embedding")
+    def run() = IvfIndex.probe(spark, path, probes, $"vec_id", $"embedding",
+        k = 5, nprobe = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val expected = run()
+    // rewrite batch=0 in the pre-bucketing legacy layout (cell= dirs,
+    // no cbk) while batch=1 stays bucketed — a mixed tree, the exact
+    // state a crashed post-upgrade append would leave on a legacy index
+    val legacyRows = spark.read.parquet(s"$path/cells/batch=0")
+      .drop("cbk").collect()
+    val schema = spark.read.parquet(s"$path/cells/batch=0").drop("cbk").schema
+    val b0 = new org.apache.hadoop.fs.Path(s"$path/cells/batch=0")
+    val fs = b0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(b0, true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(legacyRows.toIndexedSeq, 2), schema)
+      .write.partitionBy("cell").parquet(b0.toString)
+    // every entry point fails FAST with the named cause
+    val eProbe = intercept[IllegalStateException](run())
+    assert(eProbe.getMessage.contains("legacy cell= partition layout"))
+    val eAppend = intercept[IllegalStateException](
+      IvfIndex.append(spark, second.toDF("vec_id", "embedding"),
+        $"vec_id", $"embedding", path, batchId = 2L))
+    assert(eAppend.getMessage.contains("legacy cell= partition layout"))
+    val eCompact = intercept[IllegalStateException](
+      IvfIndex.compact(spark, path, upToBatch = 1L))
+    assert(eCompact.getMessage.contains("legacy cell= partition layout"))
+    // migrate rewrites both batches bucketed; probe results are unchanged
+    IvfIndex.migrate(spark, path)
+    assert(run() == expected)
+    // and the migrated tree is pure cbk= layout (idempotent: second
+    // migrate is a no-op)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells/batch=0"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cbk=")), dirs.toSeq)
+    IvfIndex.migrate(spark, path)
+    assert(run() == expected)
+  }
 }
