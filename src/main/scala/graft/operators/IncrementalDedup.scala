@@ -189,16 +189,25 @@ object IncrementalDedup {
       shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
     val keyed = batch.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
       .withColumn("__toks", Dedup.tokens(col("text")))
-    // signatures once, bands from them; materialized — the frame feeds
-    // two joins and the final write, and the signature aggregate is the
-    // expensive projection
-    val banded = Checkpoints.materialize(
+    // signatures once, bands from them; PERSISTED, not checkpointed (the
+    // r16 job-floor cut): the frame feeds two joins and the final write
+    // and the signature aggregate is the expensive projection, but an
+    // eager localCheckpoint paid a dedicated materialization job before
+    // the first consumer could run — under persist, the bandStats gate
+    // below computes the frame once and caches it as a side effect,
+    // every later consumer reads blocks, and lineage stays intact (an
+    // executor loss on a cluster recomputes instead of failing the job).
+    // Join-plan safety does not lean on the cache's stats: the self-join
+    // is merge-hinted and the candidate joins are explicitly
+    // broadcast-gated by measured counts either way.
+    val banded =
       keyed.filter(size(col("__toks")) >= shingleLen)
         .select(col("doc_id"), col("text"),
           Dedup.shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
         .withColumn("sig", Dedup.minHashSignature(col("__sh"), k, seed))
         .select(col("doc_id"), col("text"), col("sig"),
-          Dedup.lshBandHashes(col("sig"), k, bands).as("bands")))
+          Dedup.lshBandHashes(col("sig"), k, bands).as("bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val short = keyed.filter(size(col("__toks")) < shingleLen)
       .select(col("doc_id"), col("text"),
         lit(null).cast("array<bigint>").as("sig"),
@@ -257,11 +266,13 @@ object IncrementalDedup {
           .distinct()
         (edges, Seq.empty[DataFrame])
       } else {
-        val pairIds = Checkpoints.materializeFrame(
-          nEx.as("x").hint("merge").join(nEx.as("y"),
+        // persist + gate-count (one pass) instead of eager checkpoint +
+        // count (two) — the r16 job-floor cut, here and below
+        val pairIds = nEx.as("x").hint("merge").join(nEx.as("y"),
               col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
             .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-            .distinct())
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairCnt = pairIds.count()
         // the colliding-id set is bounded by 2×pairs, so a bounded pair
         // set broadcasts the id probe into one scan of the batch
@@ -275,10 +286,11 @@ object IncrementalDedup {
         val sigsB = banded.select(col("doc_id"), col("sig"))
         val collIds = pairIds.select(col("a").as("doc_id"))
           .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
-        val collSigs = Checkpoints.materializeFrame(
+        val collSigs = (
           if (pairCnt * 2 <= broadcastBandRowsMax)
             sigsB.join(broadcast(collIds), Seq("doc_id"))
           else sigsB.join(collIds, Seq("doc_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val collCnt = collSigs.count()
         val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
         val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
@@ -325,8 +337,8 @@ object IncrementalDedup {
     // Degenerate flood batches (every doc matching thousands of store
     // rows) exceed the cap and take the shuffled join — correct, just
     // wide, exactly when the candidate side stops being small.
-    val candIds = Checkpoints.materializeFrame(
-      candRaw.select(col("doc_id"), col("__sid")).distinct())
+    val candIds = candRaw.select(col("doc_id"), col("__sid")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candCnt = candIds.count()
     val sigTable = store.select(col("doc_id").as("__sid"),
       col("sig").as("__ssig"), col("rep_id").as("__srep"))
@@ -352,7 +364,7 @@ object IncrementalDedup {
     // free them before the batch-sized labeling joins below, not after
     // the write: at seed scale they pin ~0.7 GB of block-manager state
     // through the heaviest stage of the job
-    selfJoinScratch.foreach(Checkpoints.freeFrame)
+    selfJoinScratch.foreach(_.unpersist(false))
     val ids = banded.select(col("doc_id"))
     val compOf = ids
       .join(comp, ids("doc_id") === comp("node"), "left")
@@ -381,10 +393,72 @@ object IncrementalDedup {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
-    Checkpoints.free(banded)
-    Checkpoints.freeFrame(candIds)
+    banded.unpersist(false)
+    candIds.unpersist(false)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
+  }
+
+  /** Seed a LARGE corpus into the store as `chunks` bounded arrivals
+    * through the incremental path itself, instead of one giant batch 0.
+    * A one-shot seed's cost is front-loaded into a single batch whose
+    * self-join must process every pair at once — at 16M docs on one
+    * node, the final labeling join's sort-spill merge exhausts the
+    * process fd ceiling (the r15 frontier blocker) — while the store's
+    * measured arrival cost is near-FLAT in history (13.7/12.3/13.6/19.4 s
+    * at 1M/2M/4M/8M), so k chunked arrivals cost ~k arrival floors plus
+    * periodic compaction and never hold more than one chunk's pair set
+    * in flight.
+    *
+    * Chunks are ID-ORDERED ranges (cuts from one approxQuantile pass
+    * over the id column alone): emission order follows id order, so
+    * first-seen rep == min-id rep and the chunked seed's survivor set
+    * equals the one-shot's on any corpus where one-shot equality holds
+    * at all (the monotonicity contract's bridge caveat applies equally
+    * to both; spec-pinned, and the frontier bench gates a 2M-chunk
+    * against an 8M-chunk composition at 16M docs).
+    *
+    * `compactEvery` folds committed chunks into the serving layout every
+    * that-many chunks (and always once at the end) — safe mid-seed
+    * because each chunk is fully committed when its call returns (the
+    * compaction SAFETY CONTRACT). Returns the last batch id used;
+    * continue arrivals at that + 1.
+    */
+  def seedLshChunked(
+      spark: SparkSession, docs: DataFrame, id: Column, text: Column,
+      storePath: String, chunks: Int, firstBatchId: Long = 0L,
+      compactEvery: Int = 4,
+      threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3, seed: Long = 42L): Long = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val keyed = docs.select(
+      id.cast("long").as("doc_id"), text.cast("string").as("__text"))
+    val cuts: Array[Long] =
+      if (chunks == 1) Array.empty
+      else keyed.stat.approxQuantile("doc_id",
+        (1 until chunks).map(_.toDouble / chunks).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+    // ranges: (-inf, c0], (c0, c1], ..., (c_last, +inf) — disjoint,
+    // covering, ascending; duplicate cuts collapse (skewed ids simply
+    // yield fewer, larger chunks)
+    val ranges: Seq[(Option[Long], Option[Long])] = {
+      val los = None +: cuts.map(Some(_)).toSeq
+      val his = cuts.map(Some(_)).toSeq :+ None
+      los.zip(his)
+    }
+    var bid = firstBatchId
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val chunk = keyed
+        .filter(lo.map(col("doc_id") > _).getOrElse(lit(true)) &&
+          hi.map(col("doc_id") <= _).getOrElse(lit(true)))
+      lshDedupBatch(spark, chunk, col("doc_id"), col("__text"), storePath,
+        bid, threshold, k, bands, shingleLen, seed)
+      val last = i == ranges.size - 1
+      if (compactEvery > 0 && (last || (i + 1) % compactEvery == 0))
+        compactStore(spark, storePath, upToBatch = bid)
+      bid += 1
+    }
+    bid - 1
   }
 
   /** Read a store's accepted (surviving) corpus. */

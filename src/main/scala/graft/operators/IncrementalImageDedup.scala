@@ -85,12 +85,15 @@ object IncrementalImageDedup {
     val decoded = Multimodal.decodeFeatures(
       batch.select(id.cast("long").as("media_id"), payload.as("__p")), "__p",
       Multimodal.ImageIODecoder(), batchSize)
-    // hashed once, materialized: feeds the member chain, both band joins,
-    // and the final labeling — decode must not re-run per branch
-    val hashed = Checkpoints.materialize(decoded
+    // hashed once, PERSISTED: feeds the member chain, both band joins,
+    // and the final labeling — decode must not re-run per branch. Persist
+    // over localCheckpoint (the r16 job-floor cut): the first consumer's
+    // execution populates the cache instead of a dedicated eager job
+    val hashed = decoded
       .select(col("media_id"),
         when(col("dec_width") > 0, Multimodal.dHash64(col("feat")))
-          .otherwise(lit(null).cast("long")).as("dh")))
+          .otherwise(lit(null).cast("long")).as("dh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = hashed.filter(col("dh").isNotNull)
       .withColumn("__rep", min(col("media_id")).over(Window.partitionBy(col("dh"))))
     // chain edges connect identical-hash members to their in-batch rep;
@@ -129,8 +132,8 @@ object IncrementalImageDedup {
     // only after both map sides already materialized (the
     // LshFrontierProbe lesson). Flood batches beyond the cap take the
     // original collapsed-store plan.
-    val bKeys = Checkpoints.materializeFrame(
-      reps.select(col("__b")).distinct())
+    val bKeys = reps.select(col("__b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bKeyCnt = bKeys.count()
     val sReps =
       if (bKeyCnt <= graft.config.ScaleGates.imageBroadcastBandRowsMax(spark))
@@ -169,8 +172,8 @@ object IncrementalImageDedup {
         (col("rep_id") === col("media_id")).as("survivor"))
 
     out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    Checkpoints.freeFrame(bKeys)
-    Checkpoints.free(hashed)
+    bKeys.unpersist(false)
+    hashed.unpersist(false)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("media_id"), col("rep_id"), col("survivor"))
   }

@@ -149,22 +149,29 @@ object IncrementalSegmentDedup {
           winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
           "left_anti"), Seq.empty[DataFrame])
       else {
-        val winnersM = Checkpoints.materializeFrame(winners)
-        val winnerCnt = winnersM.count()
+        // persist, not localCheckpoint (the r16 plumbing cut): the gate
+        // count's execution IS the materialization — one pass that
+        // caches, where the eager checkpoint paid a separate full
+        // write job before the count could even run. Same for the
+        // collision fetch: its gate count populates the cache the
+        // broadcast build then reads. Two jobs and two batch-text
+        // passes gone from the probe path's fixed floor.
+        winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val winnerCnt = winners.count()
         if (winnerCnt <= BroadcastKeyRowsMax) {
-          val keys = winnersM.select(col("__h").as("seg_hash")).distinct()
-          val h = Checkpoints.materializeFrame(
-            store.join(broadcast(keys), Seq("seg_hash"))
-              .select(col("seg_hash"), col("seg")))
+          val keys = winners.select(col("__h").as("seg_hash")).distinct()
+          val h = store.join(broadcast(keys), Seq("seg_hash"))
+            .select(col("seg_hash"), col("seg"))
+          h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val hitCnt = h.count()
           val right = if (hitCnt <= BroadcastSegRowsMax) broadcast(h) else h
-          (winnersM.join(right,
-            winnersM("__h") === right("seg_hash") && winnersM("__seg") === right("seg"),
-            "left_anti"), Seq(winnersM, h))
+          (winners.join(right,
+            winners("__h") === right("seg_hash") && winners("__seg") === right("seg"),
+            "left_anti"), Seq(winners, h))
         } else
-          (winnersM.join(store,
-            winnersM("__h") === store("seg_hash") && winnersM("__seg") === store("seg"),
-            "left_anti"), Seq(winnersM))
+          (winners.join(store,
+            winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
+            "left_anti"), Seq(winners))
       }
 
     // the store write IS the materialization: novel computes exactly once
@@ -175,7 +182,7 @@ object IncrementalSegmentDedup {
     novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"),
         col("__id").as("first_doc_id"), col("__idx").as("first_idx"))
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    scratch.foreach(Checkpoints.freeFrame)
+    scratch.foreach(_.unpersist(false))
     val written = spark.read.parquet(s"$storePath/batch=$batchId")
 
     val reassembled = written.groupBy(col("first_doc_id").as("__id"))

@@ -177,7 +177,10 @@ object IncrementalSemDedup {
       s"adcSlack must be in [0, threshold), got $adcSlack")
     val mat = readCentroids(spark, storePath)
     val books = readPqBooks(spark, storePath)
-    val assigned = Checkpoints.materialize(
+    // persisted, not checkpointed (the r16 job-floor cut): the first
+    // consumer's execution caches the assignment — no dedicated
+    // materialization job — and lineage stays recomputable
+    val assigned =
       batch.select(id.cast("long").as("vec_id"), emb.as("emb"))
         .withColumn("__best",
           array_min(Embeddings.cellScoresFor(mat)(col("emb"))))
@@ -185,13 +188,14 @@ object IncrementalSemDedup {
           col("__best").getField("cell").as("cell"),
           round(coalesce(-col("__best").getField("negDot") /
             nullif(Embeddings.norm(col("emb")), lit(0.0)), lit(0.0)), 4)
-            .as("centroid_cosine")))
+            .as("centroid_cosine"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // batch-internal edges, cell-scoped
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("__ea"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("__eb"))
-    // equal-sided batch self-join over a MATERIALIZED frame (8-bytes/row
-    // planner stats) — merge-hinted, the [[graft.operators.Dedup]]
-    // corpus-self-join rule
+    // equal-sided batch self-join — merge-hinted (the
+    // [[graft.operators.Dedup]] corpus-self-join rule), so the plan
+    // never leans on the cached frame's stats
     val edges = a.hint("merge").join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
@@ -284,7 +288,7 @@ object IncrementalSemDedup {
     outRows.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$rowsPath/batch=$batchId")
-    Checkpoints.free(assigned)
+    assigned.unpersist(false)
     spark.read.parquet(s"$rowsPath/batch=$batchId")
       .select(col("vec_id"), col("rep_id"), col("survivor"))
   }

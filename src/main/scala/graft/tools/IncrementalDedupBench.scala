@@ -134,6 +134,68 @@ object IncrementalDedupBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("frontier-chunked")) {
+      // CHUNKED SEEDING rung (the r15 16M blocker): build a `history`-doc
+      // store single-node as ceil(history/chunkDocs) id-ordered arrivals
+      // through seedLshChunked — no one-shot self-join ever holds the
+      // full corpus's pair set, so the fd-exhausting sort-spill merge of
+      // the 16M one-shot seed never forms. Gate: the chunked store's
+      // survivor SET equals a 2-chunk composition of the same corpus
+      // (the half→+half shape, each half itself seedable one-shot on
+      // this container), then time one `arrival`-doc batch at full
+      // depth. args: frontier-chunked [history] [chunkDocs] [arrival].
+      val history = args.lift(1).map(_.toLong).getOrElse(16000000L)
+      val chunkDocs = args.lift(2).map(_.toLong).getOrElse(2000000L)
+      val arrival = args.lift(3).map(_.toLong).getOrElse(100000L)
+      val base = s"target/tmp/inc-bench-chunked-${System.nanoTime()}"
+      IncrementalDedup.lshDedupBatch(spark, corpus(spark, 2000L),
+        col("doc_id"), col("text"), s"$base/warmup", 0L)
+      rmrf(spark, s"$base/warmup")
+      val allPath = s"$base/corpus"
+      corpus(spark, history + arrival)
+        .write.mode("overwrite").parquet(allPath)
+      val all = spark.read.parquet(allPath)
+      val hist = all.filter(col("doc_id") < history)
+      val batch = all.filter(col("doc_id") >= history)
+      val chunks = ((history + chunkDocs - 1) / chunkDocs).toInt
+      val storeA = s"$base/chunked"
+      val (lastA, seedAT) = timed {
+        IncrementalDedup.seedLshChunked(spark, hist,
+          col("doc_id"), col("text"), storeA, chunks)
+      }
+      val survA = IncrementalDedup.survivors(spark, storeA).count()
+      println(f"CHUNKED-SEED history=$history%9d chunks=$chunks%3d " +
+        f"seed=$seedAT%8.1fs survivors=$survA%9d")
+      val storeB = s"$base/half"
+      val (_, seedBT) = timed {
+        IncrementalDedup.seedLshChunked(spark, hist,
+          col("doc_id"), col("text"), storeB, chunks = 2)
+      }
+      val survB = IncrementalDedup.survivors(spark, storeB).count()
+      val aIds = IncrementalDedup.survivors(spark, storeA).select("doc_id")
+      val bIds = IncrementalDedup.survivors(spark, storeB).select("doc_id")
+      val diff = aIds.join(bIds, Seq("doc_id"), "left_anti").count() +
+        bIds.join(aIds, Seq("doc_id"), "left_anti").count()
+      require(diff == 0 && survA == survB,
+        s"chunked compositions diverged: $chunks-chunk $survA vs 2-chunk " +
+          s"$survB, symmetric diff $diff")
+      println(f"HALF-SEED    history=$history%9d chunks=  2 " +
+        f"seed=$seedBT%8.1fs survivors=$survB%9d (sets equal)")
+      rmrf(spark, storeB)
+      rmrf(spark, storeB + "__bands")
+      val incT = (0 until 2).map { _ =>
+        timed {
+          IncrementalDedup.lshDedupBatch(spark, batch,
+            col("doc_id"), col("text"), storeA, lastA + 1).count()
+        }._2
+      }.min
+      val survFinal = IncrementalDedup.survivors(spark, storeA).count()
+      println(f"ARRIVAL      history=$history%9d arrival=$arrival%8d " +
+        f"incr=$incT%7.2fs survivors=$survFinal%9d")
+      rmrf(spark, base)
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(_.startsWith("frontier"))) {
       // "frontier-incr": measure the incremental arrival alone (the
       // naive arm's two full one-shot stores exceed disk at 16M+);

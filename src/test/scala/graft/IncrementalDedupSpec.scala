@@ -365,4 +365,44 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
     assert(b.toSeq === Seq((30L, 10L, false)))
   }
+
+  test("seedLshChunked: any chunk count equals the one-shot seed; arrivals continue past it") {
+    // a corpus with planted cross-chunk structure: 120 docs, every
+    // (3i, 3i+1) a near-dup pair (overlap like A/B), so id-range chunk
+    // boundaries land inside clusters as well as between them
+    val docs = (0 until 120).map { i =>
+      val base = (i / 3) * 100
+      val text = i % 3 match {
+        case 0 => (base + 1 to base + 40).map(t => f"w$t%05d").mkString(" ")
+        case 1 => (base + 11 to base + 50).map(t => f"w$t%05d").mkString(" ")
+        case _ => (0 until 40).map(t => f"u${i}x$t").mkString(" ")
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+
+    def survSet(store: String): Set[Long] =
+      IncrementalDedup.survivors(spark, store)
+        .select($"doc_id").as[Long].collect().toSet
+
+    val oneShot = tmpDir("seed-oneshot")
+    IncrementalDedup.lshDedupBatch(spark, docs, $"doc_id", $"text",
+      oneShot, 0L, threshold = Threshold, bands = TestBands)
+    val expected = survSet(oneShot)
+
+    for (chunks <- Seq(2, 5)) {
+      val store = tmpDir(s"seed-chunked-$chunks")
+      val lastId = IncrementalDedup.seedLshChunked(spark, docs,
+        $"doc_id", $"text", store, chunks = chunks, compactEvery = 2,
+        threshold = Threshold, bands = TestBands)
+      assert(survSet(store) == expected, s"chunks=$chunks diverged")
+      // an arrival continues past the seed: a near-dup of doc 0 is
+      // suppressed, a fresh doc survives
+      val arrival = Seq(
+        (1000L, (6 to 45).map(t => f"w$t%05d").mkString(" ")),
+        (1001L, textE)).toDF("doc_id", "text")
+      IncrementalDedup.lshDedupBatch(spark, arrival, $"doc_id", $"text",
+        store, lastId + 1, threshold = Threshold, bands = TestBands)
+      assert(survSet(store) == expected + 1001L)
+    }
+  }
 }
