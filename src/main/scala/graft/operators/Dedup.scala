@@ -604,17 +604,31 @@ object Dedup {
     // reused and only the ones its incremental CollectLimit skipped run
     // in the fixpoint; the trickle path pays nothing beyond the block
     // bookkeeping (its probe IS the full computation).
-    closureFromCanon(spark, canonEdges(pairs, src, dst),
-      cap.toInt, maxIterations)
+    ccLabels(pairs, src, dst, maxIterations) match {
+      case Left(labels) =>
+        import spark.implicits._
+        labels.toSeq.toDF("node", "cluster_rep")
+      case Right(df) => df
+    }
   }
 
-  private def closureFromCanon(
-      spark: SparkSession, canon: DataFrame,
-      cap: Int, maxIterations: Int): DataFrame = {
+  /** The closure with the path EXPOSED: `Left(node → rep pairs)` when the
+    * edge set fit the driver cap (the caller can then keep its whole
+    * labeling tail on the driver — [[IncrementalDedup.lshDedupBatch]]'s
+    * r16 driver-tail cut), `Right(frame)` when the fixpoint ran
+    * distributed. Same labeling either way.
+    */
+  private[operators] def ccLabels(
+      pairs: DataFrame, src: Column, dst: Column,
+      maxIterations: Int = 20): Either[Array[(Long, Long)], DataFrame] = {
+    val spark = pairs.sparkSession
+    val cap = graft.config.ScaleGates.localCcEdgesMax(spark)
+    require(cap <= Int.MaxValue - 1, s"localCcEdgesMax too large: $cap")
+    val canon = canonEdges(pairs, src, dst)
     canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = canon.limit(cap + 1).collect()
-      if (probe.length > cap) ccFixpoint(canon, maxIterations)._1
+      val probe = canon.limit(cap.toInt + 1).collect()
+      if (probe.length > cap) Right(ccFixpoint(canon, maxIterations)._1)
       else {
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
@@ -631,8 +645,7 @@ object Dedup {
           parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
         }
         val nodes = parent.keysIterator.toArray
-        import spark.implicits._
-        nodes.toSeq.map(n => (n, find(n))).toDF("node", "cluster_rep")
+        Left(nodes.map(n => (n, find(n))))
       }
     } finally {
       // safe on both paths: the local result is driver data, and the

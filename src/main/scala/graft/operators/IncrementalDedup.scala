@@ -119,6 +119,13 @@ object IncrementalDedup {
   // derivations documented there): lshBroadcastBandRowsMax,
   // lshBroadcastSigRowsMax, lshNarrowSelfJoinBandRowsMin.
 
+  /** Explicit broadcast only when the frame is known driver-bounded (the
+    * r16 driver-tail label frame); a batch-sized frame keeps the
+    * planner's shuffled join.
+    */
+  private def broadcastIfLocal(df: DataFrame, isLocal: Boolean): DataFrame =
+    if (isLocal) broadcast(df) else df
+
   private[operators] def bandsRoot(storePath: String): String =
     storePath + "__bands"
 
@@ -189,25 +196,22 @@ object IncrementalDedup {
       shingleLen: Int = 3, seed: Long = 42L): DataFrame = {
     val keyed = batch.select(id.cast("long").as("doc_id"), text.cast("string").as("text"))
       .withColumn("__toks", Dedup.tokens(col("text")))
-    // signatures once, bands from them; PERSISTED, not checkpointed (the
-    // r16 job-floor cut): the frame feeds two joins and the final write
-    // and the signature aggregate is the expensive projection, but an
-    // eager localCheckpoint paid a dedicated materialization job before
-    // the first consumer could run — under persist, the bandStats gate
-    // below computes the frame once and caches it as a side effect,
-    // every later consumer reads blocks, and lineage stays intact (an
-    // executor loss on a cluster recomputes instead of failing the job).
-    // Join-plan safety does not lean on the cache's stats: the self-join
-    // is merge-hinted and the candidate joins are explicitly
-    // broadcast-gated by measured counts either way.
-    val banded =
+    // signatures once, bands from them; CHECKPOINT-materialized, not
+    // persist()ed — measured, not stylistic (r16): under persist the
+    // planner sees the cache's REAL size stats, and every downstream
+    // label/union join over this deliberately-small frame flips to a
+    // broadcast build (~29 broadcast jobs per arrival, +37 % composed
+    // wall); the LogicalRDD's opaque stats are what keep those joins in
+    // the one batch-sized exchange the store's plan shape promises. The
+    // hints/explicit gates only cover the self-join and candidate joins,
+    // not the labeling tail.
+    val banded = Checkpoints.materialize(
       keyed.filter(size(col("__toks")) >= shingleLen)
         .select(col("doc_id"), col("text"),
           Dedup.shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
         .withColumn("sig", Dedup.minHashSignature(col("__sh"), k, seed))
         .select(col("doc_id"), col("text"), col("sig"),
-          Dedup.lshBandHashes(col("sig"), k, bands).as("bands"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Dedup.lshBandHashes(col("sig"), k, bands).as("bands")))
     val short = keyed.filter(size(col("__toks")) < shingleLen)
       .select(col("doc_id"), col("text"),
         lit(null).cast("array<bigint>").as("sig"),
@@ -358,26 +362,69 @@ object IncrementalDedup {
       .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
       .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
 
-    val comp = Dedup.connectedComponents(nnEdges, col("a"), col("b"))
-    // the component fixpoint is EAGER (its edge list materializes inside
+    val ccRes = Dedup.ccLabels(nnEdges, col("a"), col("b"))
+    // the component closure is EAGER (its edge list materializes inside
     // the call), so the narrow path's scratch frames are consumed now —
     // free them before the batch-sized labeling joins below, not after
     // the write: at seed scale they pin ~0.7 GB of block-manager state
     // through the heaviest stage of the job
     selfJoinScratch.foreach(_.unpersist(false))
-    val ids = banded.select(col("doc_id"))
-    val compOf = ids
-      .join(comp, ids("doc_id") === comp("node"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("__comp"))
-    // one store rep per component: the minimum any member matched
-    val compRep = compOf.join(storeRep, Seq("doc_id"), "left")
-      .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
-    val labeled = compOf.join(compRep, Seq("__comp"))
-      .select(col("doc_id"),
-        coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
-    val bandedOut = banded.join(labeled, Seq("doc_id"))
+    // DRIVER TAIL (r16): when the closure fit the driver cap AND the
+    // candidate set is bounded, the whole labeling tail is bounded
+    // driver data — docs outside (closure nodes ∪ store-matched docs)
+    // are their own survivors, so only the affected docs need labels.
+    // One bounded collect of storeRep + a LongMap merge replaces FOUR
+    // joins (two of them shuffles: the per-component min and the
+    // label-back), and banded takes ONE broadcast left-join. Over-cap
+    // batches (seed-scale, or flood candidates) keep the distributed
+    // tail unchanged — same labeling by construction, spec-pinned.
+    val driverCap = graft.config.ScaleGates.localCcEdgesMax(spark)
+    val labeled: DataFrame = (ccRes, candCnt <= driverCap) match {
+      case (Left(ccPairs), true) =>
+        val compMap = scala.collection.mutable.LongMap.empty[Long]
+        ccPairs.foreach { case (n, r) => compMap.update(n, r) }
+        // per-component min store rep over the members that matched one
+        val srep = storeRep.collect() // ≤ batch docs with a store match ≤ candCnt
+        val groupMin = scala.collection.mutable.LongMap.empty[Long]
+        srep.foreach { row =>
+          val d = row.getLong(0); val sr = row.getLong(1)
+          val c = compMap.getOrElse(d, d)
+          val cur = groupMin.getOrElse(c, Long.MaxValue)
+          if (sr < cur) groupMin.update(c, sr)
+        }
+        val affected = (compMap.keysIterator ++
+          srep.iterator.map(_.getLong(0))).toArray.distinct
+        val labels = affected.map { d =>
+          val c = compMap.getOrElse(d, d)
+          (d, groupMin.getOrElse(c, c))
+        }
+        import spark.implicits._
+        labels.toSeq.toDF("doc_id", "rep_id")
+      case _ =>
+        val comp = ccRes.fold(
+          pairs => { import spark.implicits._
+            pairs.toSeq.toDF("node", "cluster_rep") },
+          identity)
+        val ids = banded.select(col("doc_id"))
+        val compOf = ids
+          .join(comp, ids("doc_id") === comp("node"), "left")
+          .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("__comp"))
+        // one store rep per component: the minimum any member matched
+        val compRep = compOf.join(storeRep, Seq("doc_id"), "left")
+          .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+        compOf.join(compRep, Seq("__comp"))
+          .select(col("doc_id"),
+            coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
+    }
+    // left join + coalesce: on the driver tail only AFFECTED docs carry
+    // a label row (everyone else is their own rep); on the distributed
+    // tail every doc carries one, so the coalesce is a no-op there
+    val bandedOut = banded
+      .join(broadcastIfLocal(labeled.withColumnRenamed("rep_id", "__lab"),
+        ccRes.isLeft && candCnt <= driverCap), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("sig"), col("bands"),
-        col("rep_id"), (col("rep_id") === col("doc_id")).as("survivor"))
+        coalesce(col("__lab"), col("doc_id")).as("rep_id"),
+        (coalesce(col("__lab"), col("doc_id")) === col("doc_id")).as("survivor"))
     val shortOut = short
       .select(col("doc_id"), col("text"), col("sig"), col("bands"),
         col("doc_id").as("rep_id"), lit(true).as("survivor"))
@@ -393,7 +440,7 @@ object IncrementalDedup {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
-    banded.unpersist(false)
+    Checkpoints.free(banded)
     candIds.unpersist(false)
     spark.read.parquet(s"$storePath/batch=$batchId")
       .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))

@@ -154,6 +154,13 @@ object ImageDedupBench {
       .master(s"local[$cpus]")
       .appName("graft-image-dedup-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-FS deployment tuning: the incremental stores' batch= trees
+      // fan 64 bucket dirs per batch, so the default threshold (32)
+      // launches a parallel-listing JOB per store read — microseconds of
+      // driver listing on a local filesystem, but ~4 scheduled jobs per
+      // arrival of pure floor. On object storage keep the default: there
+      // the parallel listing is the right plan.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -123,6 +123,13 @@ object IncrementalCurationBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-FS deployment tuning: the incremental stores' batch= trees
+      // fan 64 bucket dirs per batch, so the default threshold (32)
+      // launches a parallel-listing JOB per store read — microseconds of
+      // driver listing on a local filesystem, but ~4 scheduled jobs per
+      // arrival of pure floor. On object storage keep the default: there
+      // the parallel listing is the right plan.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -202,8 +209,13 @@ object IncrementalCurationBench {
               col("__key"), col("doc_id"), payload = Seq("doc_id", "r", "__key"))
             val prior = BatchStore.readPrior(spark, keyStore, b,
               org.apache.spark.sql.types.StructType.fromDDL("__key STRING"))
-            val fresh = Checkpoints.materializeFrame(
-              keyed.join(prior.select(col("__key")), Seq("__key"), "left_anti"))
+            // persist, not checkpoint: the key-store write's execution
+            // doubles as the materialization (the r16 job-floor cut) —
+            // stats leakage is harmless here, every downstream join
+            // sits behind lshDedupBatch's own checkpoint seam
+            val fresh = keyed
+              .join(prior.select(col("__key")), Seq("__key"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             fresh.select(col("__key"))
               .write.mode("overwrite").parquet(s"$keyStore/batch=$b")
             fresh
@@ -220,7 +232,7 @@ object IncrementalCurationBench {
             incCount += c; incXor ^= x
           }
           stageTail += tTail
-          Checkpoints.freeFrame(exDeduped)
+          exDeduped.unpersist(false)
         }
         incTotal += wall
         lastBatch = wall

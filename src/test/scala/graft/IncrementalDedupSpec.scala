@@ -405,4 +405,40 @@ class IncrementalDedupSpec extends SparkSpec {
       assert(survSet(store) == expected + 1001L)
     }
   }
+
+  test("driver labeling tail equals the distributed tail row-for-row") {
+    // same corpus through both tails: default conf takes the driver tail
+    // (local CC + bounded candidates); localCcEdgesMax=0 forces the
+    // distributed fixpoint AND the distributed labeling joins
+    val mk = () => Seq(
+      (1L, textA), (2L, textB), (7L, textC)).toDF("doc_id", "text")
+    val arrive = () => Seq(
+      (10L, textG), (11L, textE), (12L, textC)).toDF("doc_id", "text")
+    def rows(store: String): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(store)
+        .select($"doc_id", $"rep_id", $"survivor")
+        .as[(Long, Long, Boolean)].collect().toSet
+
+    val sLocal = tmpDir("tail-local")
+    IncrementalDedup.lshDedupBatch(spark, mk(), $"doc_id", $"text",
+      sLocal, 0L, threshold = Threshold, bands = TestBands)
+    IncrementalDedup.lshDedupBatch(spark, arrive(), $"doc_id", $"text",
+      sLocal, 1L, threshold = Threshold, bands = TestBands)
+
+    val sDist = tmpDir("tail-dist")
+    spark.conf.set(graft.config.ScaleGates.LocalCcEdgesMaxKey, "0")
+    try {
+      IncrementalDedup.lshDedupBatch(spark, mk(), $"doc_id", $"text",
+        sDist, 0L, threshold = Threshold, bands = TestBands)
+      IncrementalDedup.lshDedupBatch(spark, arrive(), $"doc_id", $"text",
+        sDist, 1L, threshold = Threshold, bands = TestBands)
+    } finally spark.conf.unset(graft.config.ScaleGates.LocalCcEdgesMaxKey)
+
+    assert(rows(sLocal) == rows(sDist))
+    // and the geometry actually exercised suppression: B suppressed under
+    // A (direct), G suppressed transitively through suppressed B
+    val m = rows(sLocal).map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(2L) == ((1L, false)) && m(10L) == ((1L, false)))
+    assert(m(11L)._2 && m(7L)._2)
+  }
 }
