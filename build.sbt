@@ -28,5 +28,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (r16 finding): the old 8g default inflated the whole
+  // bench suite ~15 % through driver GC while the CPU canary still read
+  // ~1.0 — the record looked load-clean but was heap-starved. 32g on
+  // this 128-GiB container keeps suite GC at the measured ~0.2 s floor;
+  // bench_out.json stamps the actual heap (load.driver_max_heap_mb) so
+  // a record taken under a different setting self-identifies.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

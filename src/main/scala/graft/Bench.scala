@@ -34,6 +34,59 @@ object Bench {
     (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 
+  /** Structural per-run counters (the r17 load-robust gate): wall time
+    * at sf0.1 proved noise-saturated — the r16 adjudication saw four
+    * same-commit windows span 70–114 s on 96/97 identical plan hashes —
+    * while job count and shuffled bytes are properties of the EXECUTED
+    * plan: they move when the plan moves and hold still under machine
+    * load. The regression rule in BASELINE.md gates on plan_shape_hash
+    * and these counters first, wall time second. Accumulators are
+    * monotonic totals; per-run deltas come from snapshots bracketing the
+    * run, with the async listener bus drained before each snapshot
+    * ([[org.apache.spark.graft.BenchTaps.drainListenerBus]]).
+    */
+  private final class StructListener extends org.apache.spark.scheduler.SparkListener {
+    private val jobs = new java.util.concurrent.atomic.AtomicLong
+    private val shufRead = new java.util.concurrent.atomic.AtomicLong
+    private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (jobs.get(), shufRead.get(), shufWrite.get())
+  }
+
+  /** Heap pools for the per-run peak-heap stamp (reset before each run,
+    * summed after): sum of per-pool peaks upper-bounds the true
+    * concurrent peak, which is the right direction for a memory
+    * tripwire. The stamp is what made the r16 driver-heap finding
+    * adjudicable only after the fact — an 8 GiB default heap inflated
+    * the whole suite ~15 % through GC while the CPU canary read ~1.0.
+    */
+  private val heapPools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala.toSeq
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+  }
+
+  /** One timed run: wall seconds, result rows, driver-JVM GC millis, and
+    * the structural deltas (jobs launched, shuffle bytes read/written,
+    * sum of per-pool peak heap during the run).
+    */
+  private final case class RunMeasure(
+      sec: Double, rows: Long, gcMs: Long,
+      jobs: Long, shufReadB: Long, shufWriteB: Long, peakHeapB: Long)
+
   /** The exact normalized analyzed-plan string the `plan_hash` digests —
     * public so [[graft.tools.AnalyzedPlanDump]] renders the SAME string
     * (two hand-synced copies would let the diagnostic drift from what is
@@ -80,6 +133,17 @@ object Bench {
       .replaceAll("Lambda\\$\\d+", "Lambda")
       .replaceAll("/0x[0-9a-f]+", "")
       .replaceAll("@[0-9a-f]+", "")
+      // LambdaVariable ids (the last arg of `lambdavariable(name, type,
+      // nullable, id)`) come from a JVM-GLOBAL atomic counter that
+      // advances with every object-encoder the session constructs —
+      // canonicalization normalizes ExprIds but not these. Root cause of
+      // the r16 q_audio_energy drift (the only registered query with a
+      // MapPartitions/mapobjects encoder in its plan): same commit, two
+      // windows, ids 2 vs 6 purely from suite position. The spaced
+      // `, true|false, N)` anchor cannot fire inside a DataType print
+      // (those join with comma-no-space), so the mask is exact.
+      .replaceAll(
+        "(lambdavariable\\(\\w+, .+?, (?:true|false)), \\d+\\)", "$1, L)")
       // partition WIDTHS are an environment knob (defaultParallelism /
       // SPARK_GRAFT_CPUS reaches Repartition nodes through Tables.wide
       // and operator repartitions), not declared computation — measured:
@@ -159,8 +223,8 @@ object Bench {
 
   /** One query's measurements within a suite pass. */
   private final case class QueryRow(
-      cold: Option[(Double, Long, Long)],
-      steady: Option[(Double, Long, Long)],
+      cold: Option[RunMeasure],
+      steady: Option[RunMeasure],
       planHash: String, shapeHash: String, load1m: Double)
 
   /** One full suite pass, bracketed by the load canary. */
@@ -251,7 +315,11 @@ object Bench {
     // are load-contaminated and must not be read as regressions.
     val loadavgBefore = loadavg()
     val canaryBefore = math.min(canarySeconds(), canarySeconds())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // structural-counter listener, scoped to this pass (registered fresh
+    // per pass so a retry's deltas never mix with the rejected window's)
+    val listener = new StructListener
+    spark.sparkContext.addSparkListener(listener)
+    val results = try SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // per-query load stamp: 1-min loadavg at this query's start. The
       // suite-level canary certifies (or disclaims) the WHOLE window;
       // the stamp makes partial contamination per-query attributable —
@@ -266,14 +334,26 @@ object Bench {
       // round-10-early hash placement pre-executed q_curation_e2e et al.
       // and turned their cold numbers warm)
       var hashFrame: DataFrame = null
-      def timed(): Option[(Double, Long, Long)] = {
+      def timed(): Option[RunMeasure] = {
+        // drain + snapshot OUTSIDE the timed span: the drain flushes the
+        // previous run's stragglers so the deltas below are this run's
+        org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+        val (j0, sr0, sw0) = listener.snapshot()
+        heapPools.foreach(p =>
+          try p.resetPeakUsage()
+          catch { case _: UnsupportedOperationException => () })
         val t0 = System.nanoTime()
         val gc0 = gcMillis()
         try {
           val df = fn(spark, sfDir)
           if (hashFrame == null) hashFrame = df
           val (_, rows) = materialize(df)
-          Some(((System.nanoTime() - t0) / 1e9, rows, gcMillis() - gc0))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val gc = gcMillis() - gc0
+          org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+          val (j1, sr1, sw1) = listener.snapshot()
+          val peak = heapPools.map(_.getPeakUsage.getUsed).sum
+          Some(RunMeasure(sec, rows, gc, j1 - j0, sr1 - sr0, sw1 - sw0, peak))
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -288,7 +368,7 @@ object Bench {
       // the query's true floor
       val steady =
         if (cold.isEmpty) None
-        else Seq(timed(), timed(), timed()).flatten.sortBy(_._1).headOption
+        else Seq(timed(), timed(), timed()).flatten.sortBy(_.sec).headOption
       // canonicalized-plan fingerprint (round-9 adjudication: cross-round
       // time drift on plan-UNCHANGED queries — q_tweet_flat 1.4× — could
       // only be called noise, not proven; a stable hash makes "same plan,
@@ -329,7 +409,7 @@ object Bench {
       // time as a healthy steady-state
       if (cold.isEmpty || steady.isEmpty) errors += name
       name -> QueryRow(cold, steady, planHash, shapeHash, qLoad)
-    }
+    } finally spark.sparkContext.removeSparkListener(listener)
     val canaryAfter = math.min(canarySeconds(), canarySeconds())
     val loadavgAfter = loadavg()
     SuitePass(results, errors.toSeq, canaryBefore, canaryAfter,
@@ -340,31 +420,42 @@ object Bench {
       pass: SuitePass, advisory: Boolean, attempts: Int,
       discardedLoadFactors: Seq[Double], sfDir: String): Unit = {
     val qs = pass.rows.map { case (k, row) =>
-      val t = row.steady.fold(-1.0)(_._1) // -1 = steady runs failed (also in errors)
-      val c = row.cold.fold(-1.0)(_._1)
-      val r = row.cold.fold(0L)(_._2)
-      val g = row.steady.fold(-1L)(_._3)
+      val t = row.steady.fold(-1.0)(_.sec) // -1 = steady runs failed (also in errors)
+      val c = row.cold.fold(-1.0)(_.sec)
+      val r = row.cold.fold(0L)(_.rows)
+      val g = row.steady.fold(-1L)(_.gcMs)
+      // structural counters from the MIN-steady run (the same run `time`
+      // reports); cold_jobs from the first run — a cold/steady jobs gap
+      // is itself diagnostic (eager builders, AQE re-plans, cache fills)
+      val j = row.steady.fold(-1L)(_.jobs)
+      val cj = row.cold.fold(-1L)(_.jobs)
+      val srb = row.steady.fold(-1L)(_.shufReadB)
+      val swb = row.steady.fold(-1L)(_.shufWriteB)
+      val ph = row.steady.fold(-1L)(m => m.peakHeapB >> 20)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
-        ",\"gc_ms\":" + g + ",\"load_1m\":" + f"${row.load1m}%.2f" +
+        ",\"gc_ms\":" + g + ",\"jobs\":" + j + ",\"cold_jobs\":" + cj +
+        ",\"shuffle_read_b\":" + srb + ",\"shuffle_write_b\":" + swb +
+        ",\"peak_heap_mb\":" + ph + ",\"load_1m\":" + f"${row.load1m}%.2f" +
         ",\"plan_hash\":\"" + row.planHash +
         "\",\"plan_shape_hash\":\"" + row.shapeHash + "\"}"
     }.mkString("{", ",", "}")
     val errJson = pass.errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val contended = pass.rows.collect {
-      case (k, QueryRow(Some(c), Some(s), _, _, _)) if s._1 > c._1 => k
+      case (k, QueryRow(Some(c), Some(s), _, _, _)) if s.sec > c.sec => k
     }
     val contJson = contended.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    val total = pass.rows.flatMap(_._2.cold.map(_._1)).sum
-    val steadyTotal = pass.rows.flatMap(_._2.steady.map(_._1)).sum
+    val total = pass.rows.flatMap(_._2.cold.map(_.sec)).sum
+    val steadyTotal = pass.rows.flatMap(_._2.steady.map(_.sec)).sum
     val loadJson = "{\"canary_ref_sec\":" + CanaryRefSec +
       ",\"canary_before_sec\":" + f"${pass.canaryBefore}%.3f" +
       ",\"canary_after_sec\":" + f"${pass.canaryAfter}%.3f" +
       ",\"load_factor\":" + f"${pass.loadFactor}%.2f" +
       ",\"canary_threads\":" + Runtime.getRuntime.availableProcessors() +
+      ",\"driver_max_heap_mb\":" + (Runtime.getRuntime.maxMemory() >> 20) +
       ",\"loadavg_before\":\"" + pass.loadavgBefore +
       "\",\"loadavg_after\":\"" + pass.loadavgAfter + "\"}"
     val discJson = discardedLoadFactors.map(f => f"$f%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants)"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants); jobs/shuffle_read_b/shuffle_write_b/peak_heap_mb are STRUCTURAL counters from the min-steady run (listener-drained deltas) — regression gating uses plan_shape_hash + these first and wall time second (rule in BASELINE.md); load.driver_max_heap_mb stamps the JVM heap the record ran under (the r16 8-GiB-default finding)"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.

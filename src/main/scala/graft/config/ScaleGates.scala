@@ -29,8 +29,25 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleGates {
 
+  /** Parse failures name the key (a bare NumberFormatException from deep
+    * inside an operator is undebuggable at submit time), and negatives
+    * are rejected up front: every gate is a size, and 0 already encodes
+    * the "always take the distributed/classic path" setting the specs
+    * rely on — a negative value would otherwise surface later as a
+    * confusing Spark error (e.g. `limit(-N)` inside ccLabels).
+    */
   private def longConf(spark: SparkSession, key: String, default: Long): Long =
-    spark.conf.getOption(key).map(_.trim.toLong).getOrElse(default)
+    spark.conf.getOption(key).map { raw =>
+      val v =
+        try raw.trim.toLong
+        catch {
+          case e: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$key: cannot parse '$raw' as a long", e)
+        }
+      require(v >= 0, s"$key must be >= 0, got $v")
+      v
+    }.getOrElse(default)
 
   // ------------------------------------------------------------ LSH store
 
@@ -155,6 +172,17 @@ object ScaleGates {
     * cap after one bounded limit-probe and take the
     * large-star/small-star fixpoint unchanged. Scale with driver
     * memory: 16 B/edge collected, so 250k ≈ 4 MB, 10M ≈ 160 MB.
+    *
+    * DUAL ROLE: the same cap also bounds the LSH store's driver-side
+    * labeling tail (`IncrementalDedup.lshDedupBatch`) — when the edge
+    * set fit the cap AND the candidate count is ≤ cap, the
+    * store-representative aggregate collects to the driver and the
+    * batch labels via an up-to-~cap-row LocalRelation broadcast instead
+    * of a distributed join. Both structures are O(cap) driver rows of a
+    * few dozen bytes each, so one knob sizes both; but raising the cap
+    * to avoid a CC fixpoint also raises the labeling tail's driver
+    * footprint proportionally. If those ever need to diverge, split the
+    * tail onto its own key then.
     */
   val LocalCcEdgesMaxKey = "spark.graft.gates.localCcEdgesMax"
   val LocalCcEdgesMaxDefault = 250000L

@@ -591,19 +591,8 @@ object Dedup {
     // same canonical node → min(component) the fixpoint converges to,
     // so the two paths are output-identical (spec-pinned both ways).
     // Cap via [[graft.config.ScaleGates.localCcEdgesMax]] (conf-tunable;
-    // 16 B/edge collected).
+    // 16 B/edge collected). Probe/persist mechanics live in [[ccLabels]].
     val spark = pairs.sparkSession
-    val cap = graft.config.ScaleGates.localCcEdgesMax(spark)
-    require(cap <= Int.MaxValue - 1, s"localCcEdgesMax too large: $cap")
-    // persist() BEFORE the probe so the two paths share ONE execution of
-    // the upstream pair pipeline: the limit-probe runs every ancestor
-    // shuffle map stage in full, and without the cache an over-cap edge
-    // set would then re-execute the entire pipeline from scratch inside
-    // the fixpoint — doubling the most expensive stage of exactly the
-    // largest jobs. With the cache, partitions the probe computed are
-    // reused and only the ones its incremental CollectLimit skipped run
-    // in the fixpoint; the trickle path pays nothing beyond the block
-    // bookkeeping (its probe IS the full computation).
     ccLabels(pairs, src, dst, maxIterations) match {
       case Left(labels) =>
         import spark.implicits._
@@ -625,6 +614,15 @@ object Dedup {
     val cap = graft.config.ScaleGates.localCcEdgesMax(spark)
     require(cap <= Int.MaxValue - 1, s"localCcEdgesMax too large: $cap")
     val canon = canonEdges(pairs, src, dst)
+    // persist() BEFORE the probe so the two paths share ONE execution of
+    // the upstream pair pipeline: the limit-probe runs every ancestor
+    // shuffle map stage in full, and without the cache an over-cap edge
+    // set would then re-execute the entire pipeline from scratch inside
+    // the fixpoint — doubling the most expensive stage of exactly the
+    // largest jobs. With the cache, partitions the probe computed are
+    // reused and only the ones its incremental CollectLimit skipped run
+    // in the fixpoint; the trickle path pays nothing beyond the block
+    // bookkeeping (its probe IS the full computation).
     canon.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val probe = canon.limit(cap.toInt + 1).collect()

@@ -212,238 +212,254 @@ object IncrementalDedup {
         .withColumn("sig", Dedup.minHashSignature(col("__sh"), k, seed))
         .select(col("doc_id"), col("text"), col("sig"),
           Dedup.lshBandHashes(col("sig"), k, bands).as("bands")))
-    val short = keyed.filter(size(col("__toks")) < shingleLen)
-      .select(col("doc_id"), col("text"),
-        lit(null).cast("array<bigint>").as("sig"),
-        array().cast("array<bigint>").as("bands"))
+    // scratch registry: every persist()ed intermediate below registers
+    // here, and the finally block frees whatever is still cached on ANY
+    // exit — an exception mid-batch (ccFixpoint's non-convergence
+    // IllegalStateException, a failed store write) must not leak cached
+    // blocks for the session lifetime
+    val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val short = keyed.filter(size(col("__toks")) < shingleLen)
+        .select(col("doc_id"), col("text"),
+          lit(null).cast("array<bigint>").as("sig"),
+          array().cast("array<bigint>").as("bands"))
 
-    // the pre-batch state from EXPLICIT batch < batchId paths (the
-    // BatchStore replay-exclusion contract): a replayed micro-batch
-    // recomputes against the exact pre-batch store, never its own
-    // (possibly torn) prior write. The bands column is NOT selected —
-    // candidate generation reads the narrow band-index tree instead,
-    // and this scan only serves the candidate signature fetch
-    val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
-      .select(col("doc_id"), col("sig"), col("rep_id"))
+      // the pre-batch state from EXPLICIT batch < batchId paths (the
+      // BatchStore replay-exclusion contract): a replayed micro-batch
+      // recomputes against the exact pre-batch store, never its own
+      // (possibly torn) prior write. The bands column is NOT selected —
+      // candidate generation reads the narrow band-index tree instead,
+      // and this scan only serves the candidate signature fetch
+      val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
+        .select(col("doc_id"), col("sig"), col("rep_id"))
 
-    // one bounded driver row, measured BEFORE any join plan is chosen:
-    // the batch's colliding bucket set (the store-read prune below) and
-    // its band-row count (the plan dial for both the self-join and the
-    // candidate join)
-    val bandStats = banded
-      .select(explode(col("bands")).as("__b"))
-      .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
-      .agg(collect_set(col("bucket")).as("bk"), count(lit(1)).as("n"))
-      .head() // bounded: one row, <= BandBuckets bucket ids
-    val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
-    val batchBandRows = bandStats.getLong(1)
-    val broadcastBandRowsMax = graft.config.ScaleGates.lshBroadcastBandRowsMax(spark)
-    val broadcastSigRowsMax = graft.config.ScaleGates.lshBroadcastSigRowsMax(spark)
-    val narrowSelfJoinBandRowsMin = graft.config.ScaleGates.lshNarrowSelfJoinBandRowsMin(spark)
+      // one bounded driver row, measured BEFORE any join plan is chosen:
+      // the batch's colliding bucket set (the store-read prune below) and
+      // its band-row count (the plan dial for both the self-join and the
+      // candidate join)
+      val bandStats = banded
+        .select(explode(col("bands")).as("__b"))
+        .select(pmod(hash(col("__b")), lit(BandBuckets)).cast("int").as("bucket"))
+        .agg(collect_set(col("bucket")).as("bk"), count(lit(1)).as("n"))
+        .head() // bounded: one row, <= BandBuckets bucket ids
+      val batchBuckets: Seq[Int] = bandStats.getAs[scala.collection.Seq[Int]](0).toSeq
+      val batchBandRows = bandStats.getLong(1)
+      val broadcastBandRowsMax = graft.config.ScaleGates.lshBroadcastBandRowsMax(spark)
+      val broadcastSigRowsMax = graft.config.ScaleGates.lshBroadcastSigRowsMax(spark)
+      val narrowSelfJoinBandRowsMin = graft.config.ScaleGates.lshNarrowSelfJoinBandRowsMin(spark)
 
-    val nEx = banded.select(col("doc_id"), explode(col("bands")).as("__b"))
-    // batch×batch candidate edges, by MEASURED batch size. The self-join
-    // is merge-hinted either way (the [[Dedup]] corpus-scale self-join
-    // rule): both sides are the same batch-sized frame, so a broadcast
-    // build can never win — and a stats misestimate (range-generator
-    // frames weigh 8 bytes/row to the planner, inherited through
-    // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
-    // attempt of the exploded side at 500 k docs.
-    //
-    // CLASSIC plan (batch below the narrow-self-join gate):
-    // signatures ride the band exchange — one shuffle, zero extra jobs.
-    // NARROW plan (seed-scale batch): bare 16-byte (band, id) rows ride
-    // the exchange — until round 15 each exploded row also carried the
-    // k=64 signature (~530 bytes), so a seed's self-join shuffled
-    // ~bands×530 B/doc (~68 GB at 8 M docs — the spill that
-    // disk-blocked the r14 frontier's 8 M rung); the pair set is
-    // materialized and signatures are fetched afterwards for the
-    // colliding ids alone, broadcast-probed under the measured caps.
-    val (nnEdges, selfJoinScratch) =
-      if (batchBandRows <= narrowSelfJoinBandRowsMin) {
-        val sEx = banded.select(
-          col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
-        val edges = sEx.as("x").hint("merge").join(sEx.as("y"),
-            col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
-          .filter(estimatedJaccard(col("x.sig"), col("y.sig"), k) >= threshold)
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-        (edges, Seq.empty[DataFrame])
-      } else {
-        // persist + gate-count (one pass) instead of eager checkpoint +
-        // count (two) — the r16 job-floor cut, here and below
-        val pairIds = nEx.as("x").hint("merge").join(nEx.as("y"),
+      val nEx = banded.select(col("doc_id"), explode(col("bands")).as("__b"))
+      // batch×batch candidate edges, by MEASURED batch size. The self-join
+      // is merge-hinted either way (the [[Dedup]] corpus-scale self-join
+      // rule): both sides are the same batch-sized frame, so a broadcast
+      // build can never win — and a stats misestimate (range-generator
+      // frames weigh 8 bytes/row to the planner, inherited through
+      // localCheckpoint) measurably turned this into an 8.3 GiB broadcast
+      // attempt of the exploded side at 500 k docs.
+      //
+      // CLASSIC plan (batch below the narrow-self-join gate):
+      // signatures ride the band exchange — one shuffle, zero extra jobs.
+      // NARROW plan (seed-scale batch): bare 16-byte (band, id) rows ride
+      // the exchange — until round 15 each exploded row also carried the
+      // k=64 signature (~530 bytes), so a seed's self-join shuffled
+      // ~bands×530 B/doc (~68 GB at 8 M docs — the spill that
+      // disk-blocked the r14 frontier's 8 M rung); the pair set is
+      // materialized and signatures are fetched afterwards for the
+      // colliding ids alone, broadcast-probed under the measured caps.
+      val (nnEdges, selfJoinScratch) =
+        if (batchBandRows <= narrowSelfJoinBandRowsMin) {
+          val sEx = banded.select(
+            col("doc_id"), col("sig"), explode(col("bands")).as("__b"))
+          val edges = sEx.as("x").hint("merge").join(sEx.as("y"),
               col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
+            .filter(estimatedJaccard(col("x.sig"), col("y.sig"), k) >= threshold)
             .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
             .distinct()
+          (edges, Seq.empty[DataFrame])
+        } else {
+          // persist + gate-count (one pass) instead of eager checkpoint +
+          // count (two) — the r16 job-floor cut, here and below
+          val pairIds = nEx.as("x").hint("merge").join(nEx.as("y"),
+                col("x.__b") === col("y.__b") && col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+              .distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scratch += pairIds
+          val pairCnt = pairIds.count()
+          // the colliding-id set is bounded by 2×pairs, so a bounded pair
+          // set broadcasts the id probe into one scan of the batch
+          // signature frame — signatures never shuffle at all; and the
+          // fetched slice (collision-bounded, << batch) broadcasts into
+          // both sides of the pair verify, so the PAIR exchange carries
+          // 16-byte rows too. A flood batch beyond the caps degrades to
+          // shuffled joins whose widest exchange is one batch-sized
+          // signature table — still bands× narrower than the pre-r15
+          // exploded join.
+          val sigsB = banded.select(col("doc_id"), col("sig"))
+          val collIds = pairIds.select(col("a").as("doc_id"))
+            .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
+          val collSigs = (
+            if (pairCnt * 2 <= broadcastBandRowsMax)
+              sigsB.join(broadcast(collIds), Seq("doc_id"))
+            else sigsB.join(collIds, Seq("doc_id")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairCnt = pairIds.count()
-        // the colliding-id set is bounded by 2×pairs, so a bounded pair
-        // set broadcasts the id probe into one scan of the batch
-        // signature frame — signatures never shuffle at all; and the
-        // fetched slice (collision-bounded, << batch) broadcasts into
-        // both sides of the pair verify, so the PAIR exchange carries
-        // 16-byte rows too. A flood batch beyond the caps degrades to
-        // shuffled joins whose widest exchange is one batch-sized
-        // signature table — still bands× narrower than the pre-r15
-        // exploded join.
-        val sigsB = banded.select(col("doc_id"), col("sig"))
-        val collIds = pairIds.select(col("a").as("doc_id"))
-          .unionByName(pairIds.select(col("b").as("doc_id"))).distinct()
-        val collSigs = (
-          if (pairCnt * 2 <= broadcastBandRowsMax)
-            sigsB.join(broadcast(collIds), Seq("doc_id"))
-          else sigsB.join(collIds, Seq("doc_id")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val collCnt = collSigs.count()
-        val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
-        val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
-        val paired =
-          if (collCnt <= broadcastSigRowsMax)
-            pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
-          else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
-        val edges = paired
-          .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
-          .select(col("a"), col("b"))
-        (edges, Seq(pairIds, collSigs))
+          scratch += collSigs
+          val collCnt = collSigs.count()
+          val sigA = collSigs.select(col("doc_id").as("a"), col("sig").as("__sa"))
+          val sigB = collSigs.select(col("doc_id").as("b"), col("sig").as("__sb"))
+          val paired =
+            if (collCnt <= broadcastSigRowsMax)
+              pairIds.join(broadcast(sigA), Seq("a")).join(broadcast(sigB), Seq("b"))
+            else pairIds.join(sigA, Seq("a")).join(sigB, Seq("b"))
+          val edges = paired
+            .filter(estimatedJaccard(col("__sa"), col("__sb"), k) >= threshold)
+            .select(col("a"), col("b"))
+          (edges, Seq(pairIds, collSigs))
+        }
+      // batch×store: min matched store REP per batch doc (matching a
+      // suppressed store doc adopts ITS rep — cross-batch transitivity).
+      // Candidates come from the NARROW band-index tree, partition-pruned
+      // to the batch's colliding buckets (known before the store read) —
+      // the store's 8 KB/doc signature rows never ride the band explosion
+      // (~67 % of the incremental bill at 1 M history before this). The
+      // batch band side is the bounded side of an UNEQUAL join (exempt
+      // from the merge-hint audit: broadcasting it is legitimately
+      // optimal); signatures are fetched ONLY for the distinct colliding
+      // ids, whose bounded frame broadcasts against one narrow store scan.
+      val idx = readPriorBands(spark, storePath, batchId)
+        .filter(col("bucket").isin(batchBuckets: _*))
+      // the candidate join is UNEQUAL (arrival << store history): when the
+      // batch band-key side is bounded, BROADCAST it so the store index is
+      // a pure pruned scan + hash probe — measured at 4M-doc history, the
+      // unhinted SortMergeJoin exchanged the whole 64M-row index (~2.5 GB
+      // shuffle, the dominant arrival cost); the probe-side broadcast
+      // removes that exchange entirely and the arrival cost drops to the
+      // index SCAN term. Above the cap (a bulk arrival, not a trickle),
+      // the shuffled join is the right plan and AQE keeps it.
+      val batchBands = nEx
+      val candRaw =
+        if (batchBandRows <= broadcastBandRowsMax)
+          idx.join(broadcast(batchBands), Seq("__b"))
+        else idx.join(batchBands, Seq("__b"))
+      // materialize the candidate id pairs and pick the fetch plan by their
+      // MEASURED size: an explicit broadcast keeps the store's signature
+      // table out of the exchange entirely (AQE alone plans the fetch as a
+      // sort-merge and only converts after BOTH map sides already shuffled
+      // — at 4M-doc history that map side writes the whole ~1.5 GB sig
+      // table before the conversion can see the tiny candidate count).
+      // Degenerate flood batches (every doc matching thousands of store
+      // rows) exceed the cap and take the shuffled join — correct, just
+      // wide, exactly when the candidate side stops being small.
+      val candIds = candRaw.select(col("doc_id"), col("__sid")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch += candIds
+      val candCnt = candIds.count()
+      val sigTable = store.select(col("doc_id").as("__sid"),
+        col("sig").as("__ssig"), col("rep_id").as("__srep"))
+      val fetched =
+        if (candCnt <= broadcastBandRowsMax)
+          sigTable.join(broadcast(candIds), Seq("__sid"))
+        else sigTable.join(candIds, Seq("__sid"))
+      // the verify join against the batch's own signatures: when the
+      // fetched slice (≤ candCnt rows, sig-carrying) is bounded, broadcast
+      // it so the batch signature frame is scanned in place rather than
+      // exchanged — the same measured-size rule as the batch-side fetch
+      val verifyJoined =
+        if (candCnt <= broadcastSigRowsMax)
+          banded.select(col("doc_id"), col("sig")).join(broadcast(fetched), Seq("doc_id"))
+        else fetched.join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
+      val storeRep = verifyJoined
+        .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
+        .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
+
+      val ccRes = Dedup.ccLabels(nnEdges, col("a"), col("b"))
+      // the component closure is EAGER (its edge list materializes inside
+      // the call), so the narrow path's scratch frames are consumed now —
+      // free them before the batch-sized labeling joins below, not after
+      // the write: at seed scale they pin ~0.7 GB of block-manager state
+      // through the heaviest stage of the job
+      selfJoinScratch.foreach(_.unpersist(false))
+      // DRIVER TAIL (r16): when the closure fit the driver cap AND the
+      // candidate set is bounded, the whole labeling tail is bounded
+      // driver data — docs outside (closure nodes ∪ store-matched docs)
+      // are their own survivors, so only the affected docs need labels.
+      // One bounded collect of storeRep + a LongMap merge replaces FOUR
+      // joins (two of them shuffles: the per-component min and the
+      // label-back), and banded takes ONE broadcast left-join. Over-cap
+      // batches (seed-scale, or flood candidates) keep the distributed
+      // tail unchanged — same labeling by construction, spec-pinned.
+      val driverCap = graft.config.ScaleGates.localCcEdgesMax(spark)
+      val labeled: DataFrame = (ccRes, candCnt <= driverCap) match {
+        case (Left(ccPairs), true) =>
+          val compMap = scala.collection.mutable.LongMap.empty[Long]
+          ccPairs.foreach { case (n, r) => compMap.update(n, r) }
+          // per-component min store rep over the members that matched one
+          val srep = storeRep.collect() // ≤ batch docs with a store match ≤ candCnt
+          val groupMin = scala.collection.mutable.LongMap.empty[Long]
+          srep.foreach { row =>
+            val d = row.getLong(0); val sr = row.getLong(1)
+            val c = compMap.getOrElse(d, d)
+            val cur = groupMin.getOrElse(c, Long.MaxValue)
+            if (sr < cur) groupMin.update(c, sr)
+          }
+          val affected = (compMap.keysIterator ++
+            srep.iterator.map(_.getLong(0))).toArray.distinct
+          val labels = affected.map { d =>
+            val c = compMap.getOrElse(d, d)
+            (d, groupMin.getOrElse(c, c))
+          }
+          import spark.implicits._
+          labels.toSeq.toDF("doc_id", "rep_id")
+        case _ =>
+          val comp = ccRes.fold(
+            pairs => { import spark.implicits._
+              pairs.toSeq.toDF("node", "cluster_rep") },
+            identity)
+          val ids = banded.select(col("doc_id"))
+          val compOf = ids
+            .join(comp, ids("doc_id") === comp("node"), "left")
+            .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("__comp"))
+          // one store rep per component: the minimum any member matched
+          val compRep = compOf.join(storeRep, Seq("doc_id"), "left")
+            .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+          compOf.join(compRep, Seq("__comp"))
+            .select(col("doc_id"),
+              coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
       }
-    // batch×store: min matched store REP per batch doc (matching a
-    // suppressed store doc adopts ITS rep — cross-batch transitivity).
-    // Candidates come from the NARROW band-index tree, partition-pruned
-    // to the batch's colliding buckets (known before the store read) —
-    // the store's 8 KB/doc signature rows never ride the band explosion
-    // (~67 % of the incremental bill at 1 M history before this). The
-    // batch band side is the bounded side of an UNEQUAL join (exempt
-    // from the merge-hint audit: broadcasting it is legitimately
-    // optimal); signatures are fetched ONLY for the distinct colliding
-    // ids, whose bounded frame broadcasts against one narrow store scan.
-    val idx = readPriorBands(spark, storePath, batchId)
-      .filter(col("bucket").isin(batchBuckets: _*))
-    // the candidate join is UNEQUAL (arrival << store history): when the
-    // batch band-key side is bounded, BROADCAST it so the store index is
-    // a pure pruned scan + hash probe — measured at 4M-doc history, the
-    // unhinted SortMergeJoin exchanged the whole 64M-row index (~2.5 GB
-    // shuffle, the dominant arrival cost); the probe-side broadcast
-    // removes that exchange entirely and the arrival cost drops to the
-    // index SCAN term. Above the cap (a bulk arrival, not a trickle),
-    // the shuffled join is the right plan and AQE keeps it.
-    val batchBands = nEx
-    val candRaw =
-      if (batchBandRows <= broadcastBandRowsMax)
-        idx.join(broadcast(batchBands), Seq("__b"))
-      else idx.join(batchBands, Seq("__b"))
-    // materialize the candidate id pairs and pick the fetch plan by their
-    // MEASURED size: an explicit broadcast keeps the store's signature
-    // table out of the exchange entirely (AQE alone plans the fetch as a
-    // sort-merge and only converts after BOTH map sides already shuffled
-    // — at 4M-doc history that map side writes the whole ~1.5 GB sig
-    // table before the conversion can see the tiny candidate count).
-    // Degenerate flood batches (every doc matching thousands of store
-    // rows) exceed the cap and take the shuffled join — correct, just
-    // wide, exactly when the candidate side stops being small.
-    val candIds = candRaw.select(col("doc_id"), col("__sid")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candCnt = candIds.count()
-    val sigTable = store.select(col("doc_id").as("__sid"),
-      col("sig").as("__ssig"), col("rep_id").as("__srep"))
-    val fetched =
-      if (candCnt <= broadcastBandRowsMax)
-        sigTable.join(broadcast(candIds), Seq("__sid"))
-      else sigTable.join(candIds, Seq("__sid"))
-    // the verify join against the batch's own signatures: when the
-    // fetched slice (≤ candCnt rows, sig-carrying) is bounded, broadcast
-    // it so the batch signature frame is scanned in place rather than
-    // exchanged — the same measured-size rule as the batch-side fetch
-    val verifyJoined =
-      if (candCnt <= broadcastSigRowsMax)
-        banded.select(col("doc_id"), col("sig")).join(broadcast(fetched), Seq("doc_id"))
-      else fetched.join(banded.select(col("doc_id"), col("sig")), Seq("doc_id"))
-    val storeRep = verifyJoined
-      .filter(estimatedJaccard(col("sig"), col("__ssig"), k) >= threshold)
-      .groupBy(col("doc_id")).agg(min(col("__srep")).as("__crep"))
+      // left join + coalesce: on the driver tail only AFFECTED docs carry
+      // a label row (everyone else is their own rep); on the distributed
+      // tail every doc carries one, so the coalesce is a no-op there
+      val bandedOut = banded
+        .join(broadcastIfLocal(labeled.withColumnRenamed("rep_id", "__lab"),
+          ccRes.isLeft && candCnt <= driverCap), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("sig"), col("bands"),
+          coalesce(col("__lab"), col("doc_id")).as("rep_id"),
+          (coalesce(col("__lab"), col("doc_id")) === col("doc_id")).as("survivor"))
+      val shortOut = short
+        .select(col("doc_id"), col("text"), col("sig"), col("bands"),
+          col("doc_id").as("rep_id"), lit(true).as("survivor"))
+      val out = bandedOut.unionByName(shortOut)
 
-    val ccRes = Dedup.ccLabels(nnEdges, col("a"), col("b"))
-    // the component closure is EAGER (its edge list materializes inside
-    // the call), so the narrow path's scratch frames are consumed now —
-    // free them before the batch-sized labeling joins below, not after
-    // the write: at seed scale they pin ~0.7 GB of block-manager state
-    // through the heaviest stage of the job
-    selfJoinScratch.foreach(_.unpersist(false))
-    // DRIVER TAIL (r16): when the closure fit the driver cap AND the
-    // candidate set is bounded, the whole labeling tail is bounded
-    // driver data — docs outside (closure nodes ∪ store-matched docs)
-    // are their own survivors, so only the affected docs need labels.
-    // One bounded collect of storeRep + a LongMap merge replaces FOUR
-    // joins (two of them shuffles: the per-component min and the
-    // label-back), and banded takes ONE broadcast left-join. Over-cap
-    // batches (seed-scale, or flood candidates) keep the distributed
-    // tail unchanged — same labeling by construction, spec-pinned.
-    val driverCap = graft.config.ScaleGates.localCcEdgesMax(spark)
-    val labeled: DataFrame = (ccRes, candCnt <= driverCap) match {
-      case (Left(ccPairs), true) =>
-        val compMap = scala.collection.mutable.LongMap.empty[Long]
-        ccPairs.foreach { case (n, r) => compMap.update(n, r) }
-        // per-component min store rep over the members that matched one
-        val srep = storeRep.collect() // ≤ batch docs with a store match ≤ candCnt
-        val groupMin = scala.collection.mutable.LongMap.empty[Long]
-        srep.foreach { row =>
-          val d = row.getLong(0); val sr = row.getLong(1)
-          val c = compMap.getOrElse(d, d)
-          val cur = groupMin.getOrElse(c, Long.MaxValue)
-          if (sr < cur) groupMin.update(c, sr)
-        }
-        val affected = (compMap.keysIterator ++
-          srep.iterator.map(_.getLong(0))).toArray.distinct
-        val labels = affected.map { d =>
-          val c = compMap.getOrElse(d, d)
-          (d, groupMin.getOrElse(c, c))
-        }
-        import spark.implicits._
-        labels.toSeq.toDF("doc_id", "rep_id")
-      case _ =>
-        val comp = ccRes.fold(
-          pairs => { import spark.implicits._
-            pairs.toSeq.toDF("node", "cluster_rep") },
-          identity)
-        val ids = banded.select(col("doc_id"))
-        val compOf = ids
-          .join(comp, ids("doc_id") === comp("node"), "left")
-          .select(col("doc_id"), coalesce(col("cluster_rep"), col("doc_id")).as("__comp"))
-        // one store rep per component: the minimum any member matched
-        val compRep = compOf.join(storeRep, Seq("doc_id"), "left")
-          .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
-        compOf.join(compRep, Seq("__comp"))
-          .select(col("doc_id"),
-            coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
+      out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      // band index AFTER the main tree (a crash between the two leaves a
+      // main batch the index lacks — readPriorBands derives it from the
+      // main tree, so the gap costs speed, never correctness; the replay
+      // overwrite repairs both). repartition(bucket) puts each bucket in
+      // exactly one task = one file per bucket dir.
+      deriveBands(banded)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
+      spark.read.parquet(s"$storePath/batch=$batchId")
+        .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
+    } finally {
+      // unpersist and Checkpoints.free are idempotent on already-freed
+      // frames, so the eager success-path frees above stay: they release
+      // block-manager memory BEFORE the heavy labeling stage rather than
+      // merely eventually
+      Checkpoints.free(banded)
+      scratch.foreach(_.unpersist(false))
     }
-    // left join + coalesce: on the driver tail only AFFECTED docs carry
-    // a label row (everyone else is their own rep); on the distributed
-    // tail every doc carries one, so the coalesce is a no-op there
-    val bandedOut = banded
-      .join(broadcastIfLocal(labeled.withColumnRenamed("rep_id", "__lab"),
-        ccRes.isLeft && candCnt <= driverCap), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"), col("sig"), col("bands"),
-        coalesce(col("__lab"), col("doc_id")).as("rep_id"),
-        (coalesce(col("__lab"), col("doc_id")) === col("doc_id")).as("survivor"))
-    val shortOut = short
-      .select(col("doc_id"), col("text"), col("sig"), col("bands"),
-        col("doc_id").as("rep_id"), lit(true).as("survivor"))
-    val out = bandedOut.unionByName(shortOut)
-
-    out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    // band index AFTER the main tree (a crash between the two leaves a
-    // main batch the index lacks — readPriorBands derives it from the
-    // main tree, so the gap costs speed, never correctness; the replay
-    // overwrite repairs both). repartition(bucket) puts each bucket in
-    // exactly one task = one file per bucket dir.
-    deriveBands(banded)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"${bandsRoot(storePath)}/batch=$batchId")
-    Checkpoints.free(banded)
-    candIds.unpersist(false)
-    spark.read.parquet(s"$storePath/batch=$batchId")
-      .select(col("doc_id"), col("text"), col("rep_id"), col("survivor"))
   }
 
   /** Seed a LARGE corpus into the store as `chunks` bounded arrivals

@@ -94,88 +94,95 @@ object IncrementalImageDedup {
         when(col("dec_width") > 0, Multimodal.dHash64(col("feat")))
           .otherwise(lit(null).cast("long")).as("dh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val members = hashed.filter(col("dh").isNotNull)
-      .withColumn("__rep", min(col("media_id")).over(Window.partitionBy(col("dh"))))
-    // chain edges connect identical-hash members to their in-batch rep;
-    // band-join edges connect distinct hashes within the radius
-    val chainEdges = members.filter(col("media_id") =!= col("__rep"))
-      .select(col("__rep").as("a"), col("media_id").as("b"))
-    val reps = members.filter(col("media_id") === col("__rep"))
-      .select(col("__rep"), col("dh"), bandStruct(col("dh"), maxHamming).as("__b"))
-    val ra = reps.select(col("__rep").as("a"), col("dh").as("__dha"), col("__b"))
-    val rb = reps.select(col("__rep").as("b"), col("dh").as("__dhb"), col("__b"))
-    // equal-sided batch self-join over a MATERIALIZED frame (8-bytes/row
-    // planner stats) — merge-hinted, the [[Dedup]] corpus-self-join rule
-    val repEdges = ra.hint("merge").join(rb, Seq("__b"))
-      .filter(col("a") < col("b"))
-      .filter(bit_count(col("__dha").bitwiseXOR(col("__dhb"))) <= maxHamming)
-      .select(col("a"), col("b")).distinct()
+    // scratch registry + try/finally: the persisted frames must not
+    // outlive the batch on ANY exit — a CC non-convergence or failed
+    // store write would otherwise leak cached blocks for the session
+    // lifetime (unpersist is an idempotent no-op on freed frames)
+    val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    scratch += hashed
+    try {
+      val members = hashed.filter(col("dh").isNotNull)
+        .withColumn("__rep", min(col("media_id")).over(Window.partitionBy(col("dh"))))
+      // chain edges connect identical-hash members to their in-batch rep;
+      // band-join edges connect distinct hashes within the radius
+      val chainEdges = members.filter(col("media_id") =!= col("__rep"))
+        .select(col("__rep").as("a"), col("media_id").as("b"))
+      val reps = members.filter(col("media_id") === col("__rep"))
+        .select(col("__rep"), col("dh"), bandStruct(col("dh"), maxHamming).as("__b"))
+      val ra = reps.select(col("__rep").as("a"), col("dh").as("__dha"), col("__b"))
+      val rb = reps.select(col("__rep").as("b"), col("dh").as("__dhb"), col("__b"))
+      // equal-sided batch self-join over a MATERIALIZED frame (8-bytes/row
+      // planner stats) — merge-hinted, the [[Dedup]] corpus-self-join rule
+      val repEdges = ra.hint("merge").join(rb, Seq("__b"))
+        .filter(col("a") < col("b"))
+        .filter(bit_count(col("__dha").bitwiseXOR(col("__dhb"))) <= maxHamming)
+        .select(col("a"), col("b")).distinct()
 
-    // the pre-batch state from EXPLICIT batch < batchId paths (the
-    // [[BatchStore]] replay-exclusion contract; also heals a crashed
-    // compact swap before reading)
-    val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
-      .select(col("media_id"), col("dh"), col("rep_id"))
-    // store side collapsed to (distinct hash, min rep): equal hashes
-    // matched each other at ingest, so min-rep per hash is exactly the
-    // rep the full row set would contribute. PLAN, by measured size (the
-    // [[IncrementalDedup]] r15 discipline): the natural plan pays TWO
-    // history-sized exchanges per arrival — the groupBy(dh) collapse of
-    // the full store, then the band join's store side. The batch's
-    // distinct (band, key) set is bounded, so broadcast IT as a probe
-    // into one store scan (explode bands per row in place — a generator,
-    // not a shuffle), and collapse equal hashes AFTER the probe: rows of
-    // one hash carry identical band sets, so every row of a colliding
-    // hash survives the probe and min-rep over the collided slice equals
-    // min-rep over the full store for those hashes. Only colliding rows
-    // ever reach an exchange. Explicit broadcast, not AQE — AQE converts
-    // only after both map sides already materialized (the
-    // LshFrontierProbe lesson). Flood batches beyond the cap take the
-    // original collapsed-store plan.
-    val bKeys = reps.select(col("__b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bKeyCnt = bKeys.count()
-    val sReps =
-      if (bKeyCnt <= graft.config.ScaleGates.imageBroadcastBandRowsMax(spark))
-        store.filter(col("dh").isNotNull)
-          .select(col("dh"), col("rep_id"), bandStruct(col("dh"), maxHamming).as("__b"))
-          .join(broadcast(bKeys), Seq("__b"))
-          .groupBy(col("__b"), col("dh"))
-          .agg(min(col("rep_id")).as("__srep"))
-          .select(col("__b"), col("dh").as("__sdh"), col("__srep"))
-      else
-        store.filter(col("dh").isNotNull)
-          .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
-          .select(col("dh").as("__sdh"), col("__srep"),
-            bandStruct(col("dh"), maxHamming).as("__b"))
-    val bEx = reps.select(col("__rep"), col("dh"), col("__b"))
-    val storeRep = bEx.join(sReps, Seq("__b"))
-      .filter(bit_count(col("dh").bitwiseXOR(col("__sdh"))) <= maxHamming)
-      .groupBy(col("__rep")).agg(min(col("__srep")).as("__crep"))
-      // back to every member of the batch hash group
-      .join(members.select(col("media_id"), col("__rep")), Seq("__rep"))
-      .select(col("media_id"), col("__crep"))
+      // the pre-batch state from EXPLICIT batch < batchId paths (the
+      // [[BatchStore]] replay-exclusion contract; also heals a crashed
+      // compact swap before reading)
+      val store = BatchStore.readPrior(spark, storePath, batchId, storeSchema)
+        .select(col("media_id"), col("dh"), col("rep_id"))
+      // store side collapsed to (distinct hash, min rep): equal hashes
+      // matched each other at ingest, so min-rep per hash is exactly the
+      // rep the full row set would contribute. PLAN, by measured size (the
+      // [[IncrementalDedup]] r15 discipline): the natural plan pays TWO
+      // history-sized exchanges per arrival — the groupBy(dh) collapse of
+      // the full store, then the band join's store side. The batch's
+      // distinct (band, key) set is bounded, so broadcast IT as a probe
+      // into one store scan (explode bands per row in place — a generator,
+      // not a shuffle), and collapse equal hashes AFTER the probe: rows of
+      // one hash carry identical band sets, so every row of a colliding
+      // hash survives the probe and min-rep over the collided slice equals
+      // min-rep over the full store for those hashes. Only colliding rows
+      // ever reach an exchange. Explicit broadcast, not AQE — AQE converts
+      // only after both map sides already materialized (the
+      // LshFrontierProbe lesson). Flood batches beyond the cap take the
+      // original collapsed-store plan.
+      val bKeys = reps.select(col("__b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch += bKeys
+      val bKeyCnt = bKeys.count()
+      val sReps =
+        if (bKeyCnt <= graft.config.ScaleGates.imageBroadcastBandRowsMax(spark))
+          store.filter(col("dh").isNotNull)
+            .select(col("dh"), col("rep_id"), bandStruct(col("dh"), maxHamming).as("__b"))
+            .join(broadcast(bKeys), Seq("__b"))
+            .groupBy(col("__b"), col("dh"))
+            .agg(min(col("rep_id")).as("__srep"))
+            .select(col("__b"), col("dh").as("__sdh"), col("__srep"))
+        else
+          store.filter(col("dh").isNotNull)
+            .groupBy(col("dh")).agg(min(col("rep_id")).as("__srep"))
+            .select(col("dh").as("__sdh"), col("__srep"),
+              bandStruct(col("dh"), maxHamming).as("__b"))
+      val bEx = reps.select(col("__rep"), col("dh"), col("__b"))
+      val storeRep = bEx.join(sReps, Seq("__b"))
+        .filter(bit_count(col("dh").bitwiseXOR(col("__sdh"))) <= maxHamming)
+        .groupBy(col("__rep")).agg(min(col("__srep")).as("__crep"))
+        // back to every member of the batch hash group
+        .join(members.select(col("media_id"), col("__rep")), Seq("__rep"))
+        .select(col("media_id"), col("__crep"))
 
-    val edges = chainEdges.unionByName(repEdges)
-    val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
-    val ids = hashed.select(col("media_id"))
-    val compOf = ids
-      .join(comp, ids("media_id") === comp("node"), "left")
-      .select(col("media_id"), coalesce(col("cluster_rep"), col("media_id")).as("__comp"))
-    val compRep = compOf.join(storeRep, Seq("media_id"), "left")
-      .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
-    val labeled = compOf.join(compRep, Seq("__comp"))
-      .select(col("media_id"),
-        coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
-    val out = hashed.join(labeled, Seq("media_id"))
-      .select(col("media_id"), col("dh"), col("rep_id"),
-        (col("rep_id") === col("media_id")).as("survivor"))
+      val edges = chainEdges.unionByName(repEdges)
+      val comp = Dedup.connectedComponents(edges, col("a"), col("b"))
+      val ids = hashed.select(col("media_id"))
+      val compOf = ids
+        .join(comp, ids("media_id") === comp("node"), "left")
+        .select(col("media_id"), coalesce(col("cluster_rep"), col("media_id")).as("__comp"))
+      val compRep = compOf.join(storeRep, Seq("media_id"), "left")
+        .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+      val labeled = compOf.join(compRep, Seq("__comp"))
+        .select(col("media_id"),
+          coalesce(col("__compSrep"), col("__comp")).as("rep_id"))
+      val out = hashed.join(labeled, Seq("media_id"))
+        .select(col("media_id"), col("dh"), col("rep_id"),
+          (col("rep_id") === col("media_id")).as("survivor"))
 
-    out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    bKeys.unpersist(false)
-    hashed.unpersist(false)
-    spark.read.parquet(s"$storePath/batch=$batchId")
-      .select(col("media_id"), col("rep_id"), col("survivor"))
+      out.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+      spark.read.parquet(s"$storePath/batch=$batchId")
+        .select(col("media_id"), col("rep_id"), col("survivor"))
+    } finally scratch.foreach(_.unpersist(false))
   }
 
   /** The store's accepted (surviving) media ids. */

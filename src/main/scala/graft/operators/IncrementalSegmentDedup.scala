@@ -143,46 +143,54 @@ object IncrementalSegmentDedup {
       else graft.config.ScaleGates.segmentStoreProbeBytesMin(spark)
     val probeStore =
       BatchStore.priorBytes(spark, storePath, batchId) >= probeBytesMin
-    val (novel, scratch) =
-      if (!probeStore)
-        (winners.join(store,
-          winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
-          "left_anti"), Seq.empty[DataFrame])
-      else {
-        // persist, not localCheckpoint (the r16 plumbing cut): the gate
-        // count's execution IS the materialization — one pass that
-        // caches, where the eager checkpoint paid a separate full
-        // write job before the count could even run. Same for the
-        // collision fetch: its gate count populates the cache the
-        // broadcast build then reads. Two jobs and two batch-text
-        // passes gone from the probe path's fixed floor.
-        winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val winnerCnt = winners.count()
-        if (winnerCnt <= BroadcastKeyRowsMax) {
-          val keys = winners.select(col("__h").as("seg_hash")).distinct()
-          val h = store.join(broadcast(keys), Seq("seg_hash"))
-            .select(col("seg_hash"), col("seg"))
-          h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val hitCnt = h.count()
-          val right = if (hitCnt <= BroadcastSegRowsMax) broadcast(h) else h
-          (winners.join(right,
-            winners("__h") === right("seg_hash") && winners("__seg") === right("seg"),
-            "left_anti"), Seq(winners, h))
-        } else
-          (winners.join(store,
+    // scratch registry + try/finally: the probe path's persisted frames
+    // must not outlive the batch on ANY exit — a gate count or store
+    // write that throws would otherwise leak cached blocks for the
+    // session lifetime
+    val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val novel =
+        if (!probeStore)
+          winners.join(store,
             winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
-            "left_anti"), Seq(winners))
-      }
+            "left_anti")
+        else {
+          // persist, not localCheckpoint (the r16 plumbing cut): the gate
+          // count's execution IS the materialization — one pass that
+          // caches, where the eager checkpoint paid a separate full
+          // write job before the count could even run. Same for the
+          // collision fetch: its gate count populates the cache the
+          // broadcast build then reads. Two jobs and two batch-text
+          // passes gone from the probe path's fixed floor.
+          winners.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scratch += winners
+          val winnerCnt = winners.count()
+          if (winnerCnt <= BroadcastKeyRowsMax) {
+            val keys = winners.select(col("__h").as("seg_hash")).distinct()
+            val h = store.join(broadcast(keys), Seq("seg_hash"))
+              .select(col("seg_hash"), col("seg"))
+            h.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            scratch += h
+            val hitCnt = h.count()
+            val right = if (hitCnt <= BroadcastSegRowsMax) broadcast(h) else h
+            winners.join(right,
+              winners("__h") === right("seg_hash") && winners("__seg") === right("seg"),
+              "left_anti")
+          } else
+            winners.join(store,
+              winners("__h") === store("seg_hash") && winners("__seg") === store("seg"),
+              "left_anti")
+        }
 
-    // the store write IS the materialization: novel computes exactly once
-    // into its partition, and the reassembly reads that partition back —
-    // no checkpoint needed, and the returned frame's lineage (batch
-    // projection + own written partition) stays re-executable because
-    // both are fixed regardless of later batches landing in the store
-    novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"),
-        col("__id").as("first_doc_id"), col("__idx").as("first_idx"))
-      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
-    scratch.foreach(_.unpersist(false))
+      // the store write IS the materialization: novel computes exactly once
+      // into its partition, and the reassembly reads that partition back —
+      // no checkpoint needed, and the returned frame's lineage (batch
+      // projection + own written partition) stays re-executable because
+      // both are fixed regardless of later batches landing in the store
+      novel.select(col("__h").as("seg_hash"), col("__seg").as("seg"),
+          col("__id").as("first_doc_id"), col("__idx").as("first_idx"))
+        .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    } finally scratch.foreach(_.unpersist(false))
     val written = spark.read.parquet(s"$storePath/batch=$batchId")
 
     val reassembled = written.groupBy(col("first_doc_id").as("__id"))

@@ -190,107 +190,110 @@ object IncrementalSemDedup {
             nullif(Embeddings.norm(col("emb")), lit(0.0)), lit(0.0)), 4)
             .as("centroid_cosine"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // batch-internal edges, cell-scoped
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("__ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("__eb"))
-    // equal-sided batch self-join — merge-hinted (the
-    // [[graft.operators.Dedup]] corpus-self-join rule), so the plan
-    // never leans on the cached frame's stats
-    val edges = a.hint("merge").join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
-      .select(col("id_a"), col("id_b"))
-    // batch×store: stored rows of the TOUCHED CELLS only — the batch's
-    // distinct cell set is bounded by nlist (a small driver collect, the
-    // IvfIndex.probe discipline), and the rows tree is partitioned by
-    // cell under each batch dir, so the isin filter prunes cell=
-    // directories at file-index time instead of scanning store history
-    // one bounded driver row: the touched-cell set (≤ nlist, the
-    // IvfIndex.probe discipline) AND the batch row count that picks the
-    // batch×store join plan below
-    val batchStats = assigned
-      .agg(collect_set(col("cell")).as("cells"), count(lit(1)).as("n")).head()
-    val touchedCells =
-      batchStats.getAs[scala.collection.Seq[Int]](0).sorted.toIndexedSeq
-    val batchRows = batchStats.getLong(1)
-    // the pre-batch state from EXPLICIT batch < batchId paths (the
-    // [[BatchStore]] replay-exclusion contract — until round 10 this
-    // store read the whole rows tree and replay idempotence rested on a
-    // fixed-point argument; now a replayed batch structurally cannot see
-    // its own, possibly torn, prior write). Cell pruning survives: each
-    // batch dir's cell= subdirs surface as the `cell` partition column,
-    // so the isin filter still prunes directories at file-index time.
-    val rowsPath = s"$storePath/rows"
-    // PQ mode: the store side is the packed code's codeword
-    // reconstruction; the comparison is asymmetric (exact batch float vs
-    // reconstructed store row) at threshold − adcSlack
-    val store = BatchStore.readPrior(spark, rowsPath, batchId,
-        if (books.nonEmpty) pqStoreSchema else storeSchema)
-      .filter(col("cell").isin(touchedCells: _*))
-      .select(col("vec_id").as("__sid"), col("cell"),
-        (if (books.nonEmpty) reconOf(col("code"), books) else col("emb"))
-          .as("__se"),
-        col("rep_id").as("__srep"))
-    val storeThreshold = if (books.nonEmpty) threshold - adcSlack else threshold
-    // PLAN, by measured size (the [[IncrementalDedup]] r15 discipline):
-    // the natural plan shuffles BOTH sides on the cell key — a
-    // history-sized exchange of the store's embedding (or
-    // reconstruction) rows, on a key whose cardinality is ≤ nlist (so it
-    // also skews into few tasks). The batch side is bounded and already
-    // counted, so broadcast IT: the store side becomes one pruned scan +
-    // hash probe with no exchange at all, and in PQ mode the codeword
-    // reconstruction is computed inside the scan instead of riding a
-    // shuffle. Explicit broadcast, not AQE — AQE converts a join only
-    // after both map sides have materialized (the LshFrontierProbe
-    // lesson). Bulk arrivals beyond the cap take the shuffled join.
-    val batchSide = assigned.select(col("vec_id"), col("emb"), col("cell"))
-    val joined =
-      if (batchRows <= graft.config.ScaleGates.semBroadcastVecRowsMax(spark))
-        store.join(broadcast(batchSide), Seq("cell"))
-      else batchSide.join(store, Seq("cell"))
-    val storeRep = joined
-      .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= storeThreshold)
-      .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
-    val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
-    val ids = assigned.select(col("vec_id"), col("centroid_cosine"))
-    val compOf = ids
-      .join(comp, ids("vec_id") === comp("node"), "left")
-      .select(col("vec_id"), col("centroid_cosine"),
-        coalesce(col("cluster_rep"), col("vec_id")).as("__comp"))
-    val compRep = compOf.join(storeRep, Seq("vec_id"), "left")
-      .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
-    // a FRESH cluster keeps the farthest-from-centroid member (SemDeDup's
-    // keep policy), so the incremental path agrees with the one-shot
-    // algorithm when the store is empty
-    val freshKeep = compOf.groupBy(col("__comp"))
-      .agg(min(struct(col("centroid_cosine"), col("vec_id"))).as("__k"))
-      .select(col("__comp"), col("__k").getField("vec_id").as("__keepId"))
-    val labeled = compOf
-      .join(compRep, Seq("__comp"))
-      .join(freshKeep, Seq("__comp"))
-      .select(col("vec_id"),
-        coalesce(col("__compSrep"), col("__keepId")).as("rep_id"))
-    val out = assigned.join(labeled, Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("emb"), col("centroid_cosine"),
-        col("rep_id"), (col("rep_id") === col("vec_id")).as("survivor"))
-    val outRows =
-      if (books.isEmpty) out
-      else Embeddings.pqEncoded(out, col("emb"), books)
-        .select(col("vec_id"), col("cell"),
-          Embeddings.pqPack(col("__codes"), books.size, books.head.size)
-            .as("code"),
-          col("centroid_cosine"), col("rep_id"), col("survivor"))
-    // one shuffle keyed on the cell: each cell lands in exactly ONE task
-    // = one file per touched cell dir, instead of one per (write task ×
-    // cell) — the compaction write's fan discipline, applied at append
-    // time (an 8× production-rate cut at 32 tasks before compaction
-    // ever runs)
-    outRows.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$rowsPath/batch=$batchId")
-    assigned.unpersist(false)
-    spark.read.parquet(s"$rowsPath/batch=$batchId")
-      .select(col("vec_id"), col("rep_id"), col("survivor"))
+    // try/finally: a CC non-convergence or failed store write must not
+    // leak the cached assignment for the session lifetime
+    try {
+      // batch-internal edges, cell-scoped
+      val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("emb").as("__ea"))
+      val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("emb").as("__eb"))
+      // equal-sided batch self-join — merge-hinted (the
+      // [[graft.operators.Dedup]] corpus-self-join rule), so the plan
+      // never leans on the cached frame's stats
+      val edges = a.hint("merge").join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Embeddings.cosine(col("__ea"), col("__eb")), 4) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      // batch×store: stored rows of the TOUCHED CELLS only — the batch's
+      // distinct cell set is bounded by nlist (a small driver collect, the
+      // IvfIndex.probe discipline), and the rows tree is partitioned by
+      // cell under each batch dir, so the isin filter prunes cell=
+      // directories at file-index time instead of scanning store history
+      // one bounded driver row: the touched-cell set (≤ nlist, the
+      // IvfIndex.probe discipline) AND the batch row count that picks the
+      // batch×store join plan below
+      val batchStats = assigned
+        .agg(collect_set(col("cell")).as("cells"), count(lit(1)).as("n")).head()
+      val touchedCells =
+        batchStats.getAs[scala.collection.Seq[Int]](0).sorted.toIndexedSeq
+      val batchRows = batchStats.getLong(1)
+      // the pre-batch state from EXPLICIT batch < batchId paths (the
+      // [[BatchStore]] replay-exclusion contract — until round 10 this
+      // store read the whole rows tree and replay idempotence rested on a
+      // fixed-point argument; now a replayed batch structurally cannot see
+      // its own, possibly torn, prior write). Cell pruning survives: each
+      // batch dir's cell= subdirs surface as the `cell` partition column,
+      // so the isin filter still prunes directories at file-index time.
+      val rowsPath = s"$storePath/rows"
+      // PQ mode: the store side is the packed code's codeword
+      // reconstruction; the comparison is asymmetric (exact batch float vs
+      // reconstructed store row) at threshold − adcSlack
+      val store = BatchStore.readPrior(spark, rowsPath, batchId,
+          if (books.nonEmpty) pqStoreSchema else storeSchema)
+        .filter(col("cell").isin(touchedCells: _*))
+        .select(col("vec_id").as("__sid"), col("cell"),
+          (if (books.nonEmpty) reconOf(col("code"), books) else col("emb"))
+            .as("__se"),
+          col("rep_id").as("__srep"))
+      val storeThreshold = if (books.nonEmpty) threshold - adcSlack else threshold
+      // PLAN, by measured size (the [[IncrementalDedup]] r15 discipline):
+      // the natural plan shuffles BOTH sides on the cell key — a
+      // history-sized exchange of the store's embedding (or
+      // reconstruction) rows, on a key whose cardinality is ≤ nlist (so it
+      // also skews into few tasks). The batch side is bounded and already
+      // counted, so broadcast IT: the store side becomes one pruned scan +
+      // hash probe with no exchange at all, and in PQ mode the codeword
+      // reconstruction is computed inside the scan instead of riding a
+      // shuffle. Explicit broadcast, not AQE — AQE converts a join only
+      // after both map sides have materialized (the LshFrontierProbe
+      // lesson). Bulk arrivals beyond the cap take the shuffled join.
+      val batchSide = assigned.select(col("vec_id"), col("emb"), col("cell"))
+      val joined =
+        if (batchRows <= graft.config.ScaleGates.semBroadcastVecRowsMax(spark))
+          store.join(broadcast(batchSide), Seq("cell"))
+        else batchSide.join(store, Seq("cell"))
+      val storeRep = joined
+        .filter(round(Embeddings.cosine(col("emb"), col("__se")), 4) >= storeThreshold)
+        .groupBy(col("vec_id")).agg(min(col("__srep")).as("__crep"))
+      val comp = Dedup.connectedComponents(edges, col("id_a"), col("id_b"))
+      val ids = assigned.select(col("vec_id"), col("centroid_cosine"))
+      val compOf = ids
+        .join(comp, ids("vec_id") === comp("node"), "left")
+        .select(col("vec_id"), col("centroid_cosine"),
+          coalesce(col("cluster_rep"), col("vec_id")).as("__comp"))
+      val compRep = compOf.join(storeRep, Seq("vec_id"), "left")
+        .groupBy(col("__comp")).agg(min(col("__crep")).as("__compSrep"))
+      // a FRESH cluster keeps the farthest-from-centroid member (SemDeDup's
+      // keep policy), so the incremental path agrees with the one-shot
+      // algorithm when the store is empty
+      val freshKeep = compOf.groupBy(col("__comp"))
+        .agg(min(struct(col("centroid_cosine"), col("vec_id"))).as("__k"))
+        .select(col("__comp"), col("__k").getField("vec_id").as("__keepId"))
+      val labeled = compOf
+        .join(compRep, Seq("__comp"))
+        .join(freshKeep, Seq("__comp"))
+        .select(col("vec_id"),
+          coalesce(col("__compSrep"), col("__keepId")).as("rep_id"))
+      val out = assigned.join(labeled, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("emb"), col("centroid_cosine"),
+          col("rep_id"), (col("rep_id") === col("vec_id")).as("survivor"))
+      val outRows =
+        if (books.isEmpty) out
+        else Embeddings.pqEncoded(out, col("emb"), books)
+          .select(col("vec_id"), col("cell"),
+            Embeddings.pqPack(col("__codes"), books.size, books.head.size)
+              .as("code"),
+            col("centroid_cosine"), col("rep_id"), col("survivor"))
+      // one shuffle keyed on the cell: each cell lands in exactly ONE task
+      // = one file per touched cell dir, instead of one per (write task ×
+      // cell) — the compaction write's fan discipline, applied at append
+      // time (an 8× production-rate cut at 32 tasks before compaction
+      // ever runs)
+      outRows.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$rowsPath/batch=$batchId")
+      spark.read.parquet(s"$rowsPath/batch=$batchId")
+        .select(col("vec_id"), col("rep_id"), col("survivor"))
+    } finally assigned.unpersist(false)
   }
 
   /** The store's accepted (surviving) items. */

@@ -317,6 +317,15 @@ private[operators] object IvfCells {
     * Batch ids, row content, and probe results are unchanged —
     * IvfIndexSpec pins probe-equality across the migration. No-op on an
     * already-bucketed tree.
+    *
+    * SAFETY CONTRACT (the [[compact]] discipline, stated for migrate
+    * too): the caller must be the EXCLUSIVE writer while this runs — an
+    * append that commits after the batch listing would be silently
+    * dropped by the swap. As a backstop the batch set is re-listed just
+    * before the swap and the migration ABORTS (staging tree deleted,
+    * live tree untouched) if new batches appeared; a writer that lands
+    * between that check and the rename is inherently unprotectable on a
+    * rename-based swap, hence the contract.
     */
   def migrate(spark: SparkSession, path: String): Unit = {
     val (fs, cells) = BatchStore.fsPath(spark, s"$path/cells")
@@ -355,6 +364,18 @@ private[operators] object IvfCells {
         val rows = spark.read.parquet(b.getPath.toString).drop("cbk")
         writeBucketed(rows, out)
       }
+    }
+    // concurrent-append backstop (see the SAFETY CONTRACT above): abort
+    // rather than swap away a batch committed after the listing
+    val after = fs.listStatus(cells)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName).toSet
+    if (after != batches.map(_.getPath.getName).toSet) {
+      fs.delete(next, true)
+      throw new java.util.ConcurrentModificationException(
+        s"IvfCells.migrate at $cells: batch set changed during migration " +
+          "(concurrent writer detected) — migration aborted, live tree " +
+          "untouched. migrate requires an exclusive writer; re-run it quiesced.")
     }
     BatchStore.completeSwap(BatchStore.PendingSwap(fs, cells, next))
   }

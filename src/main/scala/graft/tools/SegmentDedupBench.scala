@@ -110,6 +110,63 @@ object SegmentDedupBench {
     rmrf(spark, store)
   }
 
+  /** Probe-vs-classic mode (the r16→r17 break-even re-measure): seeds a
+    * store with `history` docs, then times the SAME arrival through the
+    * probe-broadcast plan (`storeProbeBytesMin = 0`) and the classic
+    * shuffled anti-join (`= Long.MaxValue`), 2 reps each (min), with
+    * per-path job counts and the store's at-rest bytes — the gate's
+    * unit. Output equality between the two paths is asserted per run.
+    */
+  private def probeVsClassic(spark: SparkSession, base: String,
+      history: Long, arrival: Long): Unit = {
+    val all = corpus(spark, history + arrival)
+    all.cache().count()
+    val hist = all.filter(col("doc_id") < history)
+    val batch = all.filter(col("doc_id") >= history)
+    val store = s"$base/probe-$history"
+    consume(IncrementalSegmentDedup.segmentDedupBatch(spark, hist,
+      col("doc_id"), col("text"), store, 0L))
+    val storeBytes =
+      graft.operators.BatchStore.priorBytes(spark, store, 1L)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def run(gate: Long): (Map[Long, (Long, Long, String)], Double, Long) = {
+      var rows: Map[Long, (Long, Long, String)] = Map.empty
+      var jobsUsed = 0L
+      val t = (0 until 2).map { _ =>
+        org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+        val j0 = jobs.get()
+        val (_, sec) = timed {
+          val out = IncrementalSegmentDedup.segmentDedupBatch(spark, batch,
+            col("doc_id"), col("text"), store, 1L, storeProbeBytesMin = gate)
+          rows = rowsOf(out)
+        }
+        org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+        jobsUsed = jobs.get() - j0
+        sec
+      }.min
+      (rows, t, jobsUsed)
+    }
+    val (probeRows, probeT, probeJobs) = run(0L)
+    val (classicRows, classicT, classicJobs) = run(Long.MaxValue)
+    spark.sparkContext.removeSparkListener(listener)
+    require(probeRows == classicRows,
+      s"probe/classic outputs diverged at history=$history")
+    println(f"PROBE history=$history%9d arrival=$arrival%8d " +
+      f"storeMB=${storeBytes / 1048576.0}%7.1f " +
+      f"probe=$probeT%6.2fs/$probeJobs%3d jobs " +
+      f"classic=$classicT%6.2fs/$classicJobs%3d jobs " +
+      f"${classicT / probeT}%5.2fx")
+    all.unpersist()
+    rmrf(spark, store)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
@@ -126,6 +183,16 @@ object SegmentDedupBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("probe")) {
+      val base = s"target/tmp/segdedup-probe-${System.nanoTime()}"
+      val arrival = args.lift(2).map(_.toLong).getOrElse(100000L)
+      args.lift(1).map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(1000000L, 4000000L))
+        .foreach(h => probeVsClassic(spark, base, h, arrival))
+      rmrf(spark, base)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("frontier")) {
       val base = s"target/tmp/segdedup-frontier-${System.nanoTime()}"
       val arrival = args.lift(2).map(_.toLong).getOrElse(100000L)

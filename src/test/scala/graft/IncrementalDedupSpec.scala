@@ -441,4 +441,74 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(m(2L) == ((1L, false)) && m(10L) == ((1L, false)))
     assert(m(11L)._2 && m(7L)._2)
   }
+
+  test("driver-tail gate boundary: candCnt == cap, wide all-matched storeRep") {
+    // adversarial geometry for the r16 driver tail (verdict #6): the
+    // candidate count lands EXACTLY on localCcEdgesMax (the gate is <=),
+    // and every candidate is a real match forming its OWN component —
+    // zero batch-internal edges, so CC contributes nothing and the
+    // driver-side structures (the storeRep collect, the LocalRelation
+    // label frame) are as wide as the gate ever permits: one row per
+    // candidate, no merging to shrink them. Equality is pinned on BOTH
+    // sides of the boundary, and the boundary flip itself is pinned by
+    // job count (the driver tail replaces four labeling joins with one
+    // broadcast join — strictly fewer jobs on identical data; if the
+    // candidate count were off by one, both runs would take the
+    // distributed tail and the job assertion would fail loudly).
+    val n = 32
+    def storeDocs() = (0 until n).map { i =>
+      (i.toLong, (0 until 40).map(t => f"s${i}t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    def arrivals() = (0 until n).map { i =>
+      // 36/40 token overlap with store doc i (shingle Jaccard ~0.8, far
+      // above threshold); token spaces disjoint across i, so arrival i
+      // matches store doc i and nothing else
+      ((1000 + i).toLong,
+        ((0 until 36).map(t => f"s${i}t$t") ++
+          (0 until 4).map(t => f"a${i}x$t")).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def run(tag: String, cap: Long): (Set[(Long, Long, Boolean)], Long) =
+      try {
+        val store = tmpDir(s"tail-boundary-$tag")
+        spark.conf.set(graft.config.ScaleGates.LocalCcEdgesMaxKey, cap.toString)
+        IncrementalDedup.lshDedupBatch(spark, storeDocs(), $"doc_id", $"text",
+          store, 0L, threshold = Threshold, bands = TestBands)
+        org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+        val j0 = jobs.get()
+        IncrementalDedup.lshDedupBatch(spark, arrivals(), $"doc_id", $"text",
+          store, 1L, threshold = Threshold, bands = TestBands)
+        org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
+        val rows = spark.read.parquet(store)
+          .select($"doc_id", $"rep_id", $"survivor")
+          .as[(Long, Long, Boolean)].collect().toSet
+        (rows, jobs.get() - j0)
+      } finally spark.conf.unset(graft.config.ScaleGates.LocalCcEdgesMaxKey)
+
+    try {
+      val (atCap, jobsAtCap) = run("at", n.toLong)      // candCnt == cap
+      val (underCap, jobsUnder) = run("under", n - 1L)  // candCnt == cap + 1
+      assert(atCap == underCap)
+      assert(jobsAtCap < jobsUnder,
+        s"driver tail at the boundary must schedule fewer jobs " +
+          s"($jobsAtCap vs $jobsUnder) — if equal, the candidate count " +
+          "missed the cap and the boundary was never exercised")
+      // the wide-storeRep shape actually materialized: every arrival
+      // suppressed under its OWN counterpart — n distinct components,
+      // all matched, none merged
+      val m = atCap.map(r => r._1 -> ((r._2, r._3))).toMap
+      (0 until n).foreach { i =>
+        assert(m((1000 + i).toLong) == ((i.toLong, false)), s"arrival $i")
+        assert(m(i.toLong) == ((i.toLong, true)), s"store doc $i")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -492,4 +492,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(")) // the asterisk marks WholeStageCodegen spans
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
+
+  test("plan_shape_hash is stable across session encoder churn (r16 q_audio_energy drift)") {
+    // LambdaVariable ids come from a JVM-global counter that advances with
+    // every object-encoder the session constructs; Bench.normalizedPlan
+    // masks them. Build the mapPartitions query, churn encoders the way a
+    // mid-suite position does, build it again: both the masked shape
+    // string and the exact normalized string must be byte-identical.
+    def frame() = graft.SparkEntry.queries("q_audio_energy")(spark, sf)
+    val before = Bench.normalizedPlan(frame(), maskLiterals = true)
+    val beforeExact = Bench.normalizedPlan(frame())
+    import spark.implicits._
+    // encoder churn: each Dataset construction with an array-typed row
+    // encoder allocates fresh LambdaVariable ids
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, Array(1.0f, 2.0f))).toDF("id", "v")
+        .as[(Long, Array[Float])].map(identity).collect()
+    }
+    assert(Bench.normalizedPlan(frame(), maskLiterals = true) === before)
+    assert(Bench.normalizedPlan(frame()) === beforeExact)
+    assert(!before.contains(", 0x"), "sanity: masked string has no raw lambda ids")
+  }
 }
