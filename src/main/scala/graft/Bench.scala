@@ -106,8 +106,20 @@ object Bench {
     * parallelism / cross-environment comparisons should use it;
     * same-environment comparisons keep the precise `plan_hash`.
     */
+  /** Version of the [[normalizedPlan]] masking algorithm, stamped into
+    * `bench_out.json` as `plan_hash_version` — plan hashes are only
+    * comparable between records carrying the SAME version (a mask change
+    * re-baselines every hash without any plan changing). History:
+    * 1 = raw canonicalized string (≤ r9); 2 = literal/In masking +
+    * lambda-class/Repartition-width normalization (r10–r16);
+    * 3 = + LambdaVariable-id mask and deterministic comparison
+    * orientation (r17). [[graft.tools.BenchDiff]] refuses hash
+    * comparison across versions and falls back to structural counters.
+    */
+  val PlanHashVersion = 3
+
   def normalizedPlan(df: DataFrame, maskLiterals: Boolean = false): String = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression, In, InSet, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
@@ -117,6 +129,21 @@ object Bench {
       k match {
         case a: And =>
           conjuncts(a).sortBy(_.toString).reduceLeft(And(_, _))
+        // Comparison ORIENTATION: Canonicalize picks `a > b` vs `b < a`
+        // by child hashCode — and MultiCommutativeOp (the canonical form
+        // of +/* chains) carries a java.lang.Class field whose
+        // identityHashCode is JVM-STATE-dependent, so the orientation of
+        // any comparison against such a chain flips with session history
+        // (r17 finding: q_langid_confusion's `sum(hits) > 0` printed as
+        // `null < mcop(...)` fresh and `mcop(...) > null` in-suite, the
+        // residue behind the whole r13→r16 trio of "session build state"
+        // hash drifts). Rewrite to the LT-family form — semantically the
+        // identical predicate, orientation independent of hashCode. For
+        // the symmetric equalities, order operands by rendered string.
+        case GreaterThan(l, r) => LessThan(r, l)
+        case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
+        case EqualTo(l, r) if l.toString > r.toString => EqualTo(r, l)
+        case EqualNullSafe(l, r) if l.toString > r.toString => EqualNullSafe(r, l)
         case l: Literal if maskLiterals => Literal(null, l.dataType)
         // value-list membership: both the values AND the list length can
         // be data-derived (a Misra–Gries candidate list shrinks or grows
@@ -455,7 +482,7 @@ object Bench {
       ",\"loadavg_before\":\"" + pass.loadavgBefore +
       "\",\"loadavg_after\":\"" + pass.loadavgAfter + "\"}"
     val discJson = discardedLoadFactors.map(f => f"$f%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants); jobs/shuffle_read_b/shuffle_write_b/peak_heap_mb are STRUCTURAL counters from the min-steady run (listener-drained deltas) — regression gating uses plan_shape_hash + these first and wall time second (rule in BASELINE.md); load.driver_max_heap_mb stamps the JVM heap the record ran under (the r16 8-GiB-default finding)"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"plan_hash_version":$PlanHashVersion,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants); jobs/shuffle_read_b/shuffle_write_b/peak_heap_mb are STRUCTURAL counters from the min-steady run (listener-drained deltas) — regression gating uses plan_shape_hash + these first and wall time second (rule in BASELINE.md); load.driver_max_heap_mb stamps the JVM heap the record ran under (the r16 8-GiB-default finding)"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.

@@ -146,12 +146,25 @@ object ScaleGates {
     * batch fingerprints probe one store scan, the colliding slice
     * broadcasts into the anti-join, and the history-sized
     * (hash + segment text) exchange disappears. The probe path costs a
-    * fixed plumbing floor — MORE than the exchange it saves at any
-    * locally reachable store size (90–350 MB at rest), so local-scale
-    * stores keep the classic plan. A production crawl store (tens of
-    * GB+) always probes. Derivation: probe plan measured 12.5 s vs
-    * 7.3 s classic at 1M history and 13.2 s vs 5.8 s at 4M — the fixed
-    * floor dominates until the store's exchange is GiB-scale.
+    * fixed plumbing floor (8 extra jobs: persist + gate counts + the
+    * broadcast builds) — MORE than the exchange it saves at any locally
+    * reachable store size, so local-scale stores keep the classic plan.
+    * A production crawl store (tens of GB+) always probes.
+    *
+    * Derivation (r17 re-measure after the r16 plumbing cut removed the
+    * probe path's two eager localCheckpoints; `SegmentDedupBench probe`,
+    * warm JVM, 100k arrival, min of 2 reps): probe 7.43 s/16 jobs vs
+    * classic 6.86 s/8 jobs at 1M history (291 MB at rest), probe
+    * 7.76 s vs classic 5.87 s at 4M (1,164 MB) — the cut shrank the
+    * probe's penalty from +5.2/+7.4 s (pre-cut, same rungs) to
+    * +0.6/+1.9 s, and the classic plan shows NO measurable
+    * store-proportional term up to 1.16 GB on this container (its
+    * exchange rides the page cache at 32 local threads), so the local
+    * break-even cannot be bracketed below 2 GiB by direct measurement —
+    * the default stays at the floor-parity estimate. On a cluster the
+    * exchange distributes while the probe's job floor stays fixed, so
+    * the break-even moves UP with executor count (the retuning rule in
+    * the object doc).
     */
   val SegmentStoreProbeBytesMinKey =
     "spark.graft.gates.segmentStoreProbeBytesMin"

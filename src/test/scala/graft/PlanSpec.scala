@@ -513,4 +513,27 @@ class PlanSpec extends SparkSpec {
     assert(Bench.normalizedPlan(frame()) === beforeExact)
     assert(!before.contains(", 0x"), "sanity: masked string has no raw lambda ids")
   }
+
+  test("normalizedPlan orients comparisons deterministically (r17 q_langid_confusion drift)") {
+    // Canonicalize picks `a > b` vs `b < a` by child hashCode, and the
+    // canonical form of +/* chains (MultiCommutativeOp) hashes a
+    // java.lang.Class by identityHashCode — JVM-state-dependent, so the
+    // orientation of any comparison against such a chain flips with
+    // session history. normalizedPlan rewrites the GT family to LT form
+    // and orders symmetric-equality operands by rendered string, making
+    // the hash independent of hashCode. Pin: author-side-flipped but
+    // semantically identical predicates normalize byte-identically, and
+    // no GT-family node survives in the normalized string.
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "documents")
+      .groupBy("lang").agg(sum(length(col("text"))).as("tot"))
+    val gt = base.filter(col("tot") > lit(0L) && col("lang") === lit("en"))
+    val lt = base.filter(lit(0L) < col("tot") && lit("en") === col("lang"))
+    val a = Bench.normalizedPlan(gt, maskLiterals = true)
+    val b = Bench.normalizedPlan(lt, maskLiterals = true)
+    assert(a === b, s"flipped-operand predicates normalized differently:\n$a\nvs\n$b")
+    assert(Bench.normalizedPlan(gt) === Bench.normalizedPlan(lt))
+    assert(!a.contains(" > ") && !a.contains(" >= "),
+      s"GT family should be rewritten to LT form in:\n$a")
+  }
 }
