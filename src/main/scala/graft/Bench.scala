@@ -49,12 +49,29 @@ object Bench {
     private val jobs = new java.util.concurrent.atomic.AtomicLong
     private val shufRead = new java.util.concurrent.atomic.AtomicLong
     private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    private val stageRetries = new java.util.concurrent.atomic.AtomicLong
+    private val stages = new java.util.concurrent.atomic.AtomicLong
+    private val tasks = new java.util.concurrent.atomic.AtomicLong
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
       jobs.incrementAndGet(); ()
     }
+    // A stage attempt > 0 is a RESUBMISSION (fetch failure / lost blocks
+    // under external load) — its re-run traffic lands in the shuffle
+    // accumulators without changing the job count, which is exactly how
+    // the r17 official record got a +41 MB read-only excursion on
+    // q_span_removal (isolated probe: 8 byte-identical runs). The count
+    // makes a retry-tainted run self-identify so BenchDiff can demote
+    // read-only excursions instead of calling them plan regressions.
+    override def onStageSubmitted(
+        s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      stages.incrementAndGet()
+      if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
+      ()
+    }
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
       val m = t.taskMetrics
       if (m != null) {
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
@@ -62,9 +79,12 @@ object Bench {
         ()
       }
     }
-    def snapshot(): (Long, Long, Long) =
-      (jobs.get(), shufRead.get(), shufWrite.get())
+    def snapshot(): Snapshot = Snapshot(jobs.get(), shufRead.get(),
+      shufWrite.get(), stageRetries.get(), stages.get(), tasks.get())
   }
+  private final case class Snapshot(
+      jobs: Long, shufRead: Long, shufWrite: Long, stageRetries: Long,
+      stages: Long, tasks: Long)
 
   /** Heap pools for the per-run peak-heap stamp (reset before each run,
     * summed after): sum of per-pool peaks upper-bounds the true
@@ -85,7 +105,8 @@ object Bench {
     */
   private final case class RunMeasure(
       sec: Double, rows: Long, gcMs: Long,
-      jobs: Long, shufReadB: Long, shufWriteB: Long, peakHeapB: Long)
+      jobs: Long, shufReadB: Long, shufWriteB: Long, peakHeapB: Long,
+      stageRetries: Long, stages: Long, tasks: Long)
 
   /** The exact normalized analyzed-plan string the `plan_hash` digests —
     * public so [[graft.tools.AnalyzedPlanDump]] renders the SAME string
@@ -365,7 +386,7 @@ object Bench {
         // drain + snapshot OUTSIDE the timed span: the drain flushes the
         // previous run's stragglers so the deltas below are this run's
         org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
-        val (j0, sr0, sw0) = listener.snapshot()
+        val s0 = listener.snapshot()
         heapPools.foreach(p =>
           try p.resetPeakUsage()
           catch { case _: UnsupportedOperationException => () })
@@ -378,9 +399,12 @@ object Bench {
           val sec = (System.nanoTime() - t0) / 1e9
           val gc = gcMillis() - gc0
           org.apache.spark.graft.BenchTaps.drainListenerBus(spark.sparkContext)
-          val (j1, sr1, sw1) = listener.snapshot()
+          val s1 = listener.snapshot()
           val peak = heapPools.map(_.getPeakUsage.getUsed).sum
-          Some(RunMeasure(sec, rows, gc, j1 - j0, sr1 - sr0, sw1 - sw0, peak))
+          Some(RunMeasure(sec, rows, gc, s1.jobs - s0.jobs,
+            s1.shufRead - s0.shufRead, s1.shufWrite - s0.shufWrite, peak,
+            s1.stageRetries - s0.stageRetries, s1.stages - s0.stages,
+            s1.tasks - s0.tasks))
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -459,9 +483,14 @@ object Bench {
       val srb = row.steady.fold(-1L)(_.shufReadB)
       val swb = row.steady.fold(-1L)(_.shufWriteB)
       val ph = row.steady.fold(-1L)(m => m.peakHeapB >> 20)
+      val rt = row.steady.fold(-1L)(_.stageRetries)
+      val st = row.steady.fold(-1L)(_.stages)
+      val tk = row.steady.fold(-1L)(_.tasks)
       s"\"" + k + "\":{\"time\":" + t + ",\"cold\":" + c + ",\"rows\":" + r +
         ",\"gc_ms\":" + g + ",\"jobs\":" + j + ",\"cold_jobs\":" + cj +
+        ",\"stages\":" + st + ",\"tasks\":" + tk +
         ",\"shuffle_read_b\":" + srb + ",\"shuffle_write_b\":" + swb +
+        ",\"stage_retries\":" + rt +
         ",\"peak_heap_mb\":" + ph + ",\"load_1m\":" + f"${row.load1m}%.2f" +
         ",\"plan_hash\":\"" + row.planHash +
         "\",\"plan_shape_hash\":\"" + row.shapeHash + "\"}"
@@ -482,7 +511,7 @@ object Bench {
       ",\"loadavg_before\":\"" + pass.loadavgBefore +
       "\",\"loadavg_after\":\"" + pass.loadavgAfter + "\"}"
     val discJson = discardedLoadFactors.map(f => f"$f%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"plan_hash_version":$PlanHashVersion,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants); jobs/shuffle_read_b/shuffle_write_b/peak_heap_mb are STRUCTURAL counters from the min-steady run (listener-drained deltas) — regression gating uses plan_shape_hash + these first and wall time second (rule in BASELINE.md); load.driver_max_heap_mb stamps the JVM heap the record ran under (the r16 8-GiB-default finding)"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","steady_total":$steadyTotal,"started_at":"${pass.startedAt}","advisory":$advisory,"attempts":$attempts,"plan_hash_version":$PlanHashVersion,"discarded_load_factors":$discJson,"load":$loadJson,"contended":$contJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir","note":"time=steady-state (min of 3 post-warm runs, codegen amortized); cold=1st run incl codegen (methodology of rounds<=4); cross-query comparisons should use time; a query in `contended` (min-of-3 steady exceeded its own cold run) indicates external machine load during its window, not a plan regression; load.load_factor ~1.0 certifies a clean window; a window with load_factor>1.3 triggers ONE automatic suite re-run and the cleaner pass is recorded (attempts=2, discarded_load_factors lists the rejected pass); advisory=true means both passes were load-inflated and times must not be read as regressions; per-query load_1m stamps the 1-min loadavg at that query's start for partial-window attribution; plan_hash=exact analyzed plan (same-environment comparisons), plan_shape_hash=literal-masked (stable across parallelism even for queries that inline sampled/trained constants); jobs/stages/tasks/shuffle_read_b/shuffle_write_b/peak_heap_mb are STRUCTURAL counters from the min-steady run (listener-drained deltas) — regression gating uses plan_shape_hash + these first and wall time second (rule in BASELINE.md); stage_retries counts stage resubmissions in that run: when >0 the run's shuffle bytes carry retry traffic (fetch-failure re-reads/rewrites under external load) and byte excursions are environment, not plan (the r17 q_span_removal finding); load.driver_max_heap_mb stamps the JVM heap the record ran under (the r16 8-GiB-default finding)"}"""
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.

@@ -107,13 +107,26 @@ object SpanDedup {
         col("pos") === col("__canon.pos")))
       .select(col(idCol), col("pos"))
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val islands = marked
+    // islands feeds FOUR consumers below (gaps, hit-doc semi-join, tail,
+    // removed_chars) — left declarative, each consumer re-derives the
+    // whole gram pipeline above unless Spark's exchange/stage reuse
+    // happens to fire, and that reuse is a runtime RACE, not a guarantee
+    // (r17 finding, QueryCounterProbe: the same analyzed plan ran in two
+    // byte-deterministic modes at sf0.1 — the 41 MB candidate aggregate
+    // exchange read once or twice with identical jobs/stages/tasks —
+    // selected per run by whether the duplicate subtrees' builds were
+    // reused). islands is island-grain — aggregated far below the
+    // position grain the pipeline above shuffles — so ONE eager
+    // materialization pins the corpus-scale work to exactly one
+    // execution; at 100 TB the alternative is a reuse-race whose miss
+    // mode re-runs the heaviest exchange per consumer.
+    val islands = Checkpoints.materializeFrame(marked
       .withColumn("__brk",
         when(col("pos") - lag(col("pos"), 1).over(wOrd) > k, 1).otherwise(0))
       .withColumn("__isl", sum(col("__brk")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__isl"))
-      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k - 1).as("e")))
     // gap segments between islands (+ the tail to end-of-text); every hit
     // doc gets at least the tail row, so fully-removed docs still emit ''
     val wS = Window.partitionBy(col(idCol)).orderBy(col("s"))
