@@ -41,6 +41,7 @@ object QueryCounterProbe {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
+    val dumpStages = sys.env.contains("SPARK_GRAFT_PROBE_STAGES")
     val perStage =
       new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long, Long)]()
     val stages = new java.util.concurrent.atomic.AtomicLong
@@ -62,7 +63,7 @@ object QueryCounterProbe {
         if (m != null) {
           read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          perStage.merge(t.stageId,
+          if (dumpStages) perStage.merge(t.stageId,
             (m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
               m.shuffleReadMetrics.recordsRead, 1L),
             (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
@@ -85,7 +86,7 @@ object QueryCounterProbe {
       println(f"[probe] $name $tag: ${sec}%.2fs rows=$rows " +
         f"jobs=${jobs.get() - j0} read=${read.get() - r0} write=${write.get() - w0} " +
         f"stages=${stages.get() - st0} retries=${retries.get() - rt0} tasks=${tasks.get() - tk0}")
-      if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      if (dumpStages) {
         import scala.jdk.CollectionConverters._
         perStage.asScala.toSeq.sortBy(_._1).foreach { case (sid, (r, w, rr, tk)) =>
           println(s"[probe]   stage $sid: read=$r write=$w recsRead=$rr tasks=$tk")
