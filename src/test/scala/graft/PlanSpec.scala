@@ -412,6 +412,23 @@ class PlanSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$finalPlan")
   }
 
+  test("span removal: island frame is materialized once (reuse-race guard)") {
+    // r17 finding: with islands left declarative its four consumers hung
+    // the gram pipeline's re-execution on Spark's exchange-reuse RACE —
+    // one analyzed plan, two byte-deterministic shuffle modes (the 41 MB
+    // candidate aggregate read once or twice per run). The fix pins the
+    // pipeline to one execution via Checkpoints.materializeFrame. Guard
+    // the shape: the returned plan reads the checkpointed islands (an
+    // RDD scan) and contains NO gram explode — the position-grain
+    // pipeline must live entirely BEHIND the materialization.
+    val analyzed = DedupQueries.spanRemoval(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("LogicalRDD"),
+      s"islands no longer materialized (reuse-race fix reverted?):\n$analyzed")
+    assert(!analyzed.toLowerCase.contains("explode"),
+      s"gram explode leaked past the materialization:\n$analyzed")
+  }
+
   test("stratified sample is a pure filtered scan — zero shuffle at any scale") {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Curation.stratifiedSample(
