@@ -74,15 +74,18 @@ object CounterSweep {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val runs = (1 to reps).map(_ => run(fn))
-        val (clean, retried) = runs.partition(_.retries == 0)
+        val (clean, retried) = runs.zipWithIndex.partition(_._1.retries == 0)
         if (retried.nonEmpty)
           println(s"[sweep] $name: ${retried.size}/$reps runs retried (excluded from verdict)")
-        if (clean.map(c => c.copy(retries = 0)).distinct.size > 1) {
+        if (clean.map(_._1).distinct.size > 1) {
           // classify: Bench's published counters come from the min-STEADY
           // run, so instability that lives only in the first run (index /
           // centroid / cache builds paying once per session) never
           // reaches the record — only steady-regime instability does.
-          val steady = clean.drop(1).map(_.copy(retries = 0)).distinct
+          // "steady" = every clean run after the session's chronologically
+          // FIRST run (index 0), which pays the builds whether or not it
+          // was itself retried.
+          val steady = clean.collect { case (c, i) if i > 0 => c }.distinct
           val tag =
             if (steady.size <= 1) "WARMUP-ONLY (run1 builds; steady regime stable)"
             else if (steady.map(c => (c.jobs, c.stages, c.tasks)).distinct.size == 1)
@@ -90,7 +93,7 @@ object CounterSweep {
             else "STEADY-UNSTABLE (structure varies post-warm-up — investigate)"
           unstable += 1
           println(s"[sweep] UNSTABLE $name: $tag")
-          clean.foreach(c => println(s"[sweep]   $c"))
+          clean.foreach { case (c, i) => println(s"[sweep]   run${i + 1}: $c") }
         }
       } catch { case scala.util.control.NonFatal(e) =>
         println(s"[sweep] $name FAILED: ${e.getMessage}")
