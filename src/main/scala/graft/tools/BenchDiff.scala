@@ -109,8 +109,12 @@ object BenchDiff {
         }
         val (ho, hn) = (lng(o, "peak_heap_mb"), lng(n, "peak_heap_mb"))
         if (!flagged && ho > 0 && hn > 2 * ho)
-          out += s"INFO heap $name: peak_heap_mb $ho -> $hn with stable counters — " +
-            "driver-side accumulation to investigate, not a plan regression"
+          // the per-pool peak stamp is GC-timing-dependent: under load GC
+          // runs later and peaks read higher with nothing accumulating —
+          // carry both windows' gc_ms for attribution
+          out += s"INFO heap $name: peak_heap_mb $ho -> $hn with stable counters " +
+            s"(gc_ms ${lng(o, "gc_ms")} -> ${lng(n, "gc_ms")}) — GC-timing-sensitive; " +
+            "investigate only if it persists across clean windows"
       }
       val (to, tn) = (dbl(o, "time"), dbl(n, "time"))
       if (!flagged && to > 0 && tn > 0) wallRatios += name -> (tn / to)

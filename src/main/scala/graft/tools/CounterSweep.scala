@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * includes resubmission re-reads).
   *
   * args: [reps=3]   env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+  *
+  * Use reps >= 3: with 2 reps the steady regime is a single run and the
+  * WARMUP-ONLY vs STEADY-UNSTABLE distinction is vacuous.
   */
 object CounterSweep {
   def main(args: Array[String]): Unit = {
