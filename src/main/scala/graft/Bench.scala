@@ -515,8 +515,13 @@ object Bench {
     // Durable copy FIRST, stdout LAST: the driver captures a log tail, and
     // a long run's head can scroll out of it (round 5 lost the JSON line
     // head that way) — bench_out.json in the repo root survives regardless.
+    // SPARK_GRAFT_BENCH_OUT redirects the file for ad-hoc window probes so
+    // they can't clobber the committed record (it happened twice in r17;
+    // the lost windows had to be re-parsed out of run logs).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
