@@ -173,6 +173,31 @@ object ScaleGates {
     longConf(spark, SegmentStoreProbeBytesMinKey,
       SegmentStoreProbeBytesMinDefault)
 
+  // ------------------------------------------------------ scratch persist
+
+  /** Plan-estimated size cap (bytes) under which a multi-scan operator
+    * persists its narrow scratch projection (MEMORY_AND_DISK) instead of
+    * re-deriving it from the source scan on every pass
+    * ([[graft.operators.Quantiles]]'s bracketing rounds, the LM / BM25
+    * tokenize passes). Below the cap the persist turns R re-scans
+    * (parquet decode + regex/projection CPU, R = rounds + 1) into one
+    * materialization plus R cheap cached reads; above it the operator
+    * keeps the stateless re-scan plan — a column-pruned parquet scan
+    * streams, while a corpus-scale persist competes with execution
+    * memory and churns spill (guide §5: cache only when recompute beats
+    * the memory pressure). The estimate is the optimizer's
+    * `stats.sizeInBytes` of the PROJECTED frame — an upper bound tied to
+    * file bytes, available without running a job. Retuning rule: the cap
+    * bounds storage-memory pressure per executor — scale it with
+    * aggregate cluster storage memory (the 8 GiB default assumes the
+    * single-JVM 128 GiB dev container; a cluster with N executors of
+    * M GiB storage headroom can run with ~N·M/2).
+    */
+  val ScratchPersistBytesMaxKey = "spark.graft.gates.scratchPersistBytesMax"
+  val ScratchPersistBytesMaxDefault = 8L << 30
+  def scratchPersistBytesMax(spark: SparkSession): Long =
+    longConf(spark, ScratchPersistBytesMaxKey, ScratchPersistBytesMaxDefault)
+
   // -------------------------------------------------- connected components
 
   /** Edge cap for the driver-local closure short-circuit of

@@ -31,6 +31,37 @@ object Checkpoints {
     */
   def freeFrame(df: DataFrame): Unit = free(df)
 
+  /** Size-gated scratch persist for multi-scan operators (r17): when the
+    * optimizer's `stats.sizeInBytes` estimate of `df` (an upper bound
+    * derived from file bytes — no job) fits
+    * [[graft.config.ScaleGates.scratchPersistBytesMax]], persist it
+    * MEMORY_AND_DISK so every subsequent pass reads the narrow scratch
+    * rows instead of re-deriving them from the source scan; above the
+    * gate return `df` unchanged (the stateless re-scan plan — correct at
+    * any scale, just more passes). Returns the frame to use plus a
+    * release thunk the caller MUST invoke (try/finally) once no derived
+    * action will run again — the store-scratch leak discipline of the
+    * incremental stores.
+    *
+    * The persist is intra-call only: every operator invocation re-derives
+    * and re-materializes its own scratch (nothing is keyed on the input
+    * path or shared across calls), so repeated bench runs each pay the
+    * full computation.
+    */
+  def scratchPersist(df: DataFrame, widen: Boolean = false): (DataFrame, () => Unit) = {
+    val cap = graft.config.ScaleGates.scratchPersistBytesMax(df.sparkSession)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (cap > 0 && est <= BigInt(cap)) {
+      // widen only under the gate: the repartition-up (small scan →
+      // cluster-wide parallelism, graft.Tables.widen) is paid ONCE into
+      // the persisted blocks; on the over-gate path it would instead add
+      // a full exchange to every re-scan.
+      val base = if (widen) graft.Tables.widen(df) else df
+      val p = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p, () => { p.unpersist(blocking = false); () })
+    } else (df, () => ())
+  }
+
   /** Truncate `df`'s lineage. `legacyConfKeys` lets call sites honor
     * their historical opt-in keys (LakeMerge shipped
     * `spark.graft.lake.reliableCheckpoint` before this helper existed).

@@ -118,17 +118,31 @@ object Quantiles {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val valid = col("v").isNotNull && !isnan(col("v")) && col("w").isNotNull &&
       col("w") > 0L
-    val src = df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
-        w.as("w"))
-      .filter(valid)
+    // r17: the operator makes 2 + rounds passes over the same 3-column
+    // projection (extent scan, one histogram scan per round, leaf scan).
+    // Under the scratch gate the projection persists ONCE, so the later
+    // passes read cached narrow rows instead of re-decoding the source
+    // scan (guide §5 cache rule; the first action — the extent scan —
+    // materializes it, no extra pass). NOT widened: a repartition-up
+    // was measured to EXPLODE the histogram exchange (partial-agg rows
+    // scale as tasks × keyspace: 32 tasks × 18k (bid, bucket) keys put
+    // 458k rows / 6.6 MB through an exchange that carries 2.8k rows at
+    // scan-native parallelism) and its own 6.7 MB shuffle on top. Over
+    // the gate: unchanged stateless re-scans (column-pruned parquet
+    // streams; a corpus-scale persist would churn spill). Passes and
+    // arithmetic are identical either way.
+    val (raw, releaseScratch) = Checkpoints.scratchPersist(
+      df.select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        w.as("w")))
+    try {
+    val src = raw.filter(valid)
 
     // scan 1: per-group extent — the histogram seed AND the degenerate
     // fast path (min == max needs no further scans at all). `n` is the
     // WEIGHT total: every rank below runs in weight units. Conditional
     // aggregates over the UNfiltered rows so all-dropped groups still
     // surface (with a null n) instead of disappearing from the output.
-    val statsAll = df.select(col(groupCol).as("g"),
-        col(valueCol).cast("double").as("v"), w.as("w"))
+    val statsAll = raw
       .groupBy(col("g"))
       .agg(sum(when(valid, col("w"))).as("n"),
         min(when(valid, col("v"))).as("mn"), max(when(valid, col("v"))).as("mx"))
@@ -172,7 +186,16 @@ object Quantiles {
       }
     }
 
-    // bracket table for the broadcast join: (bid, bg, chain, loCur, wCur)
+    // descriptor table for the broadcast join: (bid, bg, chain, loCur,
+    // wCur). r17: brackets joining/scanning src are DEDUPLICATED into
+    // distinct descriptors (g, chain) first — at round 1 every rank of a
+    // group shares the identical initial bracket, and ⌊r⌋/⌈r⌉ rank pairs
+    // descend into the same bucket almost always, so the undeduplicated
+    // join multiplied every source row by ranks-per-group (measured ×6
+    // on the registered 3-percentile query: the join emitted 3.6 M rows
+    // from a 600 k scan, all of the operator's per-pass CPU). The
+    // descriptor's histogram is identical for every bracket of its
+    // class; each bracket walks it with its own k on the driver.
     val chainType = ArrayType(StructType(Seq(
       StructField("lo", DoubleType), StructField("w", DoubleType),
       StructField("j", IntegerType))))
@@ -180,11 +203,18 @@ object Quantiles {
       StructField("bid", IntegerType), StructField("bg", gField.dataType),
       StructField("chain", chainType),
       StructField("loCur", DoubleType), StructField("wCur", DoubleType)))
-    def bracketFrame(bs: Seq[Bracket]): DataFrame = {
-      val rows = bs.map(b => Row(b.id, b.g,
-        b.chain.reverse.map(l => Row(l.lo, l.w, l.j)), b.loCur, b.wCur))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), bracketSchema)
+    // one representative Bracket per distinct (g, chain); loCur/wCur are
+    // a deterministic function of (g, chain), so the key is exact
+    def descriptors(bs: Seq[Bracket]): Seq[(Bracket, Int)] =
+      bs.groupBy(b => (b.g, b.chain)).values.map(_.head).toSeq.zipWithIndex
+    def descFrame(ds: Seq[(Bracket, Int)]): DataFrame = {
+      val rows = ds.map { case (b, did) => Row(did, b.g,
+        b.chain.reverse.map(l => Row(l.lo, l.w, l.j)), b.loCur, b.wCur) }
+      // LocalRelation, not parallelize: broadcasting an RDD-backed frame
+      // runs a collect JOB per round to rebuild rows the driver already
+      // holds — a LocalTableScan broadcast builds driver-side with none
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, bracketSchema)
     }
     def memberPred(buckets: Int): Column =
       forall(col("chain"), p =>
@@ -196,8 +226,11 @@ object Quantiles {
     var round = 0
     while (active.nonEmpty && round < maxRounds) {
       round += 1
+      val ds = descriptors(active)
+      val descOf: Map[(Any, List[Level]), Int] =
+        ds.map { case (b, did) => (b.g, b.chain) -> did }.toMap
       val hist = src
-        .join(broadcast(bracketFrame(active)), col("g") <=> col("bg"))
+        .join(broadcast(descFrame(ds)), col("g") <=> col("bg"))
         .filter(memberPred(buckets))
         .groupBy(col("bid"),
           idxExpr(col("v"), col("loCur"), col("wCur"), buckets).as("sub"))
@@ -205,7 +238,7 @@ object Quantiles {
         .collect()
         .groupBy(_.getInt(0))
       active.foreach { b =>
-        val subs = hist.getOrElse(b.id, Array.empty[Row])
+        val subs = hist.getOrElse(descOf((b.g, b.chain)), Array.empty[Row])
           .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
         var cum = 0L
         var done = false
@@ -235,17 +268,22 @@ object Quantiles {
     active.foreach(_.leaf = true)
 
     // final scan: leaf-bracket rows aggregate by distinct value; the rank
-    // walks the sorted run on the driver
+    // walks the sorted run on the driver (deduplicated like the rounds:
+    // floor/ceil rank pairs share their leaf bucket, so the distinct
+    // descriptor set is typically half the bracket count or less)
     val leaves = brackets.toSeq
     if (leaves.nonEmpty) {
+      val ds = descriptors(leaves)
+      val descOf: Map[(Any, List[Level]), Int] =
+        ds.map { case (b, did) => (b.g, b.chain) -> did }.toMap
       val byValue = src
-        .join(broadcast(bracketFrame(leaves)), col("g") <=> col("bg"))
+        .join(broadcast(descFrame(ds)), col("g") <=> col("bg"))
         .filter(memberPred(buckets))
         .groupBy(col("bid"), col("v")).agg(sum(col("w")).as("wsum"))
         .collect()
         .groupBy(_.getInt(0))
       leaves.foreach { b =>
-        val run = byValue.getOrElse(b.id, Array.empty[Row])
+        val run = byValue.getOrElse(descOf((b.g, b.chain)), Array.empty[Row])
           .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
         var rem = b.k
         var out = Option.empty[Double]
@@ -274,8 +312,11 @@ object Quantiles {
       StructField(groupCol, gField.dataType, gField.nullable),
       StructField("n", LongType, nullable = false),
       StructField("qs", ArrayType(DoubleType), nullable = true)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
+    // LocalRelation output (same rationale as bracketFrame: no
+    // one-partition RDD job when the caller materializes)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(outRows.toSeq.asJava, outSchema)
+    } finally releaseScratch()
   }
 
   /** Composite-key form: group by several columns at once. The columns

@@ -457,9 +457,9 @@ object RelationalQueries {
     */
   def priceQuantiles2Pass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // NO widen: the bracketing scans are cheap column aggregates — a
-    // repartition-up would add a full exchange per scan (3x) for CPU work
-    // the scan-local aggregation doesn't need
+    // no widen here: the operator widens its own scratch projection once
+    // under the persist gate (r17), so every bracketing pass runs at
+    // cluster parallelism without a per-scan exchange
     graft.operators.Quantiles.exactGroupQuantiles(
         Tables(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq(0.25, 0.5, 0.95))
