@@ -50,8 +50,10 @@ object NaiveBayes {
     require(vocabSize >= 1 && maxClasses >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col(labelCol).as("cls"), explode(
-      regexp_extract_all(lower(col(textCol)), lit(NgramLm.TokenRegex), lit(0))).as("t"))
+    // pre-tokenized ARRAY<STRING> columns pass through (the NgramLm r17
+    // rule): a caller that tokenizes once feeds train AND predict
+    val toks = docs.select(col(labelCol).as("cls"),
+      explode(NgramLm.toksExpr(docs, textCol)).as("t"))
     val vocabW: Seq[String] = toks.groupBy($"t").agg(count(lit(1)).as("c"))
       .orderBy($"c".desc, $"t").limit(vocabSize)
       .collect().map(_.getString(0)).toSeq
@@ -94,8 +96,8 @@ object NaiveBayes {
     require(idCols.nonEmpty, "idCols must name the document key")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(idCols.map(col) :+ explode(
-      regexp_extract_all(lower(col(textCol)), lit(NgramLm.TokenRegex), lit(0))).as("t"): _*)
+    val toks = docs.select(idCols.map(col) :+
+      explode(NgramLm.toksExpr(docs, textCol)).as("t"): _*)
     val mapped = toks.join(broadcast(model.vocab), $"t" === $"w", "left")
       .select(idCols.map(col) :+ coalesce($"w", lit(NgramLm.Unk)).as("m"): _*)
     val scored = mapped

@@ -62,6 +62,19 @@ object Checkpoints {
     } else (df, () => ())
   }
 
+  /** [[materializeFrame]] behind the same size gate as [[scratchPersist]]
+    * — for query-layer pipelines whose RETURNED frame still consumes the
+    * scratch (so an eager release is impossible; the localCheckpoint
+    * blocks free at GC, the q_curation_e2e convention). Over the gate the
+    * frame passes through untouched: the stateless re-derivation plan is
+    * the scale-safe default.
+    */
+  def materializeScratch(df: DataFrame): DataFrame = {
+    val cap = graft.config.ScaleGates.scratchPersistBytesMax(df.sparkSession)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (cap > 0 && est <= BigInt(cap)) materialize(df) else df
+  }
+
   /** Truncate `df`'s lineage. `legacyConfKeys` lets call sites honor
     * their historical opt-in keys (LakeMerge shipped
     * `spark.graft.lake.reliableCheckpoint` before this helper existed).

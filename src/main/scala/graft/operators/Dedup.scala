@@ -348,6 +348,11 @@ object Dedup {
     // expression into the scan filter (~3x this operator's cost). The
     // outer variant infers nothing; the empty-shingle rows it keeps carry
     // a null __s, which the equi-join below drops anyway.
+    // (r17 note: a scratch checkpoint of `sh` was measured here and
+    // REVERTED — unlike prefixJaccardPairs' four consumers, this shape
+    // has 2–3 cheap re-derivations and its cost lives in the pair
+    // self-join exchange, so the checkpoint only added a job; it also
+    // taxed q_curation_e2e, whose input is already materialized.)
     val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
       .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
       .select(col("__id"), col("__sh"), size(col("__sh")).as("__n"))
@@ -454,9 +459,17 @@ object Dedup {
     // explode_outer, not explode/size-filter — the
     // InferFiltersFromGenerate re-inlining trap documented at
     // [[nearDuplicatePairsExact]]; null __s rows die in the equi-joins
-    val sh = df.select(id.as("__id"), tokens(text).as("__toks"))
-      .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
-      .select(col("__id"), col("__sh"), size(col("__sh")).as("__n"))
+    // r17: the exploded shingle stream feeds FOUR consumers (the df
+    // aggregate, the prefix-index build, and both sides of the
+    // verification join) — left declarative, each re-derived the
+    // tokenize+shingle projection from the source scan (probe: three
+    // extra full-text exchanges per run). Checkpoint the DOC-grain
+    // shingle arrays once under the scratch size gate; every consumer
+    // explodes from the cached arrays.
+    val sh = Checkpoints.materializeScratch(
+      df.select(id.as("__id"), tokens(text).as("__toks"))
+        .select(col("__id"), shinglesOfTokens(col("__toks"), shingleLen).as("__sh"))
+        .select(col("__id"), col("__sh"), size(col("__sh")).as("__n")))
     val ex = sh.select(col("__id"), col("__n"), explode_outer(col("__sh")).as("__s"))
     val cand = prefixCandidates(ex, threshold)
     val exA = ex.select(col("__id").as("id_a"), col("__s"))

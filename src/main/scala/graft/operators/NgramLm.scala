@@ -74,6 +74,20 @@ object NgramLm {
     * aggregation keeps every document); callers that only want real
     * bigrams filter `m1 IS NOT NULL`.
     */
+  /** `textCol` as a token array: pre-tokenized ARRAY<STRING> columns
+    * pass through unchanged, anything else tokenizes here. Lets a caller
+    * that tokenizes once (and, say, checkpoints the result) feed the
+    * same array to [[train]] AND [[score]] — the registered q_bigram_lm
+    * ran the corpus regex three times (unigram pass, bigram pass,
+    * scoring pass) before r17.
+    */
+  private[graft] def toksExpr(df: DataFrame, textCol: String) =
+    df.schema(textCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => col(textCol)
+      case _ => regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))
+    }
+
   private def mappedBigrams(docs: DataFrame, textCol: String,
       vocab: DataFrame, carry: Seq[String]): DataFrame = {
     // Pair-building rule: NEVER index the token array from inside a
@@ -82,8 +96,7 @@ object NgramLm {
     // regex PER ELEMENT — measured ~10× on the registered query. zip_with
     // over two slices evaluates the (inlined) array expression a constant
     // number of times per ROW instead.
-    val toks = docs.withColumn("__l",
-      regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0)))
+    val toks = docs.withColumn("__l", toksExpr(docs, textCol))
     val pairs = toks.withColumn("__p",
       when(size(col("__l")) >= 2, expr(
         "zip_with(slice(__l, 1, size(__l) - 1), slice(__l, 2, size(__l) - 1), (a, b) -> struct(a AS r1, b AS r2))"))
@@ -123,8 +136,7 @@ object NgramLm {
     val spark = docs.sparkSession
     import spark.implicits._
     val uni = docs
-      .select(explode(
-        regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))).as("w"))
+      .select(explode(toksExpr(docs, textCol)).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val vocabW: Seq[String] = uni.orderBy($"c".desc, $"w").limit(vocabSize)
       .select($"w").collect().map(_.getString(0)).toSeq

@@ -54,21 +54,31 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     require(queryTerms.distinct == queryTerms,
       s"bm25TopK: duplicate query terms in ${queryTerms.mkString(",")}")
-    val base = docs.select(id.as("__did"),
-      regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
-    val dl = base.select(col("__did"), size(col("__toks")).as("__dl"))
+    // r17: ONE tokenize pass. The previous shape re-ran the corpus regex
+    // for each of its three consumers (dl for the stats aggregate, the
+    // tf explode, and the dl side of the tf⋈dl join). The narrow
+    // projection — (doc, length, query-term hits) at ~a few dozen bytes
+    // per row, the text and the full token array both dropped — feeds
+    // every consumer, checkpointed under the scratch size gate; dl now
+    // rides the tf aggregate (max of the per-doc constant), so the
+    // tf⋈dl join is gone outright.
+    val narrow = Checkpoints.materializeScratch(
+      docs.select(id.as("__did"),
+          regexp_extract_all(lower(text), lit(TermRegex), lit(0)).as("__toks"))
+        .select(col("__did"), size(col("__toks")).as("__dl"),
+          filter(col("__toks"),
+            t => t.isInCollection(queryTerms)).as("__qtoks")))
     // corpus stats: one 2-column row, broadcast — avgdl = Σdl / N as a
     // single double division (identical expression on the oracle side)
-    val stats = dl.agg(count(lit(1)).as("__n"),
+    val stats = narrow.agg(count(lit(1)).as("__n"),
       sum(col("__dl")).cast("long").as("__tot"))
-    // token stream filtered to query terms BEFORE the count exchange
-    val tf = base
-      .select(col("__did"), explode(col("__toks")).as("__term"))
-      .filter(col("__term").isin(queryTerms: _*))
+    // token stream already filtered to query terms BEFORE the explode
+    val tf = narrow
+      .select(col("__did"), col("__dl"), explode(col("__qtoks")).as("__term"))
       .groupBy(col("__did"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    scoreAndRank(tf.join(dl, Seq("__did")), df, stats, queryTerms, k1, b, k)
+    scoreAndRank(tf, df, stats, queryTerms, k1, b, k)
   }
 
   /** The shared BM25 scoring tail: per-(doc, term) (tf, dl) × per-term

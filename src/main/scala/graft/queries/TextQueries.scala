@@ -674,9 +674,18 @@ object TextQueries {
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r17: tokenize ONCE into a size-gated scratch checkpoint — train's
+    // unigram pass, train's bigram pass and the scoring pass each re-ran
+    // the corpus regex AND the widen exchange before (probe: three
+    // 1-task ~830 KB text exchanges + three regexp_extract_all scans per
+    // run); NgramLm passes a pre-tokenized array column straight through
     val docs = Tables.wide(spark, dir, "documents")
-    val lm = graft.operators.NgramLm.train(docs, "text", LmVocabSize, LmMaxBigrams)
-    graft.operators.NgramLm.score(docs, "text", lm, idCols = Seq("doc_id", "source"))
+    val toks = graft.operators.Checkpoints.materializeScratch(
+      docs.select($"doc_id", $"source",
+        regexp_extract_all(lower($"text"),
+          lit(graft.operators.NgramLm.TokenRegex), lit(0)).as("__l")))
+    val lm = graft.operators.NgramLm.train(toks, "__l", LmVocabSize, LmMaxBigrams)
+    graft.operators.NgramLm.score(toks, "__l", lm, idCols = Seq("doc_id", "source"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -750,12 +759,19 @@ object TextQueries {
     */
   def nbConfusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.wide(spark, dir, "documents")
-      .withColumn("__hb", substring(md5($"doc_id".cast("string")), 1, 1))
+    // r17: tokenize once into a size-gated scratch checkpoint — train's
+    // vocab pass, train's count pass and the predict pass each re-ran the
+    // corpus regex before (the q_bigram_lm three-pass shape)
+    val docs = graft.operators.Checkpoints.materializeScratch(
+      Tables.wide(spark, dir, "documents")
+        .select($"doc_id", $"lang",
+          substring(md5($"doc_id".cast("string")), 1, 1).as("__hb"),
+          regexp_extract_all(lower($"text"),
+            lit(graft.operators.NgramLm.TokenRegex), lit(0)).as("__l")))
     val model = graft.ml.NaiveBayes.train(
-      docs.filter($"__hb" <= NbSplitBound), "text", "lang", NbVocabSize)
+      docs.filter($"__hb" <= NbSplitBound), "__l", "lang", NbVocabSize)
     graft.ml.NaiveBayes.predict(
-        docs.filter($"__hb" > NbSplitBound), "text", model,
+        docs.filter($"__hb" > NbSplitBound), "__l", model,
         idCols = Seq("doc_id", "lang"))
       .groupBy($"lang".as("actual"), $"predicted")
       .agg(count(lit(1)).as("n"))
