@@ -457,9 +457,12 @@ object RelationalQueries {
     */
   def priceQuantiles2Pass(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // no widen here: the operator widens its own scratch projection once
-    // under the persist gate (r17), so every bracketing pass runs at
-    // cluster parallelism without a per-scan exchange
+    // no widen here: the operator PERSISTS (not widens) its 3-column
+    // scratch projection under the gate, so the bracketing passes read
+    // cached narrow rows instead of re-decoding the source scan — a widen
+    // was measured in r17 to explode the histogram exchange (partial-agg
+    // rows scale as tasks × keyspace) and was reverted; rationale at
+    // graft.operators.Quantiles' scratchPersist call
     graft.operators.Quantiles.exactGroupQuantiles(
         Tables(spark, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq(0.25, 0.5, 0.95))
