@@ -18,6 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Token array of a text column, or the column itself when it is
+    * ALREADY an ARRAY<STRING> (r18 tokenize-once contract, the
+    * [[NgramLm]] `toksExpr` pattern): callers that pre-tokenize — e.g. a
+    * query materializing one [[Dedup.tokens]] scratch shared by the
+    * benchmark and corpus sides — pass the array column and the operator
+    * skips its own tokenization. An array caller MUST have tokenized
+    * with [[Dedup.tokens]] (whitespace split, empties dropped) or an
+    * equivalent, or shingles will diverge between the two sides; string
+    * callers are unaffected (array inputs previously failed analysis
+    * inside `split`, so no pre-existing caller changes behavior).
+    */
+  private def toksOf(df: DataFrame, text: Column): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    df.select(text).schema.head.dataType match {
+      case ArrayType(StringType, _) => text
+      case _ => Dedup.tokens(text)
+    }
+  }
+
   /** Benchmark decontamination (the GPT-3/PaLM eval-overlap rule): a corpus
     * document is contaminated iff it shares at least one n-token shingle
     * with any benchmark document. Production defaults to the literature's
@@ -53,7 +72,12 @@ object Curation {
   def benchmarkShingles(
       benchmark: DataFrame, benchmarkText: Column, n: Int = 13): DataFrame =
     benchmark
-      .select(explode(Dedup.wordShingles(benchmarkText, n)).as("__g"))
+      // two-step projection so the token array is computed once per row
+      // (shinglesOfTokens references its input ~n+2 times; see its
+      // scaladoc) — and a pre-tokenized ARRAY<STRING> column passes
+      // through toksOf untouched
+      .select(toksOf(benchmark, benchmarkText).as("__toks"))
+      .select(explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
       .distinct()
 
   /** [[contaminationMarks]] against a precomputed [[benchmarkShingles]]
@@ -64,7 +88,7 @@ object Curation {
       corpus: DataFrame, id: Column, text: Column,
       benchShingles: DataFrame, n: Int = 13): DataFrame = {
     val corpusShingles = corpus
-      .select(id.as("id"), Dedup.tokens(text).as("__toks"))
+      .select(id.as("id"), toksOf(corpus, text).as("__toks"))
       .select(col("id"), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
     val hits = corpusShingles
       .join(broadcast(benchShingles), Seq("__g"))
@@ -103,14 +127,22 @@ object Curation {
       n: Int = 13,
       expectedShingles: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val benchShingles = benchmark
-      .select(explode(Dedup.wordShingles(benchmarkText, n)).as("__g"))
-      .distinct()
+    // r18: the distinct benchmark shingle set has TWO consumers — the
+    // bloom-filter build (an aggregate action right here) and the exact
+    // confirm join — and each re-derived tokenize + explode + distinct
+    // from the benchmark scan (probe: the derivation's stages ran twice
+    // per query). One size-gated scratch checkpoint feeds both (guide §5
+    // cache over re-derive). Like bm25TopK's scratch, the blocks live
+    // until driver GC (the returned frame's confirm join still consumes
+    // them, so an eager release is impossible) — a long-lived session
+    // issuing many calls amortizes via the ContextCleaner.
+    val benchShingles = Checkpoints.materializeScratch(
+      benchmarkShingles(benchmark, benchmarkText, n))
     val bloom = benchShingles.stat.bloomFilter("__g", expectedShingles, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { g: String => g != null && bc.value.mightContainString(g) }
     val survivors = corpus
-      .select(id.as("id"), Dedup.tokens(text).as("__toks"))
+      .select(id.as("id"), toksOf(corpus, text).as("__toks"))
       .select(col("id"), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
       .filter(mightContain(col("__g")))
     // exact confirm: no broadcast hint — the benchmark side of THIS join

@@ -36,6 +36,14 @@ object CurationQueries {
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r18 A/B, REVERTED: a query-level tokenize-once scratch (the
+    // q_bigram_lm pattern: one materialized (doc_id, tokens) frame
+    // feeding the bench-shingle, corpus-shingle and corpus-id consumers)
+    // measured jobs 10→9 and shuffle −3 % but min wall 0.95→1.12 s —
+    // serializing doc-grain token arrays into checkpoint blocks costs
+    // more than re-running the whitespace split, which unlike the bigram
+    // LM's regex tokenizer is nearly free (the q_span_removal checkpoint
+    // lesson). The stateless three-consumer plan stands.
     val docs = Tables.wide(spark, dir, "documents")
     val bench = docs.filter($"doc_id" % BenchMod === 0)
     val corpus = docs.filter($"doc_id" % BenchMod =!= 0)
@@ -55,6 +63,12 @@ object CurationQueries {
     */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // query-level token scratch reverted like q_decontaminate's (measured
+    // wall loss); the r18 win here is INSIDE the operator —
+    // contaminationMarksBloom checkpoints its distinct benchmark shingle
+    // set once, so the bloom build and the exact confirm join no longer
+    // re-derive it from the scan (probe: the derivation's widen + shingle
+    // stages ran twice per query before)
     val docs = Tables.wide(spark, dir, "documents")
     val bench = docs.filter($"doc_id" % BenchMod === 0)
     val corpus = docs.filter($"doc_id" % BenchMod =!= 0)

@@ -90,8 +90,18 @@ object TextQueries {
     */
   def tokenHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = Tables.wide(spark, dir, "documents")
-      .select(explode(regexp_extract_all($"text", lit("\\S+"), lit(0))).as("token"))
+    // r18: tokenize ONCE into a size-gated scratch checkpoint — the
+    // Misra–Gries candidate pass and the exact rescore pass inside
+    // heavyHitters each consume the token stream, so without the scratch
+    // the corpus regex (and the widen exchange) ran twice per query
+    // (guide §1.2 fewer passes; the q_bigram_lm pattern). DOC-grain
+    // arrays, not the exploded stream: the checkpoint stores one array
+    // row per document and both passes explode from cached arrays —
+    // exploding is cheap, re-tokenizing is not.
+    val tokArrays = graft.operators.Checkpoints.materializeScratch(
+      Tables.wide(spark, dir, "documents")
+        .select(regexp_extract_all($"text", lit("\\S+"), lit(0)).as("__toks")))
+    val toks = tokArrays.select(explode($"__toks").as("token"))
     graft.operators.ScaleOps.heavyHitters(toks, $"token", HeavyHitterShare)
       .select($"key".as("token"), $"n", round($"share", 6).as("share"))
       .orderBy($"n".desc, $"token")
@@ -145,8 +155,21 @@ object TextQueries {
     // vocabulary-grain
     val grain = toks.groupBy($"term", $"doc_id", $"source")
       .agg(count(lit(1)).as("c"))
-    val tf = grain.groupBy($"source", $"term").agg(sum($"c").cast("long").as("tf"))
-    val df = grain.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    // r18: tf and df ride ONE two-level aggregate instead of two
+    // independent passes over grain (guide §2.4 shared exchange): level 1
+    // keys (term, source) and carries both sum(c) (= tf) and the distinct
+    // doc count WITHIN the (term, source) cell — exact because grain is
+    // distinct per (term, doc_id, source), so count(*) counts distinct
+    // docs; level 2 sums those per-source doc counts into df — exact
+    // because doc_id determines source (one documents row per doc), so
+    // the per-source distinct-doc sets partition the per-term set. This
+    // removes the second grain-sized exchange (the old
+    // countDistinct(doc_id) re-shuffled every grain row by (term,
+    // doc_id)); level 2's input is vocabulary × sources, not corpus.
+    val ts = grain.groupBy($"term", $"source")
+      .agg(sum($"c").cast("long").as("tf"), count(lit(1)).as("nd"))
+    val tf = ts.select($"source", $"term", $"tf")
+    val df = ts.groupBy($"term").agg(sum($"nd").as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select($"source", $"term", $"tf", $"df",
@@ -216,9 +239,18 @@ object TextQueries {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.wide(spark, dir, "documents")
-    val grain = docs.select($"doc_id",
-      explode(array_distinct(
-        regexp_extract_all(lower($"text"), lit(TfidfTermRegex), lit(0)))).as("term"))
+    // r18: tokenize ONCE into a size-gated scratch checkpoint — the df
+    // count and the posting-page candidate pass each consume the term
+    // stream, so without the scratch the widen exchange and the
+    // regex+array_distinct ran twice per query (probe: two ~830 KB 1-task
+    // text exchanges + two tokenize scans; guide §1.2 fewer passes, the
+    // q_bigram_lm pattern). Doc-grain distinct-term arrays keep the
+    // checkpoint narrow; both consumers explode from cached arrays.
+    val termArrays = graft.operators.Checkpoints.materializeScratch(
+      docs.select($"doc_id", array_distinct(
+        regexp_extract_all(lower($"text"), lit(TfidfTermRegex), lit(0)))
+        .as("__terms")))
+    val grain = termArrays.select($"doc_id", explode($"__terms").as("term"))
     val dfCounts = grain.groupBy($"term").agg(count(lit(1)).as("df"))
     val page = graft.operators.ScaleOps
       .topKPerGroup(grain, Seq("term"), orderCol = "doc_id", tieCol = "doc_id",
