@@ -44,6 +44,12 @@ object NaiveBayes {
     * cap breaks count ties on token ascending; class set is required
     * bounded (`maxClasses`, loud failure — a runaway label column would
     * otherwise materialize an unbounded matrix).
+    *
+    * `textCol` contract (also for [[predict]]): a STRING column is
+    * lowercased and tokenized internally; an ARRAY<STRING> column passes
+    * through UNTOUCHED — the caller must have lowercased and tokenized
+    * identically on the train and predict sides (the r17 tokenize-once
+    * pattern), or the vocabulary silently diverges.
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       vocabSize: Int = 4096, maxClasses: Int = 256): Model = {

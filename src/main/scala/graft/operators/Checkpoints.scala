@@ -48,16 +48,15 @@ object Checkpoints {
     * path or shared across calls), so repeated bench runs each pay the
     * full computation.
     */
-  def scratchPersist(df: DataFrame, widen: Boolean = false): (DataFrame, () => Unit) = {
+  def scratchPersist(df: DataFrame): (DataFrame, () => Unit) = {
+    // no widen knob: a repartition-up of the scratch was measured in r17
+    // to EXPLODE downstream partial-aggregate exchanges (rows scale as
+    // tasks × keyspace) and was reverted — reintroduce only with a call
+    // site whose own A/B demands it (rationale in Quantiles)
     val cap = graft.config.ScaleGates.scratchPersistBytesMax(df.sparkSession)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (cap > 0 && est <= BigInt(cap)) {
-      // widen only under the gate: the repartition-up (small scan →
-      // cluster-wide parallelism, graft.Tables.widen) is paid ONCE into
-      // the persisted blocks; on the over-gate path it would instead add
-      // a full exchange to every re-scan.
-      val base = if (widen) graft.Tables.widen(df) else df
-      val p = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (p, () => { p.unpersist(blocking = false); () })
     } else (df, () => ())
   }

@@ -450,6 +450,12 @@ object Dedup {
     * per-doc sort of its own shingles (bounded by document length). The
     * payoff grows with threshold and with boilerplate skew; see
     * DedupSpec's measured candidate-count comparison.
+    *
+    * Block retention: each invocation checkpoints its size-gated
+    * doc-grain shingle scratch; the localCheckpoint blocks live until
+    * driver GC (the returned frame consumes them — no eager release
+    * possible). Many in-flight results hold one gated block set each;
+    * see [[Retrieval.bm25TopK]] for the same convention.
     */
   def prefixJaccardPairs(
       df: DataFrame, id: Column, text: Column,

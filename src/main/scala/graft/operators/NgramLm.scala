@@ -120,6 +120,13 @@ object NgramLm {
     * Deterministic by construction: both caps break count ties on token
     * text ascending.
     *
+    * `textCol` contract (also for [[score]]): a STRING column is
+    * lowercased and tokenized with [[TokenRegex]] here; an ARRAY<STRING>
+    * column passes through UNTOUCHED — the caller must have lowercased
+    * and tokenized with the SAME regex (the r17 tokenize-once pattern,
+    * e.g. q_bigram_lm's shared scratch), or train and score build
+    * divergent vocabularies with no warning.
+    *
     * Two corpus passes total (unigram count, then bigram count), after
     * which the LM — bounded at `vocabSize + maxBigrams + (vocabSize+1)`
     * rows by the caps — is collected to the driver, exactly as a real
@@ -164,7 +171,9 @@ object NgramLm {
     *
     * `idCols` must identify a document (they are the re-aggregation key)
     * and should be small — they ride every bigram row until the map-side
-    * combine collapses them.
+    * combine collapses them. `textCol` follows [[train]]'s contract: an
+    * ARRAY<STRING> column must carry the same lowercase+[[TokenRegex]]
+    * tokenization the LM was trained on.
     */
   def score(docs: DataFrame, textCol: String, lm: Lm,
       idCols: Seq[String]): DataFrame = {

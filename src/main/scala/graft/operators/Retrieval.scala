@@ -46,6 +46,14 @@ object Retrieval {
     * corpus stats arrive as a broadcast 1-row cross join; the final
     * top-k is TakeOrdered (orderBy.limit — per-partition heaps, never a
     * global sort), with rk assigned over the k survivors only.
+    *
+    * Block retention: each invocation checkpoints a size-gated scratch
+    * (the narrow projection below) whose localCheckpoint blocks live
+    * until the driver GC runs the ContextCleaner — the RETURNED frame
+    * still consumes them, so the operator cannot release eagerly. A
+    * long-lived session issuing many ad-hoc BM25 calls holds one gated
+    * block set per in-flight result; drop references to returned frames
+    * (or lower the scratch gate) if that footprint matters.
     */
   def bm25TopK(
       docs: DataFrame, id: Column, text: Column,

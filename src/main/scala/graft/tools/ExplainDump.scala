@@ -17,6 +17,13 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: ExplainDump <outDir> [suffix] [names-csv]\n" +
+          "note: queries with eager builders (materializeScratch, trained\n" +
+          "constants) execute real jobs at $SPARK_GRAFT_SF_DIR during the dump")
+      sys.exit(2)
+    }
     val out = args.head
     val suffix = args.lift(1).getOrElse("plan")
     val names = args.lift(2).map(_.split(",").toSeq)
